@@ -1,0 +1,92 @@
+"""ctypes bindings for the C++ libav video decoder.
+
+The shared library (``libo3video.so``) is the decord-equivalent: it probes
+container metadata and decodes exactly the requested frame indices to RGB24,
+skipping decode work for unsampled frames where the codec allows.
+
+Build: ``bash open_o3_video_tpu/native/build.sh``
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libo3video.so")
+_lib = None
+
+
+@dataclass
+class VideoMeta:
+    num_frames: int
+    fps: float
+    width: int
+    height: int
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        raise FileNotFoundError(
+            f"native decoder not built: {_LIB_PATH} (run open_o3_video_tpu/native/build.sh)"
+        )
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.o3v_probe.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),  # num_frames
+        ctypes.POINTER(ctypes.c_double),  # fps
+        ctypes.POINTER(ctypes.c_int),  # width
+        ctypes.POINTER(ctypes.c_int),  # height
+    ]
+    lib.o3v_probe.restype = ctypes.c_int
+    lib.o3v_decode_frames.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),  # indices
+        ctypes.c_int64,  # n indices
+        ctypes.POINTER(ctypes.c_uint8),  # out buffer (n, H, W, 3)
+        ctypes.c_int,  # width
+        ctypes.c_int,  # height
+    ]
+    lib.o3v_decode_frames.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return os.path.exists(_LIB_PATH)
+
+
+def probe(path: str) -> VideoMeta:
+    lib = _load()
+    n = ctypes.c_int64()
+    fps = ctypes.c_double()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.o3v_probe(path.encode(), ctypes.byref(n), ctypes.byref(fps), ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise IOError(f"o3v_probe failed ({rc}) for {path}")
+    return VideoMeta(num_frames=n.value, fps=fps.value, width=w.value, height=h.value)
+
+
+def decode_frames(path: str, indices: np.ndarray) -> np.ndarray:
+    """Decode the given frame indices; returns (N, H, W, 3) uint8 RGB."""
+    lib = _load()
+    meta = probe(path)
+    idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
+    out = np.empty((len(idx), meta.height, meta.width, 3), dtype=np.uint8)
+    rc = lib.o3v_decode_frames(
+        path.encode(),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(idx),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        meta.width,
+        meta.height,
+    )
+    if rc != 0:
+        raise IOError(f"o3v_decode_frames failed ({rc}) for {path}")
+    return out

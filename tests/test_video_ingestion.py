@@ -1,0 +1,188 @@
+"""Tests for video ingestion: smart_resize, smart_nframes, decode, fetch."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from open_o3_video_tpu.data import video as V
+
+EXAMPLE_VIDEO = "/root/reference/eval/example_video.mp4"
+REF_OPEN_R1 = "/root/reference/src/r1-v/src/open_r1"
+
+
+def _load_reference_vision():
+    """Import the reference vision_process with torchvision stubbed out —
+    smart_resize / smart_nframes never touch it."""
+    if not os.path.isdir(REF_OPEN_R1):
+        return None
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.__version__ = "0.0.0"
+        tv.io = types.ModuleType("torchvision.io")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.transforms.InterpolationMode = types.SimpleNamespace(BICUBIC="bicubic")
+        tv.transforms.functional = types.SimpleNamespace()
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.io"] = tv.io
+        sys.modules["torchvision.transforms"] = tv.transforms
+    sys.path.insert(0, REF_OPEN_R1)
+    try:
+        import vision_process as ref
+
+        return ref
+    except Exception:
+        return None
+    finally:
+        sys.path.remove(REF_OPEN_R1)
+
+
+REF = _load_reference_vision()
+
+
+class TestSmartResize:
+    def test_divisible_by_factor(self):
+        h, w = V.smart_resize(360, 640)
+        assert h % 28 == 0 and w % 28 == 0
+
+    def test_pixel_budget(self):
+        h, w = V.smart_resize(2000, 3000, max_pixels=V.MAX_PIXELS)
+        assert h * w <= V.MAX_PIXELS
+
+    def test_min_budget(self):
+        h, w = V.smart_resize(10, 10, min_pixels=V.MIN_PIXELS)
+        assert h * w >= V.MIN_PIXELS
+
+    def test_extreme_ratio_raises(self):
+        with pytest.raises(ValueError):
+            V.smart_resize(10, 4000)
+
+    @pytest.mark.skipif(REF is None, reason="reference repo not mounted")
+    def test_differential(self):
+        import random
+
+        rng = random.Random(0)
+        for _ in range(200):
+            h = rng.randint(28, 3000)
+            w = rng.randint(28, 3000)
+            if max(h, w) / min(h, w) > 200:
+                continue
+            for kwargs in [
+                {},
+                {"min_pixels": V.VIDEO_MIN_PIXELS, "max_pixels": V.VIDEO_MIN_PIXELS * 2},
+                {"max_pixels": 128 * 28 * 28},
+            ]:
+                assert V.smart_resize(h, w, **kwargs) == REF.smart_resize(h, w, **kwargs), (h, w, kwargs)
+
+
+class TestSmartNframes:
+    def test_nframes_override(self):
+        assert V.smart_nframes({"nframes": 15}, total_frames=100, video_fps=30) == 16
+
+    def test_fps_path_caps_at_max(self):
+        # 100s of video at 2 fps target = 200 frames, capped at 16
+        n = V.smart_nframes({}, total_frames=3000, video_fps=30)
+        assert n == 16
+
+    def test_short_video_min(self):
+        n = V.smart_nframes({}, total_frames=10, video_fps=30)
+        assert n == 4
+
+    @pytest.mark.skipif(REF is None, reason="reference repo not mounted")
+    def test_differential(self):
+        import random
+
+        rng = random.Random(1)
+        for _ in range(200):
+            total = rng.randint(4, 20000)
+            fps = rng.choice([10, 23.97, 24, 25, 29.97, 30, 60])
+            for ele in [{}, {"fps": 1.0}, {"nframes": min(rng.randint(2, 64), total)},
+                        {"max_frames": 32}, {"fps": 4.0, "min_frames": 8, "max_frames": 64}]:
+                try:
+                    ours = V.smart_nframes(dict(ele), total, fps)
+                except ValueError:
+                    ours = "raise"
+                try:
+                    theirs = REF.smart_nframes(dict(ele), total, fps)
+                except ValueError:
+                    theirs = "raise"
+                assert ours == theirs, (ele, total, fps)
+
+
+class TestSampleIndices:
+    def test_linspace_round_matches_torch(self):
+        import torch
+
+        for total, n in [(491, 16), (100, 4), (7, 6), (1000, 16)]:
+            ours = V.sample_indices(total, n)
+            theirs = torch.linspace(0, total - 1, n).round().long().numpy()
+            assert np.array_equal(ours, theirs), (total, n)
+
+
+@pytest.mark.skipif(not os.path.exists(EXAMPLE_VIDEO), reason="example video not mounted")
+class TestDecode:
+    def test_cv2_backend(self):
+        video, sample_fps = V._read_video_cv2({"video": EXAMPLE_VIDEO})
+        assert video.shape == (16, 3, 360, 640)
+        assert video.dtype == np.uint8
+        assert sample_fps == pytest.approx(16 / 491 * 22.29, rel=1e-3)
+
+    def test_native_backend_matches_cv2(self):
+        if not V.is_native_available():
+            pytest.skip("native decoder not built")
+        native, fps_n = V._read_video_native({"video": EXAMPLE_VIDEO})
+        ref, fps_c = V._read_video_cv2({"video": EXAMPLE_VIDEO})
+        assert native.shape == ref.shape
+        assert fps_n == pytest.approx(fps_c)
+        # Same codec, same sampled indices -> identical pixels.
+        assert np.mean(np.abs(native.astype(int) - ref.astype(int))) < 1.0
+
+    def test_fetch_video_resizes_to_28_factor(self):
+        video, fps = V.fetch_video({"video": EXAMPLE_VIDEO}, return_video_sample_fps=True)
+        t, c, h, w = video.shape
+        assert t == 16 and c == 3
+        assert h % 28 == 0 and w % 28 == 0
+        assert h * w <= max(V.VIDEO_MAX_PIXELS, int(V.VIDEO_MIN_PIXELS * 1.05))
+        assert video.dtype == np.float32
+
+    def test_process_vision_info_video(self):
+        conv = [
+            {"role": "user", "content": [
+                {"type": "video", "video": EXAMPLE_VIDEO},
+                {"type": "text", "text": "q"},
+            ]}
+        ]
+        images, videos, kwargs = V.process_vision_info(conv, return_video_kwargs=True)
+        assert images is None
+        assert len(videos) == 1 and len(kwargs["fps"]) == 1
+
+    def test_fetch_video_list_of_frames_pads(self):
+        from PIL import Image
+
+        frames = [Image.new("RGB", (64, 48), (i, 0, 0)) for i in range(3)]
+        out, fps = V.fetch_video({"video": frames}, return_video_sample_fps=True)
+        assert len(out) == 4  # padded to FRAME_FACTOR multiple
+        assert fps == 2.0
+
+
+class TestFetchImage:
+    def test_rgba_flattens_white(self):
+        from PIL import Image
+
+        img = Image.new("RGBA", (56, 56), (255, 0, 0, 0))  # fully transparent
+        out = V.fetch_image({"image": img})
+        assert out.mode == "RGB"
+        assert out.getpixel((5, 5)) == (255, 255, 255)
+
+    def test_resize_budget(self):
+        from PIL import Image
+
+        img = Image.new("RGB", (1000, 1000))
+        out = V.fetch_image({"image": img, "max_pixels": 256 * 28 * 28})
+        assert out.size[0] * out.size[1] <= 256 * 28 * 28
+
+    def test_rejects_remote(self):
+        with pytest.raises(ValueError):
+            V.fetch_image({"image": "https://example.com/x.png"})
