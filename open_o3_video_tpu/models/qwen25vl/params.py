@@ -1,0 +1,336 @@
+"""Parameter pytree: random init + HF safetensors import.
+
+Tree layout (all linear weights stored input-major, i.e. ``x @ W``):
+
+visual:
+  patch_embed (patch_dim, D)
+  blocks[i]: norm1, qkv_w, qkv_b, proj_w, proj_b, norm2,
+             gate_w/b, up_w/b, down_w/b
+  merger: ln_q, fc1_w/b, fc2_w/b
+text:
+  embed_tokens (vocab, D)
+  layers[i]: input_norm, q_w/b, k_w/b, v_w/b, o_w, post_norm,
+             gate_w, up_w, down_w
+  final_norm, lm_head (D, vocab)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Qwen25VLConfig
+
+
+def init(cfg: Qwen25VLConfig, seed: int = 0) -> dict:
+    """Random normal(0.02) init, matching the HF initializer scale."""
+    rng = np.random.default_rng(seed)
+    std = 0.02
+    v, t = cfg.vision, cfg.text
+    dt = cfg.dtype
+
+    def w(*shape):
+        return jnp.asarray(rng.normal(0, std, shape), dtype=dt)
+
+    def zeros(*shape):
+        return jnp.zeros(shape, dtype=dt)
+
+    def ones(*shape):
+        return jnp.ones(shape, dtype=dt)
+
+    visual = {
+        "patch_embed": w(v.patch_dim, v.hidden_size),
+        "blocks": [
+            {
+                "norm1": ones(v.hidden_size),
+                "qkv_w": w(v.hidden_size, 3 * v.hidden_size),
+                "qkv_b": zeros(3 * v.hidden_size),
+                "proj_w": w(v.hidden_size, v.hidden_size),
+                "proj_b": zeros(v.hidden_size),
+                "norm2": ones(v.hidden_size),
+                "gate_w": w(v.hidden_size, v.intermediate_size),
+                "gate_b": zeros(v.intermediate_size),
+                "up_w": w(v.hidden_size, v.intermediate_size),
+                "up_b": zeros(v.intermediate_size),
+                "down_w": w(v.intermediate_size, v.hidden_size),
+                "down_b": zeros(v.hidden_size),
+            }
+            for _ in range(v.depth)
+        ],
+        "merger": {
+            "ln_q": ones(v.hidden_size),
+            "fc1_w": w(v.hidden_size * v.merge_unit, v.hidden_size * v.merge_unit),
+            "fc1_b": zeros(v.hidden_size * v.merge_unit),
+            "fc2_w": w(v.hidden_size * v.merge_unit, v.out_hidden_size),
+            "fc2_b": zeros(v.out_hidden_size),
+        },
+    }
+    text = {
+        "embed_tokens": w(t.vocab_size, t.hidden_size),
+        "layers": [
+            {
+                "input_norm": ones(t.hidden_size),
+                "q_w": w(t.hidden_size, t.num_attention_heads * t.head_dim),
+                "q_b": zeros(t.num_attention_heads * t.head_dim),
+                "k_w": w(t.hidden_size, t.num_key_value_heads * t.head_dim),
+                "k_b": zeros(t.num_key_value_heads * t.head_dim),
+                "v_w": w(t.hidden_size, t.num_key_value_heads * t.head_dim),
+                "v_b": zeros(t.num_key_value_heads * t.head_dim),
+                "o_w": w(t.num_attention_heads * t.head_dim, t.hidden_size),
+                "post_norm": ones(t.hidden_size),
+                "gate_w": w(t.hidden_size, t.intermediate_size),
+                "up_w": w(t.hidden_size, t.intermediate_size),
+                "down_w": w(t.intermediate_size, t.hidden_size),
+            }
+            for _ in range(t.num_hidden_layers)
+        ],
+        "final_norm": ones(t.hidden_size),
+        "lm_head": w(t.hidden_size, t.vocab_size),
+    }
+    return {"visual": visual, "text": text}
+
+
+# --------------------------------------------------------------------------
+# HF import
+# --------------------------------------------------------------------------
+
+
+def _normalize_key(key: str) -> str:
+    """Map the several released checkpoint prefixes onto one scheme:
+    text weights -> 'language_model.', vision -> 'visual.'."""
+    if key.startswith("model.language_model."):
+        return "language_model." + key[len("model.language_model.") :]
+    if key.startswith("model.visual."):
+        return "visual." + key[len("model.visual.") :]
+    if key.startswith("model."):
+        return "language_model." + key[len("model.") :]
+    return key  # visual.*, lm_head.*
+
+
+def from_named_arrays(named: Iterator[tuple[str, np.ndarray]], cfg: Qwen25VLConfig) -> dict:
+    """Build the param tree from (hf_name, numpy array) pairs."""
+    v, t = cfg.vision, cfg.text
+    dt = cfg.dtype
+    params = init_empty(cfg)
+
+    def put(path: list, value: np.ndarray, transpose: bool = False):
+        arr = value.T if transpose else value
+        node = params
+        for p in path[:-1]:
+            node = node[p]
+        node[path[-1]] = jnp.asarray(arr, dtype=dt)
+
+    tied_embed = None
+    saw_lm_head = False
+    for raw_key, arr in named:
+        key = _normalize_key(raw_key)
+        if key == "language_model.embed_tokens.weight":
+            put(["text", "embed_tokens"], arr)
+            tied_embed = arr
+        elif key == "language_model.norm.weight":
+            put(["text", "final_norm"], arr)
+        elif key == "lm_head.weight":
+            put(["text", "lm_head"], arr, transpose=True)
+            saw_lm_head = True
+        elif key.startswith("language_model.layers."):
+            parts = key.split(".")
+            i = int(parts[2])
+            rest = ".".join(parts[3:])
+            layer = ["text", "layers", i]
+            mapping = {
+                "input_layernorm.weight": ("input_norm", False),
+                "post_attention_layernorm.weight": ("post_norm", False),
+                "self_attn.q_proj.weight": ("q_w", True),
+                "self_attn.q_proj.bias": ("q_b", False),
+                "self_attn.k_proj.weight": ("k_w", True),
+                "self_attn.k_proj.bias": ("k_b", False),
+                "self_attn.v_proj.weight": ("v_w", True),
+                "self_attn.v_proj.bias": ("v_b", False),
+                "self_attn.o_proj.weight": ("o_w", True),
+                "mlp.gate_proj.weight": ("gate_w", True),
+                "mlp.up_proj.weight": ("up_w", True),
+                "mlp.down_proj.weight": ("down_w", True),
+            }
+            if rest in mapping:
+                name, tr = mapping[rest]
+                put(layer + [name], arr, transpose=tr)
+        elif key == "visual.patch_embed.proj.weight":
+            # Conv3d (D, C, tps, psz, psz) with full-kernel stride == linear
+            # over the flattened patch: reshape then transpose to (patch_dim, D).
+            put(["visual", "patch_embed"], arr.reshape(arr.shape[0], -1), transpose=True)
+        elif key.startswith("visual.blocks."):
+            parts = key.split(".")
+            i = int(parts[2])
+            rest = ".".join(parts[3:])
+            layer = ["visual", "blocks", i]
+            mapping = {
+                "norm1.weight": ("norm1", False),
+                "norm2.weight": ("norm2", False),
+                "attn.qkv.weight": ("qkv_w", True),
+                "attn.qkv.bias": ("qkv_b", False),
+                "attn.proj.weight": ("proj_w", True),
+                "attn.proj.bias": ("proj_b", False),
+                "mlp.gate_proj.weight": ("gate_w", True),
+                "mlp.gate_proj.bias": ("gate_b", False),
+                "mlp.up_proj.weight": ("up_w", True),
+                "mlp.up_proj.bias": ("up_b", False),
+                "mlp.down_proj.weight": ("down_w", True),
+                "mlp.down_proj.bias": ("down_b", False),
+            }
+            if rest in mapping:
+                name, tr = mapping[rest]
+                put(layer + [name], arr, transpose=tr)
+        elif key == "visual.merger.ln_q.weight":
+            put(["visual", "merger", "ln_q"], arr)
+        elif key == "visual.merger.mlp.0.weight":
+            put(["visual", "merger", "fc1_w"], arr, transpose=True)
+        elif key == "visual.merger.mlp.0.bias":
+            put(["visual", "merger", "fc1_b"], arr)
+        elif key == "visual.merger.mlp.2.weight":
+            put(["visual", "merger", "fc2_w"], arr, transpose=True)
+        elif key == "visual.merger.mlp.2.bias":
+            put(["visual", "merger", "fc2_b"], arr)
+        # rotary inv_freq buffers etc. are derived, not loaded
+
+    if not saw_lm_head:
+        if tied_embed is None:
+            raise ValueError("checkpoint has neither lm_head.weight nor embed_tokens.weight")
+        params["text"]["lm_head"] = jnp.asarray(tied_embed.T, dtype=dt)
+
+    _check_complete(params)
+    return params
+
+
+def init_empty(cfg: Qwen25VLConfig) -> dict:
+    """Tree with the right structure and None leaves (filled by the loader)."""
+    v, t = cfg.vision, cfg.text
+    return {
+        "visual": {
+            "patch_embed": None,
+            "blocks": [
+                {k: None for k in (
+                    "norm1", "qkv_w", "qkv_b", "proj_w", "proj_b", "norm2",
+                    "gate_w", "gate_b", "up_w", "up_b", "down_w", "down_b")}
+                for _ in range(v.depth)
+            ],
+            "merger": {k: None for k in ("ln_q", "fc1_w", "fc1_b", "fc2_w", "fc2_b")},
+        },
+        "text": {
+            "embed_tokens": None,
+            "layers": [
+                {k: None for k in (
+                    "input_norm", "q_w", "q_b", "k_w", "k_b", "v_w", "v_b",
+                    "o_w", "post_norm", "gate_w", "up_w", "down_w")}
+                for _ in range(t.num_hidden_layers)
+            ],
+            "final_norm": None,
+            "lm_head": None,
+        },
+    }
+
+
+def _check_complete(params: Any, path: str = ""):
+    if isinstance(params, dict):
+        for k, val in params.items():
+            _check_complete(val, f"{path}.{k}")
+    elif isinstance(params, list):
+        for i, val in enumerate(params):
+            _check_complete(val, f"{path}[{i}]")
+    elif params is None:
+        raise ValueError(f"missing parameter: {path}")
+
+
+def from_torch_state_dict(state_dict, cfg: Qwen25VLConfig) -> dict:
+    """Import from an in-memory torch state dict (tests / conversions)."""
+    def gen():
+        for key, tensor in state_dict.items():
+            yield key, tensor.detach().to("cpu").float().numpy()
+
+    return from_named_arrays(gen(), cfg)
+
+
+def load_pretrained(model_dir: str, cfg: Qwen25VLConfig | None = None) -> tuple[dict, Qwen25VLConfig]:
+    """Load from an HF model directory of safetensors shards."""
+    from safetensors import safe_open
+
+    if cfg is None:
+        cfg = Qwen25VLConfig.from_pretrained(model_dir)
+
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        shards = sorted(set(index["weight_map"].values()))
+    else:
+        shards = [f for f in os.listdir(model_dir) if f.endswith(".safetensors")]
+
+    def gen():
+        for shard in shards:
+            with safe_open(os.path.join(model_dir, shard), framework="numpy") as f:
+                for key in f.keys():
+                    yield key, f.get_tensor(key)
+
+    return from_named_arrays(gen(), cfg), cfg
+
+
+def save_safetensors(params: dict, cfg: Qwen25VLConfig, out_path: str):
+    """Export the param tree back to HF-convention safetensors (one file)."""
+    from safetensors.numpy import save_file
+
+    flat: dict[str, np.ndarray] = {}
+
+    def to_np(x):
+        return np.asarray(jax.device_get(x), dtype=np.float32)
+
+    t = params["text"]
+    flat["model.embed_tokens.weight"] = to_np(t["embed_tokens"])
+    flat["model.norm.weight"] = to_np(t["final_norm"])
+    flat["lm_head.weight"] = to_np(t["lm_head"]).T
+    for i, layer in enumerate(t["layers"]):
+        p = f"model.layers.{i}."
+        flat[p + "input_layernorm.weight"] = to_np(layer["input_norm"])
+        flat[p + "post_attention_layernorm.weight"] = to_np(layer["post_norm"])
+        flat[p + "self_attn.q_proj.weight"] = to_np(layer["q_w"]).T
+        flat[p + "self_attn.q_proj.bias"] = to_np(layer["q_b"])
+        flat[p + "self_attn.k_proj.weight"] = to_np(layer["k_w"]).T
+        flat[p + "self_attn.k_proj.bias"] = to_np(layer["k_b"])
+        flat[p + "self_attn.v_proj.weight"] = to_np(layer["v_w"]).T
+        flat[p + "self_attn.v_proj.bias"] = to_np(layer["v_b"])
+        flat[p + "self_attn.o_proj.weight"] = to_np(layer["o_w"]).T
+        flat[p + "mlp.gate_proj.weight"] = to_np(layer["gate_w"]).T
+        flat[p + "mlp.up_proj.weight"] = to_np(layer["up_w"]).T
+        flat[p + "mlp.down_proj.weight"] = to_np(layer["down_w"]).T
+
+    vis = params["visual"]
+    v = cfg.vision
+    flat["visual.patch_embed.proj.weight"] = (
+        to_np(vis["patch_embed"]).T.reshape(
+            v.hidden_size, v.in_channels, v.temporal_patch_size, v.patch_size, v.patch_size
+        )
+    )
+    for i, b in enumerate(vis["blocks"]):
+        p = f"visual.blocks.{i}."
+        flat[p + "norm1.weight"] = to_np(b["norm1"])
+        flat[p + "norm2.weight"] = to_np(b["norm2"])
+        flat[p + "attn.qkv.weight"] = to_np(b["qkv_w"]).T
+        flat[p + "attn.qkv.bias"] = to_np(b["qkv_b"])
+        flat[p + "attn.proj.weight"] = to_np(b["proj_w"]).T
+        flat[p + "attn.proj.bias"] = to_np(b["proj_b"])
+        flat[p + "mlp.gate_proj.weight"] = to_np(b["gate_w"]).T
+        flat[p + "mlp.gate_proj.bias"] = to_np(b["gate_b"])
+        flat[p + "mlp.up_proj.weight"] = to_np(b["up_w"]).T
+        flat[p + "mlp.up_proj.bias"] = to_np(b["up_b"])
+        flat[p + "mlp.down_proj.weight"] = to_np(b["down_w"]).T
+        flat[p + "mlp.down_proj.bias"] = to_np(b["down_b"])
+    m = vis["merger"]
+    flat["visual.merger.ln_q.weight"] = to_np(m["ln_q"])
+    flat["visual.merger.mlp.0.weight"] = to_np(m["fc1_w"]).T
+    flat["visual.merger.mlp.0.bias"] = to_np(m["fc1_b"])
+    flat["visual.merger.mlp.2.weight"] = to_np(m["fc2_w"]).T
+    flat["visual.merger.mlp.2.bias"] = to_np(m["fc2_b"])
+    save_file(flat, out_path)

@@ -1,0 +1,125 @@
+"""Qwen2.5-VL text decoder in JAX: GQA + M-RoPE, prefill and cached decode.
+
+Functional over a param pytree. Causality is driven by *sequence* positions
+(cache_position); M-RoPE 3-axis positions only rotate q/k. Supports
+left-padded batches via an attention validity mask, matching the reference's
+left-padding inference convention (grpo_trainer.py:569-578).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.attention import causal_attention
+from ...ops.rope import apply_mrope, mrope_cos_sin
+from .config import TextConfig
+from .vision import rms_norm
+
+
+def init_kv_cache(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+    }
+
+
+def _attention_layer(
+    p: dict,
+    cfg: TextConfig,
+    x: jnp.ndarray,  # (B, S, D)
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    seq_positions: jnp.ndarray,  # (B, S) absolute sequence positions of these tokens
+    kv_mask: Optional[jnp.ndarray],
+    cache: Optional[dict],
+    layer_idx: int,
+    cache_offset,
+):
+    B, S, _ = x.shape
+    q = (x @ p["q_w"] + p["q_b"]).reshape(B, S, cfg.num_attention_heads, cfg.head_dim)
+    k = (x @ p["k_w"] + p["k_b"]).reshape(B, S, cfg.num_key_value_heads, cfg.head_dim)
+    v = (x @ p["v_w"] + p["v_b"]).reshape(B, S, cfg.num_key_value_heads, cfg.head_dim)
+    q, k = apply_mrope(q, k, cos, sin)
+
+    if cache is not None:
+        k_cache = jax.lax.dynamic_update_slice(
+            cache["k"][layer_idx], k.astype(cache["k"].dtype), (0, cache_offset, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            cache["v"][layer_idx], v.astype(cache["v"].dtype), (0, cache_offset, 0, 0)
+        )
+        new_cache = (k_cache, v_cache)
+        T = k_cache.shape[1]
+        kv_positions = jnp.arange(T)[None, :].repeat(B, axis=0)
+        cache_valid = jnp.arange(T)[None, :] < (cache_offset + S)
+        full_kv_mask = cache_valid if kv_mask is None else (kv_mask & cache_valid)
+        out = causal_attention(
+            q,
+            k_cache.astype(q.dtype),
+            v_cache.astype(q.dtype),
+            q_positions=seq_positions,
+            kv_positions=kv_positions,
+            kv_mask=full_kv_mask,
+        )
+    else:
+        new_cache = None
+        out = causal_attention(
+            q, k, v, q_positions=seq_positions, kv_positions=seq_positions, kv_mask=kv_mask
+        )
+
+    out = out.reshape(B, S, cfg.num_attention_heads * cfg.head_dim)
+    return out @ p["o_w"], new_cache
+
+
+def _mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return (jax.nn.silu(x @ p["gate_w"]) * (x @ p["up_w"])) @ p["down_w"]
+
+
+def text_forward(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,  # (B, S, D)
+    position_ids: jnp.ndarray,  # (3, B, S) m-rope positions
+    *,
+    seq_positions: Optional[jnp.ndarray] = None,  # (B, S); default arange+offset
+    attn_valid: Optional[jnp.ndarray] = None,  # (B, total_len) validity (left padding)
+    cache: Optional[dict] = None,
+    cache_offset=0,
+) -> tuple[jnp.ndarray, Optional[dict]]:
+    """Returns (hidden_states (B, S, D) after final norm, updated cache)."""
+    B, S, _ = inputs_embeds.shape
+    if seq_positions is None:
+        seq_positions = jnp.arange(S)[None, :].repeat(B, axis=0) + cache_offset
+
+    cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
+    cos = cos.astype(inputs_embeds.dtype)
+    sin = sin.astype(inputs_embeds.dtype)
+
+    x = inputs_embeds
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
+        attn_out, layer_cache = _attention_layer(
+            layer, cfg, h, cos, sin, seq_positions, attn_valid, cache, i, cache_offset
+        )
+        x = x + attn_out
+        h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
+        x = x + _mlp(layer, h)
+        if layer_cache is not None:
+            new_k.append(layer_cache[0])
+            new_v.append(layer_cache[1])
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    new_cache = None
+    if cache is not None:
+        new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    return x, new_cache
+
+
+def logits_from_hidden(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Project final hidden states to vocabulary logits (float32)."""
+    return (hidden @ params["lm_head"]).astype(jnp.float32)

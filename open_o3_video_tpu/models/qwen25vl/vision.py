@@ -1,0 +1,183 @@
+"""Qwen2.5-VL vision tower in JAX.
+
+TPU-first design notes
+----------------------
+The reference runs varlen FlashAttention over ``cu_seqlens`` windows (HF
+Qwen2.5-VL). Dynamic segment lengths don't map to XLA, so we precompute a
+**static segment spec** on the host per grid configuration: the window
+permutation groups every attention segment (8x8-patch window, or whole image
+for the 4 global layers) into contiguous runs, which we batch as a dense
+(num_segments, max_segment) tensor with a padding mask. All shapes are static
+per grid bucket; XLA compiles one program per bucket and every matmul stays
+on the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.attention import segment_attention
+from ...ops.rope import apply_rope_vision, vision_pos_freqs
+from .config import VisionConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentSpec:
+    """Static gather/scatter plan for batched segment attention."""
+
+    indices: np.ndarray  # (N, W) int32 — position of each segment slot in the sequence
+    valid: np.ndarray  # (N, W) bool — padding mask
+    seg_ids: np.ndarray  # (S,) int32 — segment of each sequence position
+    offsets: np.ndarray  # (S,) int32 — slot of each sequence position
+
+
+def _make_segment_spec(seg_sizes: np.ndarray) -> SegmentSpec:
+    """Contiguous segments (sizes summing to S) -> static batched layout."""
+    n = len(seg_sizes)
+    w = int(seg_sizes.max())
+    s = int(seg_sizes.sum())
+    indices = np.zeros((n, w), dtype=np.int32)
+    valid = np.zeros((n, w), dtype=bool)
+    seg_ids = np.zeros(s, dtype=np.int32)
+    offsets = np.zeros(s, dtype=np.int32)
+    pos = 0
+    for i, size in enumerate(seg_sizes):
+        size = int(size)
+        indices[i, :size] = np.arange(pos, pos + size)
+        valid[i, :size] = True
+        seg_ids[pos : pos + size] = i
+        offsets[pos : pos + size] = np.arange(size)
+        pos += size
+    return SegmentSpec(indices=indices, valid=valid, seg_ids=seg_ids, offsets=offsets)
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionSpec:
+    """Everything shape-dependent, computed once per grid_thw on the host."""
+
+    window_index: np.ndarray  # (S_merged,) permutation of merge blocks
+    reverse_index: np.ndarray  # (S_merged,) inverse permutation
+    window_seg: SegmentSpec  # segments for windowed layers (over reordered seq)
+    full_seg: SegmentSpec  # segments for global layers (over reordered seq)
+    freqs: np.ndarray  # (S, head_dim//2) rotary angles, reordered
+    seq_len: int
+
+
+def compute_vision_spec(grid_thw: Sequence[tuple[int, int, int]], cfg: VisionConfig) -> VisionSpec:
+    """Host-side plan: window permutation + segment layouts + rotary angles.
+
+    Mirrors the reference's get_window_index / rot_pos_emb / cu_seqlens logic
+    (HF Qwen2.5-VL vision tower) but emits static dense layouts.
+    """
+    merge = cfg.spatial_merge_size
+    unit = cfg.merge_unit
+    win = cfg.window_patches // merge  # window side in merged positions (112/14/2 = 4)
+
+    window_index = []
+    window_sizes = []  # per-window size in unmerged patches
+    full_sizes = []  # per (grid, t) segment size in unmerged patches
+    offset = 0
+    for t, h, w in grid_thw:
+        lh, lw = h // merge, w // merge
+        index = np.arange(t * lh * lw).reshape(t, lh, lw)
+        # The reference pads by win - (l % win), adding a full empty window
+        # row/col when l divides win; those empty windows become zero-size
+        # segments and are dropped below, so behavior matches.
+        pad_h = win - lh % win
+        pad_w = win - lw % win
+        nwh = (lh + pad_h) // win
+        nww = (lw + pad_w) // win
+        padded = np.full((t, lh + pad_h, lw + pad_w), -100, dtype=np.int64)
+        padded[:, :lh, :lw] = index
+        padded = padded.reshape(t, nwh, win, nww, win).transpose(0, 1, 3, 2, 4)
+        padded = padded.reshape(t, nwh * nww, win, win)
+        seqlens = (padded != -100).sum(axis=(2, 3)).reshape(-1)
+        flat = padded.reshape(-1)
+        window_index.append(flat[flat != -100] + offset)
+        window_sizes.extend(int(s) * unit for s in seqlens if s > 0)
+        full_sizes.extend([h * w] * t)
+        offset += t * lh * lw
+    window_index = np.concatenate(window_index).astype(np.int32)
+    reverse_index = np.argsort(window_index).astype(np.int32)
+
+    seq_len = int(sum(t * h * w for t, h, w in grid_thw))
+    window_seg = _make_segment_spec(np.asarray(window_sizes, dtype=np.int64))
+    full_seg = _make_segment_spec(np.asarray(full_sizes, dtype=np.int64))
+
+    freqs = vision_pos_freqs(grid_thw, merge, cfg.head_dim)  # (S, hd//2)
+    # Reorder angles the same way hidden states are reordered: by merge blocks.
+    freqs = freqs.reshape(seq_len // unit, unit, -1)[window_index].reshape(seq_len, -1)
+
+    return VisionSpec(
+        window_index=window_index,
+        reverse_index=reverse_index,
+        window_seg=window_seg,
+        full_seg=full_seg,
+        freqs=freqs.astype(np.float32),
+        seq_len=seq_len,
+    )
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return (x * weight.astype(jnp.float32)).astype(dtype)
+
+
+def _segmented_attention(q, k, v, spec: SegmentSpec):
+    """(S, H, D) q/k/v -> segment-batched bidirectional attention -> (S, H, D)."""
+    indices = jnp.asarray(spec.indices)
+    valid = jnp.asarray(spec.valid)
+    qs, ks, vs = (x[indices] for x in (q, k, v))  # (N, W, H, D)
+    out = segment_attention(qs, ks, vs, valid)
+    return out[jnp.asarray(spec.seg_ids), jnp.asarray(spec.offsets)]  # (S, H, D)
+
+
+def _block(params: dict, x: jnp.ndarray, freqs: jnp.ndarray, spec: SegmentSpec, cfg: VisionConfig):
+    h = rms_norm(x, params["norm1"])
+    qkv = h @ params["qkv_w"] + params["qkv_b"]
+    S = x.shape[0]
+    qkv = qkv.reshape(S, 3, cfg.num_heads, cfg.head_dim)
+    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+    q, k = apply_rope_vision(q, k, freqs)
+    attn = _segmented_attention(q, k, v, spec).reshape(S, cfg.hidden_size)
+    x = x + (attn @ params["proj_w"] + params["proj_b"])
+
+    h = rms_norm(x, params["norm2"])
+    gate = jax.nn.silu(h @ params["gate_w"] + params["gate_b"])
+    up = h @ params["up_w"] + params["up_b"]
+    x = x + ((gate * up) @ params["down_w"] + params["down_b"])
+    return x
+
+
+def vision_forward(params: dict, patches: jnp.ndarray, spec: VisionSpec, cfg: VisionConfig) -> jnp.ndarray:
+    """patches (S, patch_dim) -> merged vision embeddings (S / merge_unit, out_dim).
+
+    Output rows are in the original (pre-window-permutation) merged order,
+    ready to scatter into the text embedding stream.
+    """
+    x = patches.astype(params["patch_embed"].dtype) @ params["patch_embed"]  # (S, D)
+    S = spec.seq_len
+    unit = cfg.merge_unit
+    window_index = jnp.asarray(spec.window_index)
+
+    x = x.reshape(S // unit, unit, -1)[window_index].reshape(S, -1)
+    freqs = jnp.asarray(spec.freqs)
+
+    for i in range(cfg.depth):
+        seg = spec.full_seg if i in cfg.fullatt_block_indexes else spec.window_seg
+        x = _block(params["blocks"][i], x, freqs, seg, cfg)
+
+    # Patch merger: RMSNorm then 2x2 concat -> MLP.
+    m = params["merger"]
+    h = rms_norm(x, m["ln_q"]).reshape(S // unit, unit * cfg.hidden_size)
+    h = jax.nn.gelu(h @ m["fc1_w"] + m["fc1_b"], approximate=False)
+    h = h @ m["fc2_w"] + m["fc2_b"]  # (S/unit, out)
+    return h[jnp.asarray(spec.reverse_index)]
