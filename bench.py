@@ -1,0 +1,134 @@
+"""End-to-end benchmark on real TPU hardware.
+
+Measures the reference pipeline's operational envelope (BASELINE.md): a real
+video decoded, sampled to 16 frames, smart-resized under the training pixel
+budget, patchified, prefilled through the Qwen2.5-VL vision tower + decoder,
+and decoded for 128 tokens — i.e. frames -> grounded answer.
+
+Model: Qwen2.5-VL architecture at full 7B feature dims (3584 hidden, GQA
+28/4, full ViT) with reduced decoder depth so a bf16 random-init instance +
+KV cache fit a single v5e chip's 16 GB HBM; per-layer decode cost is
+identical to the 7B, so tok/s/layer extrapolates. Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+TEXT_LAYERS = int(os.environ.get("BENCH_TEXT_LAYERS", "16"))
+VISION_LAYERS = int(os.environ.get("BENCH_VISION_LAYERS", "32"))
+DECODE_TOKENS = int(os.environ.get("BENCH_DECODE_TOKENS", "128"))
+N_VIDEOS = int(os.environ.get("BENCH_VIDEOS", "4"))
+VIDEO = os.environ.get(
+    "BENCH_VIDEO", "/root/reference/eval/example_video.mp4"
+)
+
+
+def main():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from open_o3_video_tpu.data import fetch_video
+    from open_o3_video_tpu.engine import InferenceEngine, Request, SamplingParams
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+    from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
+
+    cfg = Qwen25VLConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        vision=dataclasses.replace(
+            cfg.vision,
+            depth=VISION_LAYERS,
+            fullatt_block_indexes=tuple(
+                i for i in cfg.vision.fullatt_block_indexes if i < VISION_LAYERS
+            ) or (VISION_LAYERS - 1,),
+        ),
+        text=dataclasses.replace(cfg.text, num_hidden_layers=TEXT_LAYERS),
+        dtype=jnp.bfloat16,
+    )
+    t0 = time.time()
+    params = P.init(cfg, seed=0)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+    # ---- host pipeline: decode + sample + resize + patchify (training budget)
+    t_host0 = time.time()
+    frames, fps = fetch_video({"video": VIDEO, "nframes": 16}, return_video_sample_fps=True)
+    patches, grid_thw = frames_as_images_patches(frames)
+    t_host = time.time() - t_host0
+
+    n_tok = patches.shape[0] // cfg.vision.merge_unit
+    prompt = (
+        list(range(200, 240))
+        + [cfg.vision_start_token_id]
+        + [cfg.image_token_id] * n_tok
+        + [cfg.vision_end_token_id]
+        + list(range(300, 320))
+    )
+    req = Request(
+        input_ids=prompt,
+        pixel_patches=patches,
+        grid_thw=grid_thw,
+        vision_token_id=cfg.image_token_id,
+    )
+    sampling = SamplingParams(temperature=0.0, repetition_penalty=1.05, max_tokens=DECODE_TOKENS)
+
+    bucket = 1 << (len(prompt) - 1).bit_length()
+    engine = InferenceEngine(params, cfg, prompt_buckets=(bucket,))
+
+    # Warmup (compile prefill + decode loop).
+    engine.generate([req], sampling)
+    t_compile = time.time() - t0
+
+    # ---- timed runs
+    runs = []
+    decode_counts = []
+    for _ in range(N_VIDEOS):
+        t1 = time.time()
+        frames, _ = fetch_video({"video": VIDEO, "nframes": 16}, return_video_sample_fps=True)
+        patches, grid_thw = frames_as_images_patches(frames)
+        out = engine.generate(
+            [Request(input_ids=prompt, pixel_patches=patches, grid_thw=grid_thw,
+                     vision_token_id=cfg.image_token_id)],
+            sampling,
+        )
+        runs.append(time.time() - t1)
+        decode_counts.append(len(out[0]["token_ids"]))
+
+    # decode-only throughput: time a text-only batch generation
+    text_req = Request(input_ids=list(range(100, 164)))
+    engine_txt = InferenceEngine(params, cfg, prompt_buckets=(128,))
+    engine_txt.generate([text_req], sampling)  # warmup
+    t2 = time.time()
+    out_txt = engine_txt.generate([text_req], sampling)
+    t_decode = time.time() - t2
+    tok_s = len(out_txt[0]["token_ids"]) / t_decode
+
+    e2e = float(np.mean(runs))
+    videos_per_sec = 1.0 / e2e
+    result = {
+        "metric": "e2e_videos_per_sec_per_chip",
+        "value": round(videos_per_sec, 4),
+        "unit": f"videos/s (16f->{int(np.mean(decode_counts))}tok, {TEXT_LAYERS}L@7Bdims, {n_params/1e9:.2f}B params)",
+        "vs_baseline": 0.0,
+        "detail": {
+            "e2e_sec_per_video": round(e2e, 3),
+            "host_pipeline_sec": round(t_host, 3),
+            "decode_tok_per_sec_bs1": round(tok_s, 2),
+            "compile_sec": round(t_compile, 1),
+            "prompt_tokens": len(prompt),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Engine-backed eval model wrapper — the QwenVL_VLLM equivalent.
+
+Same call contract as the reference wrapper (eval/models/model_vllm.py):
+
+- ``__call__(video_paths, queries, query_image) -> (outputs, frames, fps[, shape])``
+- ``run_images_scorer(msgs, images) -> int`` (0/1/2, -1 on anything else)
+- ``inference_wo_process(inputs) -> str``
+
+but inference runs on the TPU engine: requests are batched through
+prefill/decode (the analogue of vLLM's max_num_seqs=5 continuous batching)
+and sampling uses the same defaults (temperature from config, repetition
+penalty 1.05).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from ..data.processor import O3VideoProcessor
+from ..data.video import fetch_image, fetch_video, process_vision_info
+from ..engine import InferenceEngine, Request, SamplingParams
+from ..models.qwen25vl import Qwen25VLConfig
+from ..models.qwen25vl import params as P
+
+
+class QwenVLEngine:
+    def __init__(
+        self,
+        llm_name_or_params,
+        rt_shape: bool = False,
+        *,
+        cfg: Optional[Qwen25VLConfig] = None,
+        processor: Optional[O3VideoProcessor] = None,
+        mesh=None,
+        **llm_args,
+    ):
+        temperature = llm_args.pop("temperature", 0.0)
+        max_tokens = llm_args.pop("max_tokens", 512)
+        self.rt_shape = rt_shape
+        self.video_max_pixels = llm_args.pop("video_max_pixels", 360 * 420)
+        self.video_max_frames = llm_args.pop("video_max_frames", 16)
+        self.max_num_seqs = llm_args.pop("max_num_seqs", 5)
+
+        if isinstance(llm_name_or_params, str):
+            print("Start initialize the model.")
+            params, cfg = P.load_pretrained(llm_name_or_params, cfg)
+            processor = processor or O3VideoProcessor.from_pretrained(llm_name_or_params)
+        else:
+            params = llm_name_or_params
+            assert cfg is not None, "cfg required when passing raw params"
+            processor = processor or O3VideoProcessor()
+        self.cfg = cfg
+        self.processor = processor
+        self.engine = InferenceEngine(params, cfg, mesh=mesh)
+        self.sampling = SamplingParams(
+            temperature=temperature, repetition_penalty=1.05, max_tokens=max_tokens
+        )
+        print(f"Initialize model successfully with args {llm_args}")
+
+    # ------------------------------------------------------------- internals
+
+    def _expand_video_placeholder(self, text: str) -> str:
+        # Video arrives as per-frame images; drop any stray native-video pads.
+        return text
+
+    def _requests_from_messages(self, messages_batch: Sequence[list]) -> list[Request]:
+        reqs = []
+        for messages in messages_batch:
+            text = self.processor.apply_chat_template(messages, add_generation_prompt=True)
+            image_inputs, video_inputs, _ = process_vision_info(
+                messages, return_video_kwargs=True
+            )
+            images: list[Any] = []
+            if video_inputs:
+                for vid in video_inputs:
+                    if isinstance(vid, np.ndarray):
+                        images.extend(vid[i] for i in range(vid.shape[0]))
+                    else:
+                        images.extend(vid)
+            if image_inputs:
+                images.extend(image_inputs)
+            proc = self.processor(text, images=images or None)
+            reqs.append(
+                Request(
+                    input_ids=proc.input_ids,
+                    pixel_patches=proc.pixel_patches,
+                    grid_thw=proc.grid_thw,
+                    vision_token_id=self.cfg.image_token_id,
+                )
+            )
+        return reqs
+
+    def _generate_texts(self, requests: Sequence[Request]) -> list[str]:
+        texts = []
+        for start in range(0, len(requests), self.max_num_seqs):
+            chunk = list(requests[start : start + self.max_num_seqs])
+            outs = self.engine.generate(chunk, self.sampling)
+            for out in outs:
+                ids = out["token_ids"]
+                texts.append(self.processor.decode(ids, skip_special_tokens=True))
+        return texts
+
+    # ----------------------------------------------------------------- public
+
+    def get_batch_messages(self, video_paths, queries, query_image):
+        """Build per-item messages + decoded frames (reference:
+        model_vllm.py:39-90)."""
+        messages = []
+        for video_path, query, image in zip(video_paths, queries, query_image):
+            content = [
+                {
+                    "type": "video",
+                    "video": video_path,
+                    "max_pixels": self.video_max_pixels,
+                    "max_frames": self.video_max_frames,
+                },
+                {"type": "text", "text": query},
+            ]
+            if image is not None:
+                content.insert(1, {"type": "image", "image": image})
+            messages.append([{"role": "user", "content": content}])
+        _, video_inputs, video_kwargs = process_vision_info(messages, return_video_kwargs=True)
+        fps = video_kwargs["fps"][0]
+        return messages, video_inputs, fps
+
+    def __call__(self, video_path, query, query_image, **kwargs):
+        if not (isinstance(video_path, list) and isinstance(query, list)):
+            raise ValueError("video_path and query must be list or str")
+        messages, video_inputs, fps = self.get_batch_messages(video_path, query, query_image)
+        frames = video_inputs[0]
+        frame_shape = (frames.shape[3], frames.shape[2])
+        reqs = self._requests_from_messages(messages)
+        outputs = self._generate_texts(reqs)
+        if self.rt_shape:
+            return outputs, frames, fps, frame_shape
+        return outputs, frames, fps
+
+    def run_images_scorer(self, msgs, images) -> int:
+        """Self-scoring of evidence crops; int 0/1/2 or -1
+        (reference: model_vllm.py:108-122)."""
+        content = []
+        for ele in msgs[-1]["content"] if isinstance(msgs[-1]["content"], list) else []:
+            content.append(ele)
+        text = self.processor.apply_chat_template(msgs, add_generation_prompt=True)
+        proc = self.processor(text, images=list(images) or None)
+        out = self.engine.generate(
+            [Request(input_ids=proc.input_ids, pixel_patches=proc.pixel_patches,
+                     grid_thw=proc.grid_thw, vision_token_id=self.cfg.image_token_id)],
+            self.sampling,
+        )[0]
+        answer = self.processor.decode(out["token_ids"], skip_special_tokens=True).strip()
+        return int(answer) if answer in ("0", "1", "2") else -1
+
+    def inference_wo_process(self, inputs) -> str:
+        """vLLM-style raw inputs: [{"prompt": str, "multi_modal_data":
+        {"image": [...]}}] (reference: model_vllm.py:124-126)."""
+        item = inputs[0]
+        images = item.get("multi_modal_data", {}).get("image")
+        proc = self.processor(item["prompt"], images=images)
+        out = self.engine.generate(
+            [Request(input_ids=proc.input_ids, pixel_patches=proc.pixel_patches,
+                     grid_thw=proc.grid_thw, vision_token_id=self.cfg.image_token_id)],
+            self.sampling,
+        )[0]
+        return self.processor.decode(out["token_ids"], skip_special_tokens=True)

@@ -153,6 +153,15 @@ class Qwen25VLConfig:
                 num_key_value_heads=2,
                 mrope_section=(2, 3, 3),  # sums to head_dim // 2 = 8
             ),
+            # Special ids remapped into the tiny vocab (>= 100 by convention
+            # so tests can draw plain-text tokens below 100).
+            vision_start_token_id=100,
+            vision_end_token_id=101,
+            image_token_id=103,
+            video_token_id=104,
+            bos_token_id=0,
+            eos_token_id=1,
+            pad_token_id=2,
             dtype=dtype,
         )
 

@@ -158,6 +158,7 @@ def forward(
     cache: Optional[dict] = None,
     cache_offset=0,
     seq_positions=None,
+    remat: bool = False,
 ) -> tuple[jnp.ndarray, Optional[dict]]:
     """Full forward -> (logits (B, S, vocab) float32, updated kv cache)."""
     embeds = embed_tokens(params, input_ids)
@@ -174,5 +175,6 @@ def forward(
         cache=cache,
         cache_offset=cache_offset,
         seq_positions=seq_positions,
+        remat=remat,
     )
     return logits_from_hidden(params["text"], hidden), new_cache

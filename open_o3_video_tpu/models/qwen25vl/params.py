@@ -28,14 +28,20 @@ from .config import Qwen25VLConfig
 
 
 def init(cfg: Qwen25VLConfig, seed: int = 0) -> dict:
-    """Random normal(0.02) init, matching the HF initializer scale."""
-    rng = np.random.default_rng(seed)
+    """Random normal(0.02) init, matching the HF initializer scale.
+
+    Weights are generated on-device with jax.random (host numpy generation
+    of the 0.5B-element embedding tables takes minutes; on device it's ms).
+    """
     std = 0.02
     v, t = cfg.vision, cfg.text
     dt = cfg.dtype
+    key = jax.random.PRNGKey(seed)
+    counter = [0]
 
     def w(*shape):
-        return jnp.asarray(rng.normal(0, std, shape), dtype=dt)
+        counter[0] += 1
+        return (std * jax.random.normal(jax.random.fold_in(key, counter[0]), shape)).astype(dt)
 
     def zeros(*shape):
         return jnp.zeros(shape, dtype=dt)

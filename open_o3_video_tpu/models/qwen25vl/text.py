@@ -89,8 +89,12 @@ def text_forward(
     attn_valid: Optional[jnp.ndarray] = None,  # (B, total_len) validity (left padding)
     cache: Optional[dict] = None,
     cache_offset=0,
+    remat: bool = False,
 ) -> tuple[jnp.ndarray, Optional[dict]]:
-    """Returns (hidden_states (B, S, D) after final norm, updated cache)."""
+    """Returns (hidden_states (B, S, D) after final norm, updated cache).
+
+    ``remat=True`` rematerializes each decoder layer on the backward pass
+    (== the reference's gradient_checkpointing, run_sft_video.sh:24)."""
     B, S, _ = inputs_embeds.shape
     if seq_positions is None:
         seq_positions = jnp.arange(S)[None, :].repeat(B, axis=0) + cache_offset
@@ -99,16 +103,23 @@ def text_forward(
     cos = cos.astype(inputs_embeds.dtype)
     sin = sin.astype(inputs_embeds.dtype)
 
-    x = inputs_embeds
-    new_k, new_v = [], []
-    for i, layer in enumerate(params["layers"]):
+    def layer_fn(layer, x, layer_idx):
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
         attn_out, layer_cache = _attention_layer(
-            layer, cfg, h, cos, sin, seq_positions, attn_valid, cache, i, cache_offset
+            layer, cfg, h, cos, sin, seq_positions, attn_valid, cache, layer_idx, cache_offset
         )
         x = x + attn_out
         h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
         x = x + _mlp(layer, h)
+        return x, layer_cache
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,))
+
+    x = inputs_embeds
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        x, layer_cache = layer_fn(layer, x, i)
         if layer_cache is not None:
             new_k.append(layer_cache[0])
             new_v.append(layer_cache[1])

@@ -48,6 +48,12 @@ def causal_attention(
     mask = kv_positions[:, None, :] <= q_positions[:, :, None]  # (B, S, T)
     if kv_mask is not None:
         mask = mask & kv_mask[:, None, :]
+    # Padding queries can end up with zero attendable keys (left padding);
+    # fall back to self-attention so their outputs stay finite instead of
+    # NaN-ing the softmax (their outputs are never read, but NaNs would
+    # otherwise poison later layers through the KV path).
+    self_mask = kv_positions[:, None, :] == q_positions[:, :, None]
+    mask = jnp.where(mask.any(axis=-1, keepdims=True), mask, self_mask)
     mask = mask[:, None, :, :]  # (B, 1, S, T)
 
     if impl == "pallas":

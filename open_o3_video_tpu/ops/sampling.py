@@ -1,0 +1,58 @@
+"""Token sampling: greedy / temperature / top-p, repetition penalty.
+
+Semantics match the engines the reference uses:
+- repetition penalty 1.05 over prompt+generated tokens (vLLM convention,
+  eval/models/model_vllm.py:30): positive logits divided, negative multiplied.
+- top-p nucleus sampling; temperature 0 (or ~0 top_p) degrades to greedy.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def apply_repetition_penalty(
+    logits: jnp.ndarray,  # (B, V)
+    seen_mask: jnp.ndarray,  # (B, V) bool — token appeared in prompt/output
+    penalty: float,
+) -> jnp.ndarray:
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen_mask, penalized, logits)
+
+
+def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Mask logits outside the nucleus: keep the smallest set of tokens whose
+    cumulative probability reaches top_p (the highest-probability token always
+    survives)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cumprobs = jnp.cumsum(sorted_probs, axis=-1)
+    # A sorted position is kept while the mass *before* it is < top_p.
+    keep_sorted = (cumprobs - sorted_probs) < top_p
+    # Threshold logit: smallest kept logit.
+    kept = jnp.where(keep_sorted, sorted_logits, jnp.inf)
+    threshold = jnp.min(kept, axis=-1, keepdims=True)
+    return jnp.where(logits >= threshold, logits, -jnp.inf)
+
+
+def sample_token(
+    rng: jax.Array,
+    logits: jnp.ndarray,  # (B, V) float32
+    *,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    seen_mask: jnp.ndarray | None = None,
+    repetition_penalty: float = 1.0,
+) -> jnp.ndarray:
+    """Sample next token ids (B,). temperature == 0 -> greedy argmax."""
+    if seen_mask is not None and repetition_penalty != 1.0:
+        logits = apply_repetition_penalty(logits, seen_mask, repetition_penalty)
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    if top_p < 1.0:
+        logits = top_p_filter(logits, top_p)
+    return jax.random.categorical(rng, logits, axis=-1)

@@ -1,0 +1,125 @@
+"""Mesh construction and parameter sharding.
+
+The TPU-native replacement for the reference's torchrun+DeepSpeed stack
+(SURVEY.md §2.3-2.4): one ``jax.sharding.Mesh`` with axes
+
+- ``data``:   pure data parallelism (DCN-friendly; maps the reference's
+              8-process DDP, run_grpo_video.sh:11-15)
+- ``fsdp``:   parameter/optimizer sharding == DeepSpeed ZeRO-2/3
+              (local_scripts/zero{2,3}.json)
+- ``tensor``: megatron-style tensor parallelism over ICI (the reference
+              exposes vLLM tensor_parallel_size, model_vllm.py:21)
+
+Sharding rules map param-tree paths to PartitionSpecs; XLA GSPMD inserts the
+collectives (all-gather for ZeRO-3 gathers, psum for grad reduction).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = 1,
+    fsdp: int = -1,
+    tensor: int = 1,
+    devices: Optional[list] = None,
+) -> Mesh:
+    """Build a (data, fsdp, tensor) mesh; fsdp=-1 absorbs remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if fsdp == -1:
+        fsdp = n // (data * tensor)
+    assert data * fsdp * tensor == n, (
+        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(data, fsdp, tensor)
+    return Mesh(arr, axis_names=("data", "fsdp", "tensor"))
+
+
+# Path-pattern -> PartitionSpec. First match wins. Conventions:
+# - 2D weights stored input-major (x @ W).
+# - TP shards the head/ffn dim; FSDP shards the other dim (ZeRO-3 style).
+PARAM_RULES: list[tuple[str, P]] = [
+    # text attention: outputs sharded over tensor
+    (r"text/layers/\d+/(q_w|k_w|v_w)$", P("fsdp", "tensor")),
+    (r"text/layers/\d+/(q_b|k_b|v_b)$", P("tensor")),
+    (r"text/layers/\d+/o_w$", P("tensor", "fsdp")),
+    # text mlp
+    (r"text/layers/\d+/(gate_w|up_w)$", P("fsdp", "tensor")),
+    (r"text/layers/\d+/down_w$", P("tensor", "fsdp")),
+    (r"text/layers/\d+/(input_norm|post_norm)$", P()),
+    (r"text/embed_tokens$", P("tensor", "fsdp")),
+    (r"text/lm_head$", P("fsdp", "tensor")),
+    (r"text/final_norm$", P()),
+    # vision tower: fsdp-shard the big matrices, replicate the rest
+    (r"visual/blocks/\d+/qkv_w$", P("fsdp", "tensor")),
+    (r"visual/blocks/\d+/qkv_b$", P("tensor")),
+    (r"visual/blocks/\d+/proj_w$", P("tensor", "fsdp")),
+    (r"visual/blocks/\d+/(gate_w|up_w)$", P("fsdp", "tensor")),
+    (r"visual/blocks/\d+/(gate_b|up_b)$", P("tensor")),
+    (r"visual/blocks/\d+/down_w$", P("tensor", "fsdp")),
+    (r"visual/patch_embed$", P(None, "fsdp")),
+    (r"visual/merger/fc1_w$", P("fsdp", "tensor")),
+    (r"visual/merger/fc1_b$", P("tensor")),
+    (r"visual/merger/fc2_w$", P("tensor", "fsdp")),
+    (r".*", P()),  # norms, small biases: replicated
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_sharding_rules(params, mesh: Mesh, rules=None):
+    """PartitionSpec tree matching ``params``' structure."""
+    rules = rules if rules is not None else PARAM_RULES
+
+    def spec_for(path, leaf):
+        s = _path_str(path)
+        for pattern, spec in rules:
+            if re.search(pattern, s):
+                # Drop sharding on axes that don't divide evenly (tiny configs).
+                dims = []
+                for axis_idx, axis in enumerate(spec):
+                    if axis is None:
+                        dims.append(None)
+                        continue
+                    size = mesh.shape[axis]
+                    if axis_idx < leaf.ndim and leaf.shape[axis_idx] % size == 0:
+                        dims.append(axis)
+                    else:
+                        dims.append(None)
+                return P(*dims)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(params, mesh: Mesh, rules=None):
+    """Place the param tree on the mesh according to the rules."""
+    specs = param_sharding_rules(params, mesh, rules)
+    return jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        params,
+        specs,
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree
+    )

@@ -1,0 +1,126 @@
+"""SFT trainer: cross-entropy on <think>/<answer> targets.
+
+The TPU-native equivalent of MySFTTrainer + DeepSpeed ZeRO-2
+(sft_multi_task.py:402-499, run_sft_video.sh): optax AdamW with the
+reference hyperparameters (lr 1e-6, bf16, grad checkpointing, 1 sample per
+data-parallel replica), FSDP param/optimizer sharding on the mesh, masked
+labels (pad + visual tokens -> -100, sft_multi_task.py:387-398).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.qwen25vl import Qwen25VLConfig, forward
+
+IGNORE_INDEX = -100
+
+
+@dataclasses.dataclass
+class SFTConfig:
+    """Defaults mirror run_sft_video.sh:13-35."""
+
+    learning_rate: float = 1e-6
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    max_grad_norm: float = 1.0
+    warmup_steps: int = 0
+    total_steps: int = 10000
+    lr_schedule: str = "constant"  # reference uses constant lr for SFT
+    gradient_checkpointing: bool = True
+    save_steps: int = 500
+    logging_steps: int = 1
+
+
+def make_optimizer(cfg: SFTConfig) -> optax.GradientTransformation:
+    if cfg.lr_schedule == "cosine":
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.warmup_steps, cfg.total_steps
+        )
+    else:
+        schedule = optax.linear_schedule(
+            cfg.learning_rate, cfg.learning_rate, 1
+        ) if cfg.warmup_steps == 0 else optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
+             optax.constant_schedule(cfg.learning_rate)],
+            [cfg.warmup_steps],
+        )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(schedule, b1=cfg.adam_b1, b2=cfg.adam_b2, weight_decay=cfg.weight_decay),
+    )
+
+
+def sft_loss(
+    params: dict,
+    model_cfg: Qwen25VLConfig,
+    batch: dict[str, Any],
+    *,
+    remat: bool = True,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """Next-token CE over positions whose label != IGNORE_INDEX."""
+    logits, _ = forward(
+        params,
+        model_cfg,
+        batch["input_ids"],
+        batch["position_ids"],
+        pixel_patches=batch.get("pixel_patches"),
+        grid_thw=batch.get("grid_thw"),
+        vision_token_id=batch.get("vision_token_id"),
+        attn_valid=batch.get("attn_valid"),
+        remat=remat,
+    )
+    labels = batch["labels"]
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(valid.sum(), 1)
+    loss = jnp.where(valid, nll, 0.0).sum() / denom
+    return loss, {"loss": loss, "num_target_tokens": valid.sum()}
+
+
+def make_train_step(model_cfg: Qwen25VLConfig, train_cfg: SFTConfig, optimizer):
+    """Jitted (params, opt_state, batch) -> (params, opt_state, metrics).
+
+    Under a mesh, params/opt_state arrive sharded (fsdp/tensor) and batch
+    arrives sharded on the data axis; XLA GSPMD inserts the gradient psum
+    (== the reference's NCCL all-reduce, SURVEY.md §5.8).
+    """
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: sft_loss(p, model_cfg, batch, remat=train_cfg.gradient_checkpointing),
+            has_aux=True,
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, {**aux, "grad_norm": gnorm}
+
+    return train_step
+
+
+def mask_labels(
+    input_ids: np.ndarray,
+    pad_token_id: int,
+    visual_token_ids: tuple[int, ...],
+) -> np.ndarray:
+    """labels = input_ids with pad + visual tokens ignored
+    (reference: sft_multi_task.py:387-398; visual ids 151652/151653/151656)."""
+    labels = input_ids.copy()
+    labels[labels == pad_token_id] = IGNORE_INDEX
+    for tok in visual_token_ids:
+        labels[labels == tok] = IGNORE_INDEX
+    return labels

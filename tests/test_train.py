@@ -1,0 +1,159 @@
+"""Trainer tests: SFT learnability, GSPO math + end-to-end step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, get_rope_index, params as P
+from open_o3_video_tpu.train import gspo as G
+from open_o3_video_tpu.train import sft as S
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = Qwen25VLConfig.tiny()
+    return cfg, P.init(cfg, seed=0)
+
+
+class TestSFT:
+    def test_loss_decreases(self, tiny):
+        cfg, params = tiny
+        rng = np.random.default_rng(0)
+        ids = rng.integers(5, 400, size=(2, 16))
+        labels = ids.copy()
+        labels[:, :8] = S.IGNORE_INDEX  # prompt part masked
+        pos, _ = get_rope_index(cfg, ids)
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "labels": jnp.asarray(labels),
+            "position_ids": jnp.asarray(pos),
+        }
+        tcfg = S.SFTConfig(learning_rate=5e-3, gradient_checkpointing=True)
+        opt = S.make_optimizer(tcfg)
+        opt_state = opt.init(params)
+        step = S.make_train_step(cfg, tcfg, opt)
+        p = params
+        losses = []
+        for _ in range(5):
+            p, opt_state, m = step(p, opt_state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], losses
+
+    def test_mask_labels(self):
+        ids = np.array([[1, 151652, 151656, 151653, 7, 0]])
+        labels = S.mask_labels(ids, pad_token_id=0, visual_token_ids=(151652, 151653, 151656))
+        assert labels.tolist() == [[1, -100, -100, -100, 7, -100]]
+
+    def test_loss_ignores_masked(self, tiny):
+        cfg, params = tiny
+        ids = np.array([[5, 6, 7, 8]])
+        pos, _ = get_rope_index(cfg, ids)
+        all_masked = {
+            "input_ids": jnp.asarray(ids),
+            "labels": jnp.full_like(jnp.asarray(ids), S.IGNORE_INDEX),
+            "position_ids": jnp.asarray(pos),
+        }
+        loss, aux = S.sft_loss(params, cfg, all_masked, remat=False)
+        assert float(loss) == 0.0
+        assert int(aux["num_target_tokens"]) == 0
+
+
+class TestGSPOMath:
+    def test_group_advantages_bessel(self):
+        torch = pytest.importorskip("torch")
+        rewards = np.array([1.0, 2.0, 3.0, 4.0, 0.0, 0.0, 1.0, 3.0], dtype=np.float32)
+        ours = G.group_advantages(rewards, 4)
+        r = torch.tensor(rewards).view(-1, 4)
+        mean = r.mean(dim=1).repeat_interleave(4)
+        std = r.std(dim=1).repeat_interleave(4)
+        theirs = ((torch.tensor(rewards) - mean) / (std + 1e-4)).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+    def test_completion_mask_after_eos(self):
+        eos = 99
+        ids = np.array([
+            [5, 6, 99, 7, 8],   # eos at 2 -> mask through index 2
+            [5, 6, 7, 8, 9],    # no eos -> all ones
+        ])
+        mask = G.completion_mask_after_eos(ids, eos)
+        assert mask.tolist() == [[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]]
+
+    def test_gspo_loss_direction(self, tiny):
+        """Positive-advantage completions should gain probability."""
+        cfg, params = tiny
+        import optax
+
+        rng = np.random.default_rng(1)
+        Lp, Lc, Gn = 6, 4, 2
+        prompt = rng.integers(5, 400, size=Lp)
+        comps = rng.integers(5, 400, size=(Gn, Lc))
+        ids = np.concatenate([np.tile(prompt, (Gn, 1)), comps], axis=1)
+        attn_valid = np.ones_like(ids, dtype=bool)
+        comp_mask = np.ones((Gn, Lc), dtype=np.int32)
+        pos, _ = get_rope_index(cfg, ids)
+        adv = np.array([2.0, -2.0], dtype=np.float32)
+
+        gcfg = G.GSPOConfig(beta=0.0)
+        build = G.make_logps_fn(cfg)
+        logps_fn = build(None, None)
+        ref_logps = logps_fn(params, jnp.asarray(ids), jnp.asarray(pos), None,
+                             jnp.asarray(attn_valid))[:, Lp - 1:]
+
+        def loss_fn(p):
+            loss, _ = G.gspo_loss(
+                p, cfg, gcfg, jnp.asarray(ids), jnp.asarray(pos),
+                jnp.asarray(attn_valid), jnp.asarray(comp_mask), Lp,
+                ref_logps, jnp.asarray(adv),
+            )
+            return loss
+
+        grads = jax.grad(loss_fn)(params)
+        opt = optax.sgd(1e-2)
+        updates, _ = opt.update(grads, opt.init(params))
+        new_params = optax.apply_updates(params, updates)
+
+        before = np.asarray(logps_fn(params, jnp.asarray(ids), jnp.asarray(pos), None,
+                                     jnp.asarray(attn_valid))[:, Lp - 1:])
+        after = np.asarray(logps_fn(new_params, jnp.asarray(ids), jnp.asarray(pos), None,
+                                    jnp.asarray(attn_valid))[:, Lp - 1:])
+        # row 0 (adv +2): completion logp up; row 1 (adv -2): down
+        assert after[0].sum() > before[0].sum()
+        assert after[1].sum() < before[1].sum()
+
+
+class TestGSPOTrainerStep:
+    def test_full_step_runs_and_updates(self, tiny):
+        cfg, params = tiny
+        ref_params = jax.tree.map(lambda x: x.copy(), params)
+
+        def detok(ids):
+            # Produce a trace with valid tags so rewards exercise real paths.
+            return "<think>I see it at <t>3.0</t>s</think><answer>a red ball</answer>"
+
+        trainer = G.GSPOTrainer(
+            params, ref_params, cfg,
+            G.GSPOConfig(num_generations=4, max_completion_length=8, max_prompt_length=64),
+            detokenize=detok,
+        )
+        sample = {
+            "input_ids": [5, 6, 7, 8, 9, 10],
+            "reward_kwargs": {
+                "task": "temporal-spatial free-form QA",
+                "answer": "a red ball",
+                "key_frames": [{"time": 3.0, "idx": 0}],
+                "key_items": {"0": {"ball": [[0.1, 0.1, 0.4, 0.4]]}},
+                "image_size": (100, 100),
+                "image_size_refine": (100, 100),
+            },
+        }
+        before = np.asarray(trainer.params["text"]["layers"][0]["q_w"])
+        m = trainer.step(sample, global_step=0, max_steps=10)
+        after = np.asarray(trainer.params["text"]["layers"][0]["q_w"])
+        assert np.isfinite(m["loss"])
+        assert m["reward"] > 0  # format+acc+temporal rewards fire on the canned trace
+        assert m["completion_length"] > 0
+        # With identical completions the group advantage is 0, so policy
+        # gradients vanish; KL term still produces a (possibly tiny) update.
+        assert "kl" in m and np.isfinite(m["kl"])
