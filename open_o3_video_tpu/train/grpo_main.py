@@ -1,0 +1,133 @@
+"""GSPO RL entry point (reference contract: grpo.py + run_grpo_video.sh flags).
+
+Usage:
+  python -m open_o3_video_tpu.train.grpo_main \
+      --model_name_or_path ./checkpoints/sft \
+      --dataset_name /path/STGR-RL-36k.json \
+      --data_root /path/data \
+      --output_dir ./checkpoints/gspo \
+      --max_prompt_length 16384 --max_completion_length 768 \
+      --num_generations 4 --beta 0.04 --max_grad_norm 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="GSPO RL training")
+    p.add_argument("--model_name_or_path", required=True)
+    p.add_argument("--dataset_name", required=True, help="STGR-RL json/jsonl")
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument(
+        "--reward_funcs",
+        nargs="+",
+        default=["ans_acc", "ans_tiou", "ans_viou", "thk_temporal_point",
+                 "thk_temporal_segment", "thk_spatial", "format"],
+    )
+    p.add_argument("--max_prompt_length", type=int, default=16384)
+    p.add_argument("--max_completion_length", type=int, default=768)
+    p.add_argument("--num_generations", type=int, default=4)
+    p.add_argument("--beta", type=float, default=0.04)
+    p.add_argument("--learning_rate", type=float, default=1e-6)
+    p.add_argument("--max_grad_norm", type=float, default=5.0)
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--num_train_epochs", type=float, default=1.0)
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--logging_steps", type=int, default=1)
+    p.add_argument("--max_pixels", type=int, default=12845056)
+    p.add_argument("--min_pixels", type=int, default=3136)
+    p.add_argument("--temporal", type=bool, default=True)
+    p.add_argument("--len_control", type=bool, default=True)
+    p.add_argument("--gspo", type=lambda s: s.lower() != "false", default=True)
+    p.add_argument("--nframes", type=int, default=None)
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_fsdp", type=int, default=-1)
+    p.add_argument("--mesh_tensor", type=int, default=1)
+    p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--report_to", default="none")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    os.environ.setdefault("WANDB_MODE", "offline")
+    os.environ.setdefault("DECORD_EOF_RETRY_MAX", "20480")
+
+    import jax
+
+    from ..data.processor import O3VideoProcessor
+    from ..data.rl_dataset import load_rl_dataset, prepare_rl_sample
+    from ..grounding.rewards import REWARD_REGISTRY
+    from ..models.qwen25vl import params as P
+    from ..parallel import make_mesh
+    from ..utils.metrics import MetricsBus
+    from . import checkpoint as CKPT
+    from .gspo import GSPOConfig, GSPOTrainer
+
+    params, model_cfg = P.load_pretrained(args.model_name_or_path)
+    # Frozen reference model: a second full copy, matching the reference's
+    # ZeRO-3 ref-model instantiation (grpo_trainer.py:234-243).
+    ref_params, _ = P.load_pretrained(args.model_name_or_path)
+    processor = O3VideoProcessor.from_pretrained(args.model_name_or_path)
+
+    dataset = load_rl_dataset(args.dataset_name)
+    total_steps = args.max_steps if args.max_steps > 0 else int(len(dataset) * args.num_train_epochs)
+
+    reward_funcs = [REWARD_REGISTRY[name] for name in args.reward_funcs]
+    cfg = GSPOConfig(
+        num_generations=args.num_generations,
+        max_prompt_length=args.max_prompt_length,
+        max_completion_length=args.max_completion_length,
+        beta=args.beta,
+        learning_rate=args.learning_rate,
+        max_grad_norm=args.max_grad_norm,
+        gspo=args.gspo,
+        logging_steps=args.logging_steps,
+    )
+
+    mesh = None
+    if len(jax.devices()) > 1 or args.mesh_tensor > 1 or args.mesh_fsdp > 1:
+        mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor)
+
+    metrics = MetricsBus(use_wandb=args.report_to == "wandb")
+    trainer = GSPOTrainer(
+        params, ref_params, model_cfg, cfg,
+        detokenize=lambda ids: processor.decode(ids, skip_special_tokens=True),
+        reward_funcs=reward_funcs,
+        mesh=mesh,
+        metrics=metrics,
+        seed=args.seed,
+    )
+
+    start_step = 0
+    if args.resume_from_checkpoint:
+        state, start_step = CKPT.restore_checkpoint(args.resume_from_checkpoint)
+        trainer.params, trainer.opt_state = state["params"], state["opt_state"]
+        print(f"Resumed from step {start_step}")
+
+    step = start_step
+    while step < total_steps:
+        example = dataset[step % len(dataset)]
+        sample = prepare_rl_sample(example, processor, args.data_root, nframes=args.nframes)
+        trainer.step(sample, global_step=step, max_steps=total_steps)
+        step += 1
+        if step % cfg.logging_steps == 0:
+            metrics.flush(step)
+        if step % args.save_steps == 0:
+            CKPT.save_checkpoint(
+                args.output_dir, step,
+                {"params": trainer.params, "opt_state": trainer.opt_state},
+            )
+
+    CKPT.save_checkpoint(args.output_dir, step, {"params": trainer.params, "opt_state": trainer.opt_state})
+    CKPT.export_safetensors(trainer.params, model_cfg, args.output_dir)
+    print(f"GSPO complete: {step} steps -> {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""SFT entry point (reference contract: sft_multi_task.py __main__ +
+run_sft_video.sh flags).
+
+Usage:
+  python -m open_o3_video_tpu.train.sft_main \
+      --model_name_or_path /path/Qwen2.5-VL-7B-Instruct \
+      --dataset_name /path/STGR-CoT-30k.json \
+      --data_root /path/data \
+      --output_dir ./checkpoints/sft \
+      --learning_rate 1e-6 --num_train_epochs 1 --save_steps 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="SFT cold-start training")
+    p.add_argument("--model_name_or_path", required=True)
+    p.add_argument("--dataset_name", required=True, help="STGR-CoT json/jsonl")
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--learning_rate", type=float, default=1e-6)
+    p.add_argument("--num_train_epochs", type=float, default=1.0)
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--logging_steps", type=int, default=1)
+    p.add_argument("--gradient_checkpointing", action="store_true", default=True)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--nframes", type=int, default=None)
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_fsdp", type=int, default=-1)
+    p.add_argument("--mesh_tensor", type=int, default=1)
+    p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--report_to", default="none")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    os.environ.setdefault("WANDB_MODE", "offline")
+
+    import jax.numpy as jnp
+    from tqdm import tqdm
+
+    from ..data.processor import O3VideoProcessor
+    from ..data.sft_dataset import collate_sft, load_sft_dataset, prepare_sft_example
+    from ..models.qwen25vl import Qwen25VLConfig
+    from ..models.qwen25vl import params as P
+    from ..parallel import make_mesh, shard_params
+    from ..utils.metrics import MetricsBus
+    from . import checkpoint as CKPT
+    from .sft import SFTConfig, make_optimizer, make_train_step
+
+    params, model_cfg = P.load_pretrained(args.model_name_or_path)
+    processor = O3VideoProcessor.from_pretrained(args.model_name_or_path)
+
+    raw = load_sft_dataset(args.dataset_name)
+    prepared = [prepare_sft_example(ex, args.data_root) for ex in tqdm(raw, desc="Preparing dataset")]
+
+    total_steps = args.max_steps if args.max_steps > 0 else int(len(prepared) * args.num_train_epochs)
+    train_cfg = SFTConfig(
+        learning_rate=args.learning_rate,
+        max_grad_norm=args.max_grad_norm,
+        gradient_checkpointing=args.gradient_checkpointing,
+        save_steps=args.save_steps,
+        logging_steps=args.logging_steps,
+        total_steps=total_steps,
+    )
+    optimizer = make_optimizer(train_cfg)
+
+    mesh = None
+    import jax
+
+    if len(jax.devices()) > 1 or args.mesh_tensor > 1 or args.mesh_fsdp > 1:
+        mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor)
+        params = shard_params(params, mesh)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(model_cfg, train_cfg, optimizer)
+
+    start_step = 0
+    if args.resume_from_checkpoint:
+        state, start_step = CKPT.restore_checkpoint(args.resume_from_checkpoint)
+        params, opt_state = state["params"], state["opt_state"]
+        print(f"Resumed from step {start_step}")
+
+    metrics = MetricsBus(use_wandb=args.report_to == "wandb")
+    step = start_step
+    epoch = 0
+    import jax.numpy as jnp  # noqa: F811
+
+    while step < total_steps:
+        for ex in prepared:
+            if step >= total_steps:
+                break
+            batch = collate_sft(ex, processor, model_cfg, args.data_root, nframes=args.nframes)
+            batch = {k: jnp.asarray(v) if v is not None and k != "grid_thw" and k != "vision_token_id" else v
+                     for k, v in batch.items()}
+            params, opt_state, m = train_step(params, opt_state, batch)
+            metrics.push(loss=float(m["loss"]), grad_norm=float(m["grad_norm"]))
+            step += 1
+            if step % train_cfg.logging_steps == 0:
+                metrics.flush(step, extra={"epoch": epoch})
+            if step % train_cfg.save_steps == 0:
+                CKPT.save_checkpoint(args.output_dir, step, {"params": params, "opt_state": opt_state})
+        epoch += 1
+
+    CKPT.save_checkpoint(args.output_dir, step, {"params": params, "opt_state": opt_state})
+    CKPT.export_safetensors(params, model_cfg, args.output_dir)
+    print(f"SFT complete: {step} steps -> {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()
