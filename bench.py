@@ -5,10 +5,14 @@ video decoded, sampled to 16 frames, smart-resized under the training pixel
 budget, patchified, prefilled through the Qwen2.5-VL vision tower + decoder,
 and decoded for 128 tokens — i.e. frames -> grounded answer.
 
-Model: Qwen2.5-VL architecture at full 7B feature dims (3584 hidden, GQA
-28/4, full ViT) with reduced decoder depth so a bf16 random-init instance +
-KV cache fit a single v5e chip's 16 GB HBM; per-layer decode cost is
-identical to the 7B, so tok/s/layer extrapolates. Prints ONE JSON line.
+Model: the FULL Qwen2.5-VL-7B architecture (28 decoder layers, 32 ViT
+blocks, 3584 hidden, GQA 28/4) with int8 weight-only quantization of the
+decoder matmuls (ops/quant.py) so the model + KV cache fit a single v5e
+chip's 16 GB HBM — and decode HBM traffic halves. Attention runs the Pallas
+flash kernel (ops/flash_attention.py). Prints ONE JSON line.
+
+Env knobs: BENCH_TEXT_LAYERS, BENCH_QUANT=0 to disable int8,
+BENCH_DECODE_TOKENS, BENCH_VIDEOS, BENCH_VIDEO.
 """
 
 import json
@@ -21,8 +25,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-TEXT_LAYERS = int(os.environ.get("BENCH_TEXT_LAYERS", "16"))
+TEXT_LAYERS = int(os.environ.get("BENCH_TEXT_LAYERS", "28"))
 VISION_LAYERS = int(os.environ.get("BENCH_VISION_LAYERS", "32"))
+QUANT = os.environ.get("BENCH_QUANT", "1") != "0"
 DECODE_TOKENS = int(os.environ.get("BENCH_DECODE_TOKENS", "128"))
 N_VIDEOS = int(os.environ.get("BENCH_VIDEOS", "4"))
 VIDEO = os.environ.get(
@@ -34,6 +39,11 @@ def main():
     import dataclasses
 
     import jax
+
+    # Persistent compilation cache: the 28L engine compile is ~12 min cold
+    # through the remote tunnel; warm runs skip it entirely.
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     import jax.numpy as jnp
 
     from open_o3_video_tpu.data import fetch_video
@@ -55,8 +65,14 @@ def main():
         dtype=jnp.bfloat16,
     )
     t0 = time.time()
-    params = P.init(cfg, seed=0)
+    # quantize_text streams each layer to int8 at init so a full-size bf16
+    # copy never exists on-chip (28L bf16 alone would OOM a 16 GB v5e).
+    params = P.init(cfg, seed=0, quantize_text=QUANT)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    if QUANT:
+        from open_o3_video_tpu.ops.quant import param_bytes
+
+        print(f"int8 weights: {param_bytes(params) / 1e9:.2f} GB on-chip", file=sys.stderr)
 
     # ---- host pipeline: decode + sample + resize + patchify (training budget)
     t_host0 = time.time()
@@ -116,7 +132,10 @@ def main():
     result = {
         "metric": "e2e_videos_per_sec_per_chip",
         "value": round(videos_per_sec, 4),
-        "unit": f"videos/s (16f->{int(np.mean(decode_counts))}tok, {TEXT_LAYERS}L@7Bdims, {n_params/1e9:.2f}B params)",
+        "unit": (
+            f"videos/s (16f->{int(np.mean(decode_counts))}tok, {TEXT_LAYERS}L@7Bdims, "
+            f"{n_params/1e9:.2f}B params{', int8' if QUANT else ''})"
+        ),
         "vs_baseline": 0.0,
         "detail": {
             "e2e_sec_per_video": round(e2e, 3),

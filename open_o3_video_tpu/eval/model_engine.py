@@ -140,9 +140,6 @@ class QwenVLEngine:
     def run_images_scorer(self, msgs, images) -> int:
         """Self-scoring of evidence crops; int 0/1/2 or -1
         (reference: model_vllm.py:108-122)."""
-        content = []
-        for ele in msgs[-1]["content"] if isinstance(msgs[-1]["content"], list) else []:
-            content.append(ele)
         text = self.processor.apply_chat_template(msgs, add_generation_prompt=True)
         proc = self.processor(text, images=list(images) or None)
         out = self.engine.generate(

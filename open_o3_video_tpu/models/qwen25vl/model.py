@@ -159,6 +159,7 @@ def forward(
     cache_offset=0,
     seq_positions=None,
     remat: bool = False,
+    attn_impl: Optional[str] = None,
 ) -> tuple[jnp.ndarray, Optional[dict]]:
     """Full forward -> (logits (B, S, vocab) float32, updated kv cache)."""
     embeds = embed_tokens(params, input_ids)
@@ -176,5 +177,6 @@ def forward(
         cache_offset=cache_offset,
         seq_positions=seq_positions,
         remat=remat,
+        attn_impl=attn_impl,
     )
     return logits_from_hidden(params["text"], hidden), new_cache

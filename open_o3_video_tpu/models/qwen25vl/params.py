@@ -27,11 +27,15 @@ import numpy as np
 from .config import Qwen25VLConfig
 
 
-def init(cfg: Qwen25VLConfig, seed: int = 0) -> dict:
+def init(cfg: Qwen25VLConfig, seed: int = 0, quantize_text: bool = False) -> dict:
     """Random normal(0.02) init, matching the HF initializer scale.
 
     Weights are generated on-device with jax.random (host numpy generation
     of the 0.5B-element embedding tables takes minutes; on device it's ms).
+
+    ``quantize_text=True`` int8-quantizes each decoder layer *as it is
+    built*, so a full 7B never materializes in bf16 — required to stand up
+    the 28-layer model on a single 16 GB chip.
     """
     std = 0.02
     v, t = cfg.vision, cfg.text
@@ -42,6 +46,15 @@ def init(cfg: Qwen25VLConfig, seed: int = 0) -> dict:
     def w(*shape):
         counter[0] += 1
         return (std * jax.random.normal(jax.random.fold_in(key, counter[0]), shape)).astype(dt)
+
+    def maybe_q(leaf):
+        if not quantize_text:
+            return leaf
+        from ...ops.quant import quantize_weight
+
+        out = quantize_weight(leaf)
+        leaf.delete()
+        return out
 
     def zeros(*shape):
         return jnp.zeros(shape, dtype=dt)
@@ -76,27 +89,29 @@ def init(cfg: Qwen25VLConfig, seed: int = 0) -> dict:
             "fc2_b": zeros(v.out_hidden_size),
         },
     }
-    text = {
-        "embed_tokens": w(t.vocab_size, t.hidden_size),
-        "layers": [
+    layers = []
+    for _ in range(t.num_hidden_layers):
+        layers.append(
             {
                 "input_norm": ones(t.hidden_size),
-                "q_w": w(t.hidden_size, t.num_attention_heads * t.head_dim),
+                "q_w": maybe_q(w(t.hidden_size, t.num_attention_heads * t.head_dim)),
                 "q_b": zeros(t.num_attention_heads * t.head_dim),
-                "k_w": w(t.hidden_size, t.num_key_value_heads * t.head_dim),
+                "k_w": maybe_q(w(t.hidden_size, t.num_key_value_heads * t.head_dim)),
                 "k_b": zeros(t.num_key_value_heads * t.head_dim),
-                "v_w": w(t.hidden_size, t.num_key_value_heads * t.head_dim),
+                "v_w": maybe_q(w(t.hidden_size, t.num_key_value_heads * t.head_dim)),
                 "v_b": zeros(t.num_key_value_heads * t.head_dim),
-                "o_w": w(t.num_attention_heads * t.head_dim, t.hidden_size),
+                "o_w": maybe_q(w(t.num_attention_heads * t.head_dim, t.hidden_size)),
                 "post_norm": ones(t.hidden_size),
-                "gate_w": w(t.hidden_size, t.intermediate_size),
-                "up_w": w(t.hidden_size, t.intermediate_size),
-                "down_w": w(t.intermediate_size, t.hidden_size),
+                "gate_w": maybe_q(w(t.hidden_size, t.intermediate_size)),
+                "up_w": maybe_q(w(t.hidden_size, t.intermediate_size)),
+                "down_w": maybe_q(w(t.intermediate_size, t.hidden_size)),
             }
-            for _ in range(t.num_hidden_layers)
-        ],
+        )
+    text = {
+        "embed_tokens": w(t.vocab_size, t.hidden_size),
+        "layers": layers,
         "final_norm": ones(t.hidden_size),
-        "lm_head": w(t.hidden_size, t.vocab_size),
+        "lm_head": maybe_q(w(t.hidden_size, t.vocab_size)),
     }
     return {"visual": visual, "text": text}
 
@@ -291,31 +306,36 @@ def save_safetensors(params: dict, cfg: Qwen25VLConfig, out_path: str):
     flat: dict[str, np.ndarray] = {}
 
     def to_np(x):
-        return np.asarray(jax.device_get(x), dtype=np.float32)
+        return np.ascontiguousarray(np.asarray(jax.device_get(x), dtype=np.float32))
+
+    def to_np_t(x):
+        # safetensors serializes the raw buffer; transposed views must be
+        # materialized or the transpose is silently lost.
+        return np.ascontiguousarray(to_np(x).T)
 
     t = params["text"]
     flat["model.embed_tokens.weight"] = to_np(t["embed_tokens"])
     flat["model.norm.weight"] = to_np(t["final_norm"])
-    flat["lm_head.weight"] = to_np(t["lm_head"]).T
+    flat["lm_head.weight"] = to_np_t(t["lm_head"])
     for i, layer in enumerate(t["layers"]):
         p = f"model.layers.{i}."
         flat[p + "input_layernorm.weight"] = to_np(layer["input_norm"])
         flat[p + "post_attention_layernorm.weight"] = to_np(layer["post_norm"])
-        flat[p + "self_attn.q_proj.weight"] = to_np(layer["q_w"]).T
+        flat[p + "self_attn.q_proj.weight"] = to_np_t(layer["q_w"])
         flat[p + "self_attn.q_proj.bias"] = to_np(layer["q_b"])
-        flat[p + "self_attn.k_proj.weight"] = to_np(layer["k_w"]).T
+        flat[p + "self_attn.k_proj.weight"] = to_np_t(layer["k_w"])
         flat[p + "self_attn.k_proj.bias"] = to_np(layer["k_b"])
-        flat[p + "self_attn.v_proj.weight"] = to_np(layer["v_w"]).T
+        flat[p + "self_attn.v_proj.weight"] = to_np_t(layer["v_w"])
         flat[p + "self_attn.v_proj.bias"] = to_np(layer["v_b"])
-        flat[p + "self_attn.o_proj.weight"] = to_np(layer["o_w"]).T
-        flat[p + "mlp.gate_proj.weight"] = to_np(layer["gate_w"]).T
-        flat[p + "mlp.up_proj.weight"] = to_np(layer["up_w"]).T
-        flat[p + "mlp.down_proj.weight"] = to_np(layer["down_w"]).T
+        flat[p + "self_attn.o_proj.weight"] = to_np_t(layer["o_w"])
+        flat[p + "mlp.gate_proj.weight"] = to_np_t(layer["gate_w"])
+        flat[p + "mlp.up_proj.weight"] = to_np_t(layer["up_w"])
+        flat[p + "mlp.down_proj.weight"] = to_np_t(layer["down_w"])
 
     vis = params["visual"]
     v = cfg.vision
     flat["visual.patch_embed.proj.weight"] = (
-        to_np(vis["patch_embed"]).T.reshape(
+        to_np_t(vis["patch_embed"]).reshape(
             v.hidden_size, v.in_channels, v.temporal_patch_size, v.patch_size, v.patch_size
         )
     )
@@ -323,20 +343,20 @@ def save_safetensors(params: dict, cfg: Qwen25VLConfig, out_path: str):
         p = f"visual.blocks.{i}."
         flat[p + "norm1.weight"] = to_np(b["norm1"])
         flat[p + "norm2.weight"] = to_np(b["norm2"])
-        flat[p + "attn.qkv.weight"] = to_np(b["qkv_w"]).T
+        flat[p + "attn.qkv.weight"] = to_np_t(b["qkv_w"])
         flat[p + "attn.qkv.bias"] = to_np(b["qkv_b"])
-        flat[p + "attn.proj.weight"] = to_np(b["proj_w"]).T
+        flat[p + "attn.proj.weight"] = to_np_t(b["proj_w"])
         flat[p + "attn.proj.bias"] = to_np(b["proj_b"])
-        flat[p + "mlp.gate_proj.weight"] = to_np(b["gate_w"]).T
+        flat[p + "mlp.gate_proj.weight"] = to_np_t(b["gate_w"])
         flat[p + "mlp.gate_proj.bias"] = to_np(b["gate_b"])
-        flat[p + "mlp.up_proj.weight"] = to_np(b["up_w"]).T
+        flat[p + "mlp.up_proj.weight"] = to_np_t(b["up_w"])
         flat[p + "mlp.up_proj.bias"] = to_np(b["up_b"])
-        flat[p + "mlp.down_proj.weight"] = to_np(b["down_w"]).T
+        flat[p + "mlp.down_proj.weight"] = to_np_t(b["down_w"])
         flat[p + "mlp.down_proj.bias"] = to_np(b["down_b"])
     m = vis["merger"]
     flat["visual.merger.ln_q.weight"] = to_np(m["ln_q"])
-    flat["visual.merger.mlp.0.weight"] = to_np(m["fc1_w"]).T
+    flat["visual.merger.mlp.0.weight"] = to_np_t(m["fc1_w"])
     flat["visual.merger.mlp.0.bias"] = to_np(m["fc1_b"])
-    flat["visual.merger.mlp.2.weight"] = to_np(m["fc2_w"]).T
+    flat["visual.merger.mlp.2.weight"] = to_np_t(m["fc2_w"])
     flat["visual.merger.mlp.2.bias"] = to_np(m["fc2_b"])
     save_file(flat, out_path)

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import causal_attention
+from ...ops.quant import dense
 from ...ops.rope import apply_mrope, mrope_cos_sin
 from .config import TextConfig
 from .vision import rms_norm
@@ -38,11 +39,12 @@ def _attention_layer(
     cache: Optional[dict],
     layer_idx: int,
     cache_offset,
+    attn_impl: Optional[str] = None,
 ):
     B, S, _ = x.shape
-    q = (x @ p["q_w"] + p["q_b"]).reshape(B, S, cfg.num_attention_heads, cfg.head_dim)
-    k = (x @ p["k_w"] + p["k_b"]).reshape(B, S, cfg.num_key_value_heads, cfg.head_dim)
-    v = (x @ p["v_w"] + p["v_b"]).reshape(B, S, cfg.num_key_value_heads, cfg.head_dim)
+    q = (dense(x, p["q_w"]) + p["q_b"]).reshape(B, S, cfg.num_attention_heads, cfg.head_dim)
+    k = (dense(x, p["k_w"]) + p["k_b"]).reshape(B, S, cfg.num_key_value_heads, cfg.head_dim)
+    v = (dense(x, p["v_w"]) + p["v_b"]).reshape(B, S, cfg.num_key_value_heads, cfg.head_dim)
     q, k = apply_mrope(q, k, cos, sin)
 
     if cache is not None:
@@ -64,19 +66,21 @@ def _attention_layer(
             q_positions=seq_positions,
             kv_positions=kv_positions,
             kv_mask=full_kv_mask,
+            impl=attn_impl,
         )
     else:
         new_cache = None
         out = causal_attention(
-            q, k, v, q_positions=seq_positions, kv_positions=seq_positions, kv_mask=kv_mask
+            q, k, v, q_positions=seq_positions, kv_positions=seq_positions,
+            kv_mask=kv_mask, impl=attn_impl,
         )
 
     out = out.reshape(B, S, cfg.num_attention_heads * cfg.head_dim)
-    return out @ p["o_w"], new_cache
+    return dense(out, p["o_w"]), new_cache
 
 
 def _mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return (jax.nn.silu(x @ p["gate_w"]) * (x @ p["up_w"])) @ p["down_w"]
+    return dense(jax.nn.silu(dense(x, p["gate_w"])) * dense(x, p["up_w"]), p["down_w"])
 
 
 def text_forward(
@@ -90,11 +94,16 @@ def text_forward(
     cache: Optional[dict] = None,
     cache_offset=0,
     remat: bool = False,
+    attn_impl: Optional[str] = None,
 ) -> tuple[jnp.ndarray, Optional[dict]]:
     """Returns (hidden_states (B, S, D) after final norm, updated cache).
 
     ``remat=True`` rematerializes each decoder layer on the backward pass
-    (== the reference's gradient_checkpointing, run_sft_video.sh:24)."""
+    (== the reference's gradient_checkpointing, run_sft_video.sh:24).
+    ``attn_impl``: None=auto (Pallas flash on TPU), "xla" forced for
+    differentiable paths (the flash kernel has no VJP yet)."""
+    if remat and attn_impl is None:
+        attn_impl = "xla"
     B, S, _ = inputs_embeds.shape
     if seq_positions is None:
         seq_positions = jnp.arange(S)[None, :].repeat(B, axis=0) + cache_offset
@@ -106,7 +115,8 @@ def text_forward(
     def layer_fn(layer, x, layer_idx):
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
         attn_out, layer_cache = _attention_layer(
-            layer, cfg, h, cos, sin, seq_positions, attn_valid, cache, layer_idx, cache_offset
+            layer, cfg, h, cos, sin, seq_positions, attn_valid, cache,
+            layer_idx, cache_offset, attn_impl,
         )
         x = x + attn_out
         h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
@@ -133,4 +143,4 @@ def text_forward(
 
 def logits_from_hidden(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     """Project final hidden states to vocabulary logits (float32)."""
-    return (hidden @ params["lm_head"]).astype(jnp.float32)
+    return dense(hidden, params["lm_head"]).astype(jnp.float32)

@@ -14,6 +14,7 @@ Two call patterns in the model:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -21,6 +22,23 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+# Decoder attention implementation: "auto" uses the Pallas flash kernel on
+# TPU when shapes qualify, XLA fused attention otherwise. Override with
+# O3V_ATTN_IMPL=xla|pallas|auto.
+ATTN_IMPL = os.environ.get("O3V_ATTN_IMPL", "auto")
+
+
+def _use_pallas(impl: str, head_dim: int) -> bool:
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    # auto: flash kernel wants lane-aligned head_dim and a real TPU backend.
+    try:
+        return jax.default_backend() == "tpu" and head_dim % 128 == 0
+    except Exception:
+        return False
 
 
 def causal_attention(
@@ -31,19 +49,35 @@ def causal_attention(
     q_positions: Optional[jnp.ndarray] = None,  # (B, S) absolute positions of queries
     kv_positions: Optional[jnp.ndarray] = None,  # (B, T) absolute positions of keys
     kv_mask: Optional[jnp.ndarray] = None,  # (B, T) validity of cache slots
-    impl: str = "xla",
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Causal GQA attention; supports decode against a longer KV buffer.
 
     Causality: query at position p attends to keys with position <= p.
     When positions are omitted, q/k are assumed aligned ranges (prefill).
+
+    Note: fully-masked (padding) queries return self-attention under the XLA
+    path and zeros under the Pallas path — both finite, neither ever read.
     """
     B, S, Hq, D = q.shape
     T, Hkv = k.shape[1], k.shape[2]
+    impl = impl or ATTN_IMPL
     if q_positions is None:
         q_positions = jnp.arange(S)[None, :].repeat(B, axis=0)
     if kv_positions is None:
         kv_positions = jnp.arange(T)[None, :].repeat(B, axis=0)
+
+    if _use_pallas(impl, D):
+        # The Pallas kernel assumes kv buffer index == kv position (true for
+        # every cache layout in this codebase).
+        from .flash_attention import flash_attention_gqa
+
+        kv_valid = (
+            kv_mask.astype(jnp.int32)
+            if kv_mask is not None
+            else jnp.ones((B, T), jnp.int32)
+        )
+        return flash_attention_gqa(q, k, v, q_positions.astype(jnp.int32), kv_valid)
 
     mask = kv_positions[:, None, :] <= q_positions[:, :, None]  # (B, S, T)
     if kv_mask is not None:

@@ -59,6 +59,40 @@ def patchify(
     return np.ascontiguousarray(patches, dtype=np.float32), (grid_t, grid_h, grid_w)
 
 
+def patchify_device(
+    frames_tchw,  # jnp uint8/float (T, C, H, W), T already tps-padded
+    patch_size: int = 14,
+    temporal_patch_size: int = 2,
+    merge_size: int = 2,
+    out_dtype=None,
+):
+    """Device-side normalize+patchify (jit-friendly, fused by XLA).
+
+    Same layout semantics as :func:`patchify`, but runs on the accelerator so
+    the host uploads raw uint8 frames (4x less PCIe/ICI traffic than float32
+    patches) and the normalize/transpose fuses into one HBM pass. T must
+    already be a multiple of temporal_patch_size (pad on host — it's a
+    metadata-only repeat).
+    """
+    import jax.numpy as jnp
+
+    x = frames_tchw.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(OPENAI_CLIP_MEAN)[:, None, None]
+    std = jnp.asarray(OPENAI_CLIP_STD)[:, None, None]
+    x = (x - mean) / std
+    T, C, H, W = x.shape
+    grid_t = T // temporal_patch_size
+    grid_h, grid_w = H // patch_size, W // patch_size
+    x = x.reshape(
+        grid_t, temporal_patch_size, C,
+        grid_h // merge_size, merge_size, patch_size,
+        grid_w // merge_size, merge_size, patch_size,
+    )
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    out = x.reshape(grid_t * grid_h * grid_w, C * temporal_patch_size * patch_size**2)
+    return out.astype(out_dtype) if out_dtype is not None else out
+
+
 def frames_as_images_patches(frames_tchw: np.ndarray, patch_size: int = 14,
                              temporal_patch_size: int = 2, merge_size: int = 2):
     """The training/eval hot path: a video fed as per-frame *images*.

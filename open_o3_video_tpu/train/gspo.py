@@ -112,6 +112,7 @@ def gspo_loss(
         params, model_cfg, input_ids, position_ids,
         pixel_patches=pixel_patches, grid_thw=grid_thw,
         vision_token_id=vision_token_id, attn_valid=attn_valid,
+        attn_impl="xla",  # differentiated; the flash kernel has no VJP yet
     )
     logp_all = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     token_logps = jnp.take_along_axis(logp_all, input_ids[:, 1:][..., None], axis=-1)[..., 0]
@@ -200,6 +201,14 @@ class GSPOTrainer:
 
         G = cfg.num_generations
         prompt_ids = list(sample["input_ids"])[-cfg.max_prompt_length :]
+        # Left-pad the prompt to a length bucket so the jitted logp/update
+        # programs are reused across prompts instead of recompiling per
+        # length (pads are masked via attn_valid; positions recomputed).
+        bucket = 256
+        Lp_real = len(prompt_ids)
+        Lp_pad = -(-Lp_real // bucket) * bucket
+        n_left_pad = Lp_pad - Lp_real
+        prompt_ids_padded = [self.model_cfg.pad_token_id] * n_left_pad + prompt_ids
 
         # 1. rollout
         req = Request(
@@ -238,18 +247,18 @@ class GSPOTrainer:
         rewards = rewards_per_func.sum(axis=1)
         advantages = group_advantages(rewards, G)
 
-        # 3. pack prompt+completion (right padding; prompt identical per row)
+        # 3. pack (left-padded prompt)+completion, right padding after EOS
         Lc = cfg.max_completion_length
-        Lp = len(prompt_ids)
+        Lp = Lp_pad
         total = Lp + Lc
         ids = np.full((G, total), mcfg.pad_token_id, dtype=np.int64)
         attn_valid = np.zeros((G, total), dtype=bool)
         comp_ids = np.full((G, Lc), mcfg.pad_token_id, dtype=np.int64)
         for g in range(G):
-            ids[g, :Lp] = prompt_ids
+            ids[g, :Lp] = prompt_ids_padded
             n = min(len(completions_ids[g]), Lc)
             ids[g, Lp : Lp + n] = completions_ids[g][:n]
-            attn_valid[g, : Lp + n] = True
+            attn_valid[g, n_left_pad : Lp + n] = True
             comp_ids[g, :n] = completions_ids[g][:n]
         completion_mask = completion_mask_after_eos(comp_ids, mcfg.eos_token_id)
         # tokens past each row's real completion are masked regardless of EOS

@@ -1,0 +1,81 @@
+"""Int8 weight-only quantization tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, forward, get_rope_index, params as P
+from open_o3_video_tpu.ops.quant import (
+    QuantizedLinear,
+    dense,
+    param_bytes,
+    quantize_params,
+    quantize_weight,
+)
+
+
+class TestQuantizeWeight:
+    def test_roundtrip_error_bounded(self):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(0, 0.05, (128, 256)), jnp.float32)
+        q = quantize_weight(w, compute_dtype=jnp.float32)
+        assert q.w_q.dtype == jnp.int8
+        deq = q.w_q.astype(jnp.float32) * q.scale
+        # per-channel symmetric int8: error bounded by scale/2 per element
+        max_err = float(jnp.max(jnp.abs(deq - w)))
+        max_scale = float(jnp.max(q.scale))
+        assert max_err <= max_scale * 0.5 + 1e-7
+
+    def test_dense_matches_dequantized_matmul(self):
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.normal(0, 0.05, (64, 32)), jnp.float32)
+        x = jnp.asarray(rng.normal(0, 1, (4, 64)), jnp.float32)
+        q = quantize_weight(w, compute_dtype=jnp.float32)
+        deq = q.w_q.astype(jnp.float32) * q.scale.astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(dense(x, q)), np.asarray(x @ deq), rtol=1e-5, atol=1e-5)
+
+    def test_zero_column_safe(self):
+        w = jnp.zeros((8, 4), jnp.float32)
+        q = quantize_weight(w)
+        assert np.isfinite(np.asarray(q.scale)).all()
+        out = dense(jnp.ones((2, 8)), q)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+class TestQuantizedModel:
+    def test_logits_close_and_smaller(self):
+        cfg = Qwen25VLConfig.tiny()
+        params = P.init(cfg, seed=0)
+        qparams = quantize_params(params)
+
+        # targeted leaves converted, others untouched
+        assert isinstance(qparams["text"]["layers"][0]["q_w"], QuantizedLinear)
+        assert isinstance(qparams["text"]["lm_head"], QuantizedLinear)
+        assert not isinstance(qparams["text"]["embed_tokens"], QuantizedLinear)
+        assert not isinstance(qparams["visual"]["blocks"][0]["qkv_w"], QuantizedLinear)
+        assert param_bytes(qparams) < param_bytes(params)
+
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 400, size=(1, 12))
+        pos, _ = get_rope_index(cfg, ids)
+        ref, _ = forward(params, cfg, jnp.asarray(ids), jnp.asarray(pos))
+        out, _ = forward(qparams, cfg, jnp.asarray(ids), jnp.asarray(pos))
+        ref, out = np.asarray(ref), np.asarray(out)
+        # int8 error budget: top-1 should essentially always agree on random nets
+        assert (ref.argmax(-1) == out.argmax(-1)).mean() > 0.9
+        assert np.abs(ref - out).max() < 0.2
+
+    def test_quantized_engine_generates(self):
+        from open_o3_video_tpu.engine import InferenceEngine, Request, SamplingParams
+
+        cfg = Qwen25VLConfig.tiny()
+        params = P.init(cfg, seed=0)
+        qparams = quantize_params(params)
+        eng = InferenceEngine(qparams, cfg, prompt_buckets=(32,), cache_dtype=jnp.float32)
+        out = eng.generate(
+            [Request(input_ids=[5, 6, 7, 8])],
+            SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=4),
+        )
+        assert len(out[0]["token_ids"]) >= 1

@@ -1,0 +1,92 @@
+"""Tests for checkpointing, metrics bus, profiling, and safetensors roundtrip."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+from open_o3_video_tpu.train import checkpoint as CKPT
+from open_o3_video_tpu.utils.metrics import MetricsBus
+from open_o3_video_tpu.utils.profiling import StageTimer
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        cfg = Qwen25VLConfig.tiny()
+        params = P.init(cfg, seed=0)
+        state = {"params": params, "step": 7}
+        CKPT.save_checkpoint(str(tmp_path), 7, state)
+        assert CKPT.latest_step(str(tmp_path)) == 7
+        restored, step = CKPT.restore_checkpoint(str(tmp_path))
+        assert step == 7
+        np.testing.assert_array_equal(
+            np.asarray(restored["params"]["text"]["final_norm"]),
+            np.asarray(params["text"]["final_norm"]),
+        )
+
+    def test_latest_of_many(self, tmp_path):
+        cfg = Qwen25VLConfig.tiny()
+        params = {"x": jnp.ones(3)}
+        for step in (5, 10, 15):
+            CKPT.save_checkpoint(str(tmp_path), step, {"params": params})
+        assert CKPT.latest_step(str(tmp_path)) == 15
+
+    def test_restore_missing_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            CKPT.restore_checkpoint(str(tmp_path / "nope"))
+
+    def test_safetensors_roundtrip(self, tmp_path):
+        cfg = Qwen25VLConfig.tiny()
+        params = P.init(cfg, seed=3)
+        out_dir = str(tmp_path / "export")
+        CKPT.export_safetensors(params, cfg, out_dir)
+        path = os.path.join(out_dir, "model.safetensors")
+        assert os.path.exists(path)
+
+        from safetensors import safe_open
+
+        def gen():
+            with safe_open(path, framework="numpy") as f:
+                for key in f.keys():
+                    yield key, f.get_tensor(key)
+
+        reloaded = P.from_named_arrays(gen(), cfg)
+        for a, b in zip(
+            jnp.asarray(params["text"]["layers"][0]["q_w"], jnp.float32).flatten()[:64],
+            jnp.asarray(reloaded["text"]["layers"][0]["q_w"], jnp.float32).flatten()[:64],
+        ):
+            assert float(a) == pytest.approx(float(b), abs=1e-6)
+
+
+class TestMetricsBus:
+    def test_averaging_and_flush(self, tmp_path, capsys):
+        log = tmp_path / "metrics.jsonl"
+        bus = MetricsBus(log_path=str(log))
+        bus.push(loss=1.0, reward=2.0)
+        bus.push(loss=3.0)
+        out = bus.flush(step=5, extra={"lr": 0.1})
+        assert out["loss"] == 2.0
+        assert out["reward"] == 2.0
+        assert out["lr"] == 0.1
+        rec = json.loads(log.read_text().strip())
+        assert rec["step"] == 5
+        # accumulator cleared
+        out2 = bus.flush(step=6)
+        assert "loss" not in out2
+
+
+class TestStageTimer:
+    def test_report(self):
+        timer = StageTimer()
+        with timer.stage("decode"):
+            pass
+        with timer.stage("decode"):
+            pass
+        rep = timer.report()
+        assert rep["decode"]["count"] == 2
+        timer.reset()
+        assert timer.report() == {}

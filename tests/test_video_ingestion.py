@@ -186,3 +186,29 @@ class TestFetchImage:
     def test_rejects_remote(self):
         with pytest.raises(ValueError):
             V.fetch_image({"image": "https://example.com/x.png"})
+
+
+class TestDevicePatchify:
+    def test_matches_host_patchify(self):
+        import jax.numpy as jnp
+
+        from open_o3_video_tpu.ops.preprocess import patchify, patchify_device
+
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (2, 3, 56, 84), dtype=np.uint8)
+        host, grid = patchify(frames)
+        dev = np.asarray(patchify_device(jnp.asarray(frames)))
+        assert grid == (1, 4, 6)
+        np.testing.assert_allclose(dev, host, atol=1e-5)
+
+    def test_single_image_needs_tps_padding(self):
+        import jax.numpy as jnp
+
+        from open_o3_video_tpu.ops.preprocess import patchify, patchify_device
+
+        rng = np.random.default_rng(1)
+        frame = rng.integers(0, 255, (1, 3, 28, 28), dtype=np.uint8)
+        host, _ = patchify(frame)  # host pads T 1 -> 2 by repeat
+        padded = np.concatenate([frame, frame], axis=0)
+        dev = np.asarray(patchify_device(jnp.asarray(padded)))
+        np.testing.assert_allclose(dev, host, atol=1e-5)
