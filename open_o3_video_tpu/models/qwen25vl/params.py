@@ -223,6 +223,11 @@ def from_named_arrays(named: Iterator[tuple[str, np.ndarray]], cfg: Qwen25VLConf
             raise ValueError("checkpoint has neither lm_head.weight nor embed_tokens.weight")
         params["text"]["lm_head"] = jnp.asarray(tied_embed.T, dtype=dt)
 
+    # Text-only checkpoints (e.g. the Qwen2.5-72B judge, eval_all.sh:18) have
+    # no vision tower; drop the empty branch rather than failing the check.
+    if params["visual"]["patch_embed"] is None:
+        params["visual"] = None
+
     _check_complete(params)
     return params
 
@@ -256,6 +261,8 @@ def init_empty(cfg: Qwen25VLConfig) -> dict:
 
 
 def _check_complete(params: Any, path: str = ""):
+    if path == ".visual" and params is None:
+        return  # text-only checkpoint
     if isinstance(params, dict):
         for k, val in params.items():
             _check_complete(val, f"{path}.{k}")

@@ -100,10 +100,9 @@ def text_forward(
 
     ``remat=True`` rematerializes each decoder layer on the backward pass
     (== the reference's gradient_checkpointing, run_sft_video.sh:24).
-    ``attn_impl``: None=auto (Pallas flash on TPU), "xla" forced for
-    differentiable paths (the flash kernel has no VJP yet)."""
-    if remat and attn_impl is None:
-        attn_impl = "xla"
+    ``attn_impl``: None=auto (Pallas flash on TPU when head_dim is
+    lane-aligned, XLA otherwise); the flash kernel has a custom VJP so
+    training paths use it too."""
     B, S, _ = inputs_embeds.shape
     if seq_positions is None:
         seq_positions = jnp.arange(S)[None, :].repeat(B, axis=0) + cache_offset

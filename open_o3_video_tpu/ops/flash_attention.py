@@ -1,21 +1,23 @@
-"""Pallas TPU flash attention: causal GQA with padding masks.
+"""Pallas TPU flash attention: causal GQA with padding masks + custom VJP.
 
 The TPU-native replacement for the reference's FlashAttention-2 CUDA path
 (setup.sh:6; attn_implementation flash_attention_2 in run_*_video.sh):
 online-softmax tiling so attention never materializes the (S, T) score
-matrix in HBM, with
+matrix in HBM — forward *and* backward (the backward recomputes probabilities
+from the saved log-sum-exp, FlashAttention-2 style), which is what makes the
+reference's 16384-token training prompts feasible on a 16 GB chip.
 
-- grouped KV heads (GQA) resolved by block index mapping (no repeat_kv),
-- causality over explicit query positions (supports prefill AND cached
-  decode against a longer KV buffer),
-- a KV validity mask (left-padded batches, partially-filled caches),
-- causal block skipping (KV tiles entirely above the diagonal do no work),
-- float32 accumulation regardless of input dtype.
+Features:
+- grouped KV heads (GQA) resolved by block index mapping (no repeat_kv)
+- causality over explicit query positions (prefill AND cached decode)
+- a KV validity mask (left-padded batches, partially filled caches)
+- causal block skipping (KV tiles entirely above the diagonal do no work)
+- float32 accumulation regardless of input dtype
 
-Layout: q (B, Sq, Hq, D), k/v (B, T, Hkv, D) — the model's native layout;
-blocks are tiled over (batch, q-head, q-tile, kv-tile) with the kv-tile
-dimension innermost so the VMEM running max/sum/accumulator scratch carries
-across KV tiles.
+Layout: q (B, Sq, Hq, D), k/v (B, T, Hkv, D) — the model's native layout.
+Grid order is (batch, q-tile, head, kv-tile) so the VMEM running
+max/sum/accumulator scratch carries across KV tiles and the LSE output block
+stays resident across (head, kv) steps.
 """
 
 from __future__ import annotations
@@ -34,16 +36,22 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
 
-def _kernel(
-    q_pos_ref,  # (B, Bq) int32 — positions of this q tile, all batch rows
-    kv_valid_ref,  # (B, Bk) int32 — validity of this kv tile, all batch rows
+# --------------------------------------------------------------------------
+# Forward kernel
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_pos_ref,  # (B, Bq) int32
+    kv_valid_ref,  # (B, Bk) int32
     q_ref,  # (1, 1, Bq, D)
     k_ref,  # (1, 1, Bk, D)
     v_ref,  # (1, 1, Bk, D)
     o_ref,  # (1, 1, Bq, D)
-    m_scratch,  # (Bq, 1) f32
-    l_scratch,  # (Bq, 1) f32
-    acc_scratch,  # (Bq, D) f32
+    lse_ref,  # (1, 1, Bq, 8) — lse broadcast over 8 lanes (Mosaic-aligned)
+    m_scratch,
+    l_scratch,
+    acc_scratch,
     *,
     scale: float,
     block_k: int,
@@ -58,32 +66,26 @@ def _kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    q_pos = q_pos_ref[b, :]  # (Bq,)
+    q_pos = q_pos_ref[b, :]
     kv_start = kb * block_k
-    # Causal skip: this kv tile starts past every query position.
     q_pos_max = jnp.max(q_pos)
 
     @pl.when(kv_start <= q_pos_max)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # (Bq, D)
-        k = k_ref[0, 0].astype(jnp.float32)  # (Bk, D)
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
-
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (Bq, Bk)
-
+        ) * scale
         kv_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         mask = (kv_pos <= q_pos[:, None]) & (kv_valid_ref[b, :][None, :] != 0)
         s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_scratch[:]  # (Bq, 1)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-
-        p = jnp.exp(s - m_new)  # (Bq, Bk); rows with all-masked stay ~0
-        alpha = jnp.exp(m_prev - m_new)  # (Bq, 1)
-
+        m_prev = m_scratch[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
         l_scratch[:] = l_scratch[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -93,15 +95,298 @@ def _kernel(
     @pl.when(kb == num_kv_blocks - 1)
     def _finalize():
         l = l_scratch[:]
-        # Fully-masked queries (padding) normalize against 1 instead of 0.
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
+        # LSE for the backward recompute; fully-masked rows get NEG_INF so
+        # exp(s - lse) underflows to 0 there.
+        lse = jnp.where(
+            l == 0.0, NEG_INF, m_scratch[:] + jnp.log(l_safe)
+        )  # (Bq, 1)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("block_q", "block_k", "interpret"),
-)
+def _pad_inputs(q, k, v, q_positions, kv_valid, block_q, block_k):
+    B, Sq, Hq, D = q.shape
+    T = k.shape[1]
+    Sq_p = -(-Sq // block_q) * block_q
+    T_p = -(-T // block_k) * block_k
+    if Sq_p != Sq:
+        q = jnp.pad(q, ((0, 0), (0, Sq_p - Sq), (0, 0), (0, 0)))
+        q_positions = jnp.pad(q_positions, ((0, 0), (0, Sq_p - Sq)), constant_values=-1)
+    if T_p != T:
+        k = jnp.pad(k, ((0, 0), (0, T_p - T), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, T_p - T), (0, 0), (0, 0)))
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, T_p - T)))
+    return q, k, v, q_positions.astype(jnp.int32), kv_valid.astype(jnp.int32), Sq_p, T_p
+
+
+def _fwd(q, k, v, q_positions, kv_valid, block_q, block_k, interpret):
+    B, Sq, Hq, D = q.shape
+    Hkv = k.shape[2]
+    group = Hq // Hkv
+    scale = 1.0 / (D**0.5)
+    block_q = min(block_q, max(Sq, 8))
+    block_k = min(block_k, max(k.shape[1], 128))
+
+    q, k, v, q_positions, kv_valid, Sq_p, T_p = _pad_inputs(
+        q, k, v, q_positions, kv_valid, block_q, block_k
+    )
+    q_t = q.transpose(0, 2, 1, 3)
+    k_t = k.transpose(0, 2, 1, 3)
+    v_t = v.transpose(0, 2, 1, 3)
+
+    nq = Sq_p // block_q
+    nk = T_p // block_k
+    grid = (B, nq, Hq, nk)
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, block_k=block_k, num_kv_blocks=nk
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, block_q), lambda b, qb, h, kb: (0, qb)),
+            pl.BlockSpec((B, block_k), lambda b, qb, h, kb: (0, kb)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, qb, h, kb: (b, h, qb, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, qb, h, kb: (b, h // group, kb, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, qb, h, kb: (b, h // group, kb, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, qb, h, kb: (b, h, qb, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, qb, h, kb: (b, h, qb, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, 8), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_positions, kv_valid, q_t, k_t, v_t)
+    return out.transpose(0, 2, 1, 3)[:, :Sq], lse  # lse stays padded (B,Hq,Sq_p,8)
+
+
+# --------------------------------------------------------------------------
+# Backward kernels (FlashAttention-2 style recompute)
+# --------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_pos_ref, kv_valid_ref,
+    q_ref, k_ref, v_ref, do_ref,
+    lse_ref,  # (1, 1, Bq, 8)
+    delta_ref,  # (1, 1, Bq, 8)
+    dq_ref,  # (1, 1, Bq, D)
+    dq_scratch,
+    *,
+    scale: float,
+    block_k: int,
+    num_kv_blocks: int,
+):
+    b = pl.program_id(0)
+    kb = pl.program_id(3)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    q_pos = q_pos_ref[b, :]
+    kv_start = kb * block_k
+
+    @pl.when(kv_start <= jnp.max(q_pos))
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0, :, 0:1]
+        delta = delta_ref[0, 0, :, 0:1]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        kv_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = (kv_pos <= q_pos[:, None]) & (kv_valid_ref[b, :][None, :] != 0)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq_scratch[:] += scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kb == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_pos_ref, kv_valid_ref,
+    q_ref, k_ref, v_ref, do_ref,
+    lse_ref, delta_ref,
+    dk_ref, dv_ref,  # (1, 1, Bk, D) per q-head (summed over groups outside)
+    dk_scratch, dv_scratch,
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    num_q_blocks: int,
+):
+    b = pl.program_id(0)
+    qb = pl.program_id(3)
+    kb = pl.program_id(1)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    q_pos = q_pos_ref[b, :]  # this q tile's positions
+    kv_start = kb * block_k
+
+    @pl.when(kv_start <= jnp.max(q_pos))
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0, :, 0:1]
+        delta = delta_ref[0, 0, :, 0:1]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        kv_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = (kv_pos <= q_pos[:, None]) & (kv_valid_ref[b, :][None, :] != 0)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (Bq, Bk)
+
+        dv_scratch[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_scratch[:] += scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(qb == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _bwd(block_q, block_k, interpret, res, dout):
+    q, k, v, q_positions, kv_valid, out, lse = res
+    B, Sq, Hq, D = q.shape
+    T, Hkv = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    scale = 1.0 / (D**0.5)
+    block_q = min(block_q, max(Sq, 8))
+    block_k = min(block_k, max(T, 128))
+
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,Sq,H)
+
+    qp, kp, vp, q_positions, kv_valid, Sq_p, T_p = _pad_inputs(
+        q, k, v, q_positions, kv_valid, block_q, block_k
+    )
+    do_p = jnp.pad(dout, ((0, 0), (0, Sq_p - Sq), (0, 0), (0, 0))) if Sq_p != Sq else dout
+    lse_p = lse  # residual kept in padded kernel layout (B, Hq, Sq_p, 8)
+    delta_t = delta.transpose(0, 2, 1)  # (B, H, Sq)
+    if Sq_p != Sq:
+        delta_t = jnp.pad(delta_t, ((0, 0), (0, 0), (0, Sq_p - Sq)))
+    delta_p = jnp.broadcast_to(delta_t[..., None], delta_t.shape + (8,))
+
+    q_t = qp.transpose(0, 2, 1, 3)
+    k_t = kp.transpose(0, 2, 1, 3)
+    v_t = vp.transpose(0, 2, 1, 3)
+    do_t = do_p.transpose(0, 2, 1, 3)
+
+    nq = Sq_p // block_q
+    nk = T_p // block_k
+
+    # dq: grid (B, q-tiles, heads, kv-tiles)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, num_kv_blocks=nk),
+        grid=(B, nq, Hq, nk),
+        in_specs=[
+            pl.BlockSpec((B, block_q), lambda b, qb, h, kb: (0, qb)),
+            pl.BlockSpec((B, block_k), lambda b, qb, h, kb: (0, kb)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, qb, h, kb: (b, h, qb, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, qb, h, kb: (b, h // group, kb, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, qb, h, kb: (b, h // group, kb, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, qb, h, kb: (b, h, qb, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, qb, h, kb: (b, h, qb, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, qb, h, kb: (b, h, qb, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, qb, h, kb: (b, h, qb, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        interpret=interpret,
+    )(q_positions, kv_valid, q_t, k_t, v_t, do_t, lse_p, delta_p)
+
+    # dk/dv per q-head: grid (B, kv-tiles, heads, q-tiles); group-sum outside.
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q,
+                          block_k=block_k, num_q_blocks=nq),
+        grid=(B, nk, Hq, nq),
+        in_specs=[
+            pl.BlockSpec((B, block_q), lambda b, kb, h, qb: (0, qb)),
+            pl.BlockSpec((B, block_k), lambda b, kb, h, qb: (0, kb)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, kb, h, qb: (b, h, qb, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, kb, h, qb: (b, h // group, kb, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, kb, h, qb: (b, h // group, kb, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, kb, h, qb: (b, h, qb, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, kb, h, qb: (b, h, qb, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, kb, h, qb: (b, h, qb, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, D), lambda b, kb, h, qb: (b, h, kb, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, kb, h, qb: (b, h, kb, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, T_p, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, T_p, D), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_positions, kv_valid, q_t, k_t, v_t, do_t, lse_p, delta_p)
+
+    dq = dq.transpose(0, 2, 1, 3)[:, :Sq]
+    dk = dk_h.reshape(B, Hkv, group, T_p, D).sum(axis=2).transpose(0, 2, 1, 3)[:, :T]
+    dv = dv_h.reshape(B, Hkv, group, T_p, D).sum(axis=2).transpose(0, 2, 1, 3)[:, :T]
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), None, None
+
+
+# --------------------------------------------------------------------------
+# Public API
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_attention(q, k, v, q_positions, kv_valid, block_q, block_k, interpret):
+    out, _ = _fwd(q, k, v, q_positions, kv_valid, block_q, block_k, interpret)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, q_positions, kv_valid, block_q, block_k, interpret):
+    out, lse = _fwd(q, k, v, q_positions, kv_valid, block_q, block_k, interpret)
+    return out, (q, k, v, q_positions, kv_valid, out, lse)
+
+
+def _flash_bwd_rule(block_q, block_k, interpret, res, dout):
+    return _bwd(block_q, block_k, interpret, res, dout)
+
+
+_flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention_gqa(
     q: jnp.ndarray,  # (B, Sq, Hq, D)
     k: jnp.ndarray,  # (B, T, Hkv, D)
@@ -113,66 +398,5 @@ def flash_attention_gqa(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Causal GQA flash attention. Returns (B, Sq, Hq, D) in q.dtype."""
-    B, Sq, Hq, D = q.shape
-    T, Hkv = k.shape[1], k.shape[2]
-    group = Hq // Hkv
-    scale = 1.0 / (D**0.5)
-
-    block_q = min(block_q, max(Sq, 8))
-    block_k = min(block_k, max(T, 128))
-
-    # Pad sequence dims to block multiples (padding queries get position -1
-    # so they attend nothing; padding keys get valid=0).
-    Sq_p = -(-Sq // block_q) * block_q
-    T_p = -(-T // block_k) * block_k
-    if Sq_p != Sq:
-        q = jnp.pad(q, ((0, 0), (0, Sq_p - Sq), (0, 0), (0, 0)))
-        q_positions = jnp.pad(q_positions, ((0, 0), (0, Sq_p - Sq)), constant_values=-1)
-    if T_p != T:
-        k = jnp.pad(k, ((0, 0), (0, T_p - T), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, T_p - T), (0, 0), (0, 0)))
-        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, T_p - T)))
-
-    # (B, H, S, D) layout for clean tiling.
-    q_t = q.transpose(0, 2, 1, 3)
-    k_t = k.transpose(0, 2, 1, 3)
-    v_t = v.transpose(0, 2, 1, 3)
-    q_positions = q_positions.astype(jnp.int32)
-    kv_valid = kv_valid.astype(jnp.int32)
-
-    num_q_blocks = Sq_p // block_q
-    num_kv_blocks = T_p // block_k
-    grid = (B, Hq, num_q_blocks, num_kv_blocks)
-
-    kernel = functools.partial(
-        _kernel, scale=scale, block_k=block_k, num_kv_blocks=num_kv_blocks
-    )
-
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=grid,
-            in_specs=[
-                # Whole-batch rows per tile: TPU block rules require the
-                # second-to-last dim to divide 8 or equal the array dim, so
-                # (B, tile) with the row picked inside the kernel.
-                pl.BlockSpec((B, block_q), lambda b, h, qb, kb: (0, qb)),
-                pl.BlockSpec((B, block_k), lambda b, h, qb, kb: (0, kb)),
-                pl.BlockSpec((1, 1, block_q, D), lambda b, h, qb, kb: (b, h, qb, 0)),
-                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qb, kb: (b, h // group, kb, 0)),
-                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qb, kb: (b, h // group, kb, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, qb, kb: (b, h, qb, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, D), jnp.float32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),
-        interpret=interpret,
-    )(q_positions, kv_valid, q_t, k_t, v_t)
-
-    return out.transpose(0, 2, 1, 3)[:, :Sq]
+    """Causal GQA flash attention, differentiable. Returns (B, Sq, Hq, D)."""
+    return _flash_attention(q, k, v, q_positions, kv_valid, block_q, block_k, interpret)

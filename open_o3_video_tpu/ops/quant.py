@@ -18,9 +18,13 @@ import jax
 import jax.numpy as jnp
 
 
-@jax.tree_util.register_pytree_node_class
+@jax.tree_util.register_pytree_with_keys_class
 class QuantizedLinear:
-    """int8 weight (in, out) + per-output-channel scale; used via dense()."""
+    """int8 weight (in, out) + per-output-channel scale; used via dense().
+
+    Children are keyed ('w_q', 'scale') so path-based sharding rules
+    (parallel/mesh.py) can address them.
+    """
 
     def __init__(self, w_q: jnp.ndarray, scale: jnp.ndarray):
         self.w_q = w_q
@@ -34,8 +38,11 @@ class QuantizedLinear:
     def ndim(self):
         return self.w_q.ndim
 
-    def tree_flatten(self):
-        return (self.w_q, self.scale), None
+    def tree_flatten_with_keys(self):
+        return (
+            (jax.tree_util.GetAttrKey("w_q"), self.w_q),
+            (jax.tree_util.GetAttrKey("scale"), self.scale),
+        ), None
 
     @classmethod
     def tree_unflatten(cls, _aux, children):
@@ -81,6 +88,8 @@ def _path_str(path) -> str:
             parts.append(str(p.key))
         elif hasattr(p, "idx"):
             parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
         else:
             parts.append(str(p))
     return "/".join(parts)

@@ -46,6 +46,14 @@ def make_mesh(
 # - 2D weights stored input-major (x @ W).
 # - TP shards the head/ffn dim; FSDP shards the other dim (ZeRO-3 style).
 PARAM_RULES: list[tuple[str, P]] = [
+    # int8-quantized leaves (ops/quant.py): w_q shards like its parent
+    # weight, per-output-channel scales follow the output axis.
+    (r"text/layers/\d+/(q_w|k_w|v_w|gate_w|up_w)/w_q$", P("fsdp", "tensor")),
+    (r"text/layers/\d+/(o_w|down_w)/w_q$", P("tensor", "fsdp")),
+    (r"text/lm_head/w_q$", P("fsdp", "tensor")),
+    (r"text/layers/\d+/(q_w|k_w|v_w|gate_w|up_w)/scale$", P(None, "tensor")),
+    (r"text/layers/\d+/(o_w|down_w)/scale$", P(None, "fsdp")),
+    (r"text/lm_head/scale$", P(None, "tensor")),
     # text attention: outputs sharded over tensor
     (r"text/layers/\d+/(q_w|k_w|v_w)$", P("fsdp", "tensor")),
     (r"text/layers/\d+/(q_b|k_b|v_b)$", P("tensor")),
@@ -79,6 +87,8 @@ def _path_str(path) -> str:
             parts.append(str(p.key))
         elif hasattr(p, "idx"):
             parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
         else:
             parts.append(str(p))
     return "/".join(parts)

@@ -112,7 +112,6 @@ def gspo_loss(
         params, model_cfg, input_ids, position_ids,
         pixel_patches=pixel_patches, grid_thw=grid_thw,
         vision_token_id=vision_token_id, attn_valid=attn_valid,
-        attn_impl="xla",  # differentiated; the flash kernel has no VJP yet
     )
     logp_all = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     token_logps = jnp.take_along_axis(logp_all, input_ids[:, 1:][..., None], axis=-1)[..., 0]

@@ -77,7 +77,6 @@ def sft_loss(
         vision_token_id=batch.get("vision_token_id"),
         attn_valid=batch.get("attn_valid"),
         remat=remat,
-        attn_impl="xla",  # the Pallas flash kernel has no VJP yet
     )
     labels = batch["labels"]
     shift_logits = logits[:, :-1]

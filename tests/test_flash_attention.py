@@ -85,3 +85,57 @@ def test_fully_masked_rows_are_finite():
     valid = jnp.ones((B, S), jnp.int32)
     out = flash_attention_gqa(q, k, v, q_pos, valid, block_q=16, block_k=16, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gradients_match_xla(monkeypatch):
+    """Flash VJP vs autodiff through the XLA reference path."""
+    rng = np.random.default_rng(5)
+    B, S, Hq, Hkv, D = 2, 24, 4, 2, 64
+    q = jnp.asarray(rng.normal(0, 1, (B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (B, S, Hkv, D)), jnp.float32)
+    q_pos = jnp.tile(jnp.arange(S)[None], (B, 1)).astype(jnp.int32)
+    valid = np.ones((B, S), np.int32)
+    valid[1, :2] = 0  # some padding in row 1
+    valid = jnp.asarray(valid)
+    # weights so the loss mixes all outputs nontrivially
+    w = jnp.asarray(rng.normal(0, 1, (B, S, Hq, D)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention_gqa(q, k, v, q_pos, valid, block_q=8, block_k=16, interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_xla(q, k, v):
+        out = _reference(q, k, v, np.asarray(q_pos), np.asarray(valid))
+        # zero out fully-masked pad queries to match the flash convention
+        attendable = (np.asarray(q_pos) >= 0) & ~((np.arange(S)[None] < 2) & (np.arange(B)[:, None] == 1))
+        out = out * jnp.asarray(attendable, jnp.float32)[:, :, None, None]
+        return jnp.sum(out * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+                                   err_msg=name)
+
+
+def test_gradients_decode_shape():
+    """VJP with a longer KV buffer (training never hits this, but the rule
+    must stay shape-consistent)."""
+    rng = np.random.default_rng(6)
+    B, Sq, T, H, D = 1, 8, 32, 2, 64
+    q = jnp.asarray(rng.normal(0, 1, (B, Sq, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+    q_pos = jnp.tile(jnp.arange(T - Sq, T)[None], (B, 1)).astype(jnp.int32)
+    valid = jnp.ones((B, T), jnp.int32)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention_gqa(q, k, v, q_pos, valid,
+                                           block_q=8, block_k=16, interpret=True) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert grads[0].shape == q.shape
+    assert grads[1].shape == k.shape
+    assert grads[2].shape == v.shape
+    assert all(np.isfinite(np.asarray(g)).all() for g in grads)

@@ -79,3 +79,29 @@ class TestQuantizedModel:
             SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=4),
         )
         assert len(out[0]["token_ids"]) >= 1
+
+
+class TestQuantizedSharding:
+    def test_quantized_params_shard_and_match(self):
+        import jax
+        from jax.sharding import PartitionSpec as PS
+
+        from open_o3_video_tpu.parallel import make_mesh, param_sharding_rules, shard_params
+        from open_o3_video_tpu.models.qwen25vl import forward, get_rope_index
+
+        cfg = Qwen25VLConfig.tiny()
+        params = quantize_params(P.init(cfg, seed=0))
+        mesh = make_mesh(data=1, fsdp=2, tensor=4)
+        specs = param_sharding_rules(params, mesh)
+        # quantized leaf got the parent weight's spec
+        q_spec = specs["text"]["layers"][0]["q_w"]
+        assert q_spec.w_q == PS("fsdp", "tensor")
+        assert q_spec.scale == PS(None, "tensor")
+
+        sharded = shard_params(params, mesh)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 400, size=(1, 8))
+        pos, _ = get_rope_index(cfg, ids)
+        ref, _ = forward(params, cfg, jnp.asarray(ids), jnp.asarray(pos))
+        out, _ = forward(sharded, cfg, jnp.asarray(ids), jnp.asarray(pos))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
