@@ -50,6 +50,10 @@ class Request:
     grid_thw: Optional[np.ndarray] = None  # (num, 3)
     vision_token_id: Optional[int] = None
     second_per_grid_ts: Optional[Sequence[float]] = None
+    # Alternative to pixel_patches for the frames-as-images hot path: raw
+    # uint8 frames (T, C, H, W). Uploaded 8x smaller than f32 patches;
+    # normalize+patchify runs on-device (ops/preprocess.patchify_device).
+    frames: Optional[np.ndarray] = None
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -80,6 +84,7 @@ class InferenceEngine:
         self.params = params
 
         self._prefill = jax.jit(self._prefill_impl)
+        self._vision_fns: dict = {}
         self._decode_loop = jax.jit(
             self._decode_loop_impl,
             static_argnames=("temperature", "top_p", "repetition_penalty", "max_tokens", "prompt_len"),
@@ -171,6 +176,29 @@ class InferenceEngine:
         state = jax.lax.while_loop(cond, body, state)
         return state[7], state[8], state[0]  # tokens, logprobs, n_steps
 
+    def _frames_to_patches(self, frames: np.ndarray) -> jnp.ndarray:
+        """uint8 (T, C, H, W) -> frames-as-images patches, on-device.
+
+        Repeating each frame along the temporal-patch axis and patchifying
+        as one grid_t=T video reproduces the per-frame image patch order
+        exactly (each temporal group holds one frame twice)."""
+        from ..ops.preprocess import patchify_device
+
+        tps = self.cfg.vision.temporal_patch_size
+
+        @jax.jit
+        def convert(x):
+            x = jnp.repeat(x, tps, axis=0)
+            return patchify_device(
+                x,
+                patch_size=self.cfg.vision.patch_size,
+                temporal_patch_size=tps,
+                merge_size=self.cfg.vision.spatial_merge_size,
+                out_dtype=self.cfg.dtype,
+            )
+
+        return convert(jnp.asarray(frames))
+
     # ----------------------------------------------------------------- public
 
     def generate(
@@ -225,11 +253,21 @@ class InferenceEngine:
         # Embed + scatter vision features per request.
         embeds = embed_tokens(self.params, jnp.asarray(ids))
         for i, r in enumerate(requests):
-            if r.pixel_patches is None:
+            if r.pixel_patches is None and r.frames is None:
                 continue
-            vis = encode_vision(
-                self.params, cfg, jnp.asarray(r.pixel_patches), np.asarray(r.grid_thw)
-            )
+            if r.frames is not None:
+                patches_dev = self._frames_to_patches(r.frames)
+            else:
+                patches_dev = jnp.asarray(r.pixel_patches)
+            # One jitted vision program per grid configuration — the eager
+            # path would issue hundreds of device dispatches per request.
+            grid = np.asarray(r.grid_thw)
+            grid_key = tuple(map(tuple, grid.tolist()))
+            if grid_key not in self._vision_fns:
+                self._vision_fns[grid_key] = jax.jit(
+                    lambda p, x, g=grid: encode_vision(p, cfg, x, g)
+                )
+            vis = self._vision_fns[grid_key](self.params, patches_dev)
             row = merge_vision_embeddings(
                 cfg,
                 jnp.asarray(ids[i : i + 1]),

@@ -154,3 +154,22 @@ def test_logprobs_returned(engine_pair):
     )
     assert len(out[0]["logprobs"]) == len(out[0]["token_ids"])
     assert all(lp <= 0 for lp in out[0]["logprobs"])
+
+
+def test_frames_request_matches_patches_request(engine_pair):
+    """uint8-frames upload + device patchify ~= host-patchify path."""
+    from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
+
+    _, engine, cfg = engine_pair
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (2, 3, 56, 56), dtype=np.uint8)
+    patches, grid = frames_as_images_patches(frames)
+    n_tok = patches.shape[0] // 4
+    prompt = ([5, 6, cfg.vision_start_token_id] + [cfg.image_token_id] * n_tok
+              + [cfg.vision_end_token_id, 7])
+    samp = SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=6)
+    a = engine.generate([Request(input_ids=prompt, pixel_patches=patches, grid_thw=grid,
+                                 vision_token_id=cfg.image_token_id)], samp)
+    b = engine.generate([Request(input_ids=prompt, frames=frames, grid_thw=grid,
+                                 vision_token_id=cfg.image_token_id)], samp)
+    assert a[0]["token_ids"] == b[0]["token_ids"]

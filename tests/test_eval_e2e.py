@@ -1,0 +1,155 @@
+"""End-to-end harness tests over synthetic benchmark datasets.
+
+Builds miniature VideoMME parquet / WorldSense TSV / VideoMMMU parquet
+datasets on disk (with the example video) and runs the full evaluate()
+pipelines with a scripted model, checking output files and scores.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+pd = pytest.importorskip("pandas")
+
+EXAMPLE_VIDEO = "/root/reference/eval/example_video.mp4"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(EXAMPLE_VIDEO), reason="example video not mounted"
+)
+
+
+class ScriptedModel:
+    """Answers every item with a grounded <think>/<answer> trace."""
+
+    def __init__(self, answer="A"):
+        self.answer = answer
+        self.video_max_frames = 4
+        self.video_max_pixels = 64 * 28 * 28
+
+    def __call__(self, video_paths, queries, query_image):
+        text = (
+            "<think>I see the <obj>ball</obj><box>[10,10,60,60]</box>at<t>2.0</t>s"
+            f"</think><answer>{self.answer}</answer>"
+        )
+        frames = np.zeros((4, 3, 32, 32), dtype=np.uint8)
+        return [text], frames, 1.0, (32, 32)
+
+    def run_images_scorer(self, msgs, images):
+        return 2
+
+    def inference_wo_process(self, inputs):
+        return "<think>t</think><answer>42</answer>"
+
+
+@pytest.fixture()
+def videomme_root(tmp_path):
+    root = tmp_path / "mme"
+    (root / "videomme").mkdir(parents=True)
+    (root / "data").mkdir()
+    os.symlink(EXAMPLE_VIDEO, root / "data" / "vid1.mp4")
+    df = pd.DataFrame([
+        {
+            "videoID": "vid1", "question_id": "q1", "duration": "short",
+            "domain": "Knowledge", "sub_category": "Law",
+            "task_type": "OCR Problems", "question": "What letter?",
+            "options": ["A. x", "B. y", "C. z", "D. w"], "answer": "A",
+        },
+        {
+            "videoID": "vid1", "question_id": "q2", "duration": "long",
+            "domain": "Knowledge", "sub_category": "Law",
+            "task_type": "OCR Problems", "question": "What letter?",
+            "options": ["A. x", "B. y", "C. z", "D. w"], "answer": "B",
+        },
+    ])
+    df.to_parquet(root / "videomme" / "test-00000-of-00001.parquet")
+    return str(root)
+
+
+def test_videomme_end_to_end(videomme_root, tmp_path):
+    from open_o3_video_tpu.eval import videomme
+
+    out_file = str(tmp_path / "out.json")
+    score = videomme.evaluate(
+        ScriptedModel("A"), videomme_root, out_file, N=2, vote="majority_voting"
+    )
+    assert score == 50.0  # one right (A), one wrong (GT B)
+    saved = json.load(open(out_file))
+    assert saved["overall"] == 50.0
+    assert len(saved["results"]) == 2
+    assert saved["results"][0]["pred_answer"] == "A"
+
+
+def test_videomme_confidence_voting(videomme_root, tmp_path):
+    from open_o3_video_tpu.eval import videomme
+
+    score = videomme.evaluate(
+        ScriptedModel("B"), videomme_root, str(tmp_path / "o.json"),
+        N=1, vote="confidence_voting",
+    )
+    assert score == 50.0  # B right on item 2 only
+
+
+@pytest.fixture()
+def worldsense_root(tmp_path):
+    root = tmp_path / "ws"
+    root.mkdir()
+    os.symlink(EXAMPLE_VIDEO, root / "vid1.mp4")
+    (root / "asr").mkdir()
+    (root / "asr" / "vid1.wav.txt").write_text("someone talks about bowling")
+    df = pd.DataFrame([
+        {
+            "index": 0, "video": "vid1", "question": "What letter?",
+            "candidates": "['A. x', 'B. y', 'C. z', 'D. w']", "answer": "A",
+            "duration": "<1min", "domain": "Sports", "sub_category": "Racing",
+            "task_domain": "Reasoning", "task_type": "Causal Reasoning",
+            "audio_class": "['Speech']",
+        },
+    ])
+    df.to_csv(root / "WorldSense.tsv", sep="\t", index=False)
+    return str(root)
+
+
+def test_worldsense_end_to_end(worldsense_root, tmp_path):
+    from open_o3_video_tpu.eval import worldsense
+
+    rating = worldsense.evaluate(
+        ScriptedModel("A"), worldsense_root, str(tmp_path / "ws_out"),
+        asr_dir=os.path.join(worldsense_root, "asr"), N=1,
+    )
+    assert rating["overall"]["overall"] == "1.000"
+    assert os.path.exists(str(tmp_path / "ws_out") + "_rating.json")
+    assert os.path.exists(str(tmp_path / "ws_out") + "_score.json")
+
+
+@pytest.fixture()
+def videommmu_root(tmp_path):
+    root = tmp_path / "mmmu"
+    for category in ("Perception", "Comprehension", "Adaptation"):
+        (root / category).mkdir(parents=True)
+    (root / "Science").mkdir()
+    os.symlink(EXAMPLE_VIDEO, root / "Science" / "validation_Physics_1.mp4")
+    base = {
+        "id": "validation_Physics_1", "question": "What letter?",
+        "options": ["x", "y", "z"], "answer": "A",
+        "question_type": "multiple-choice",
+    }
+    for category in ("Perception", "Comprehension", "Adaptation"):
+        pd.DataFrame([dict(base)]).to_parquet(
+            root / category / "test-00000-of-00001.parquet"
+        )
+    return str(root)
+
+
+def test_videommmu_end_to_end(videommmu_root, tmp_path):
+    from open_o3_video_tpu.eval import videommmu
+
+    out_file = str(tmp_path / "mmmu.json")
+    acc = videommmu.evaluate(ScriptedModel("A"), videommmu_root, out_file, N=1)
+    assert acc == 1.0
+    saved = json.load(open(out_file))
+    assert saved["overall"] == 1.0
+    assert {r["category"] for r in saved["results"]} == {
+        "Perception", "Comprehension", "Adaptation"
+    }
