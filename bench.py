@@ -47,6 +47,7 @@ def main():
     import jax.numpy as jnp
 
     from open_o3_video_tpu.data import fetch_video
+    from open_o3_video_tpu.data.video import fetch_video_fast
     from open_o3_video_tpu.engine import InferenceEngine, Request, SamplingParams
     from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
 
@@ -76,9 +77,8 @@ def main():
     # ---- host pipeline: decode + sample + resize (training budget); frames
     # upload as uint8 and patchify on-device (8x less tunnel traffic).
     t_host0 = time.time()
-    frames, fps = fetch_video({"video": VIDEO, "nframes": 16}, return_video_sample_fps=True)
-    frames_u8 = np.clip(np.round(frames), 0, 255).astype(np.uint8)
-    T, _, H, W = frames.shape
+    frames_u8, fps = fetch_video_fast({"video": VIDEO, "nframes": 16})
+    T, _, H, W = frames_u8.shape
     grid_thw = np.tile(
         np.array([[1, H // cfg.vision.patch_size, W // cfg.vision.patch_size]], np.int64),
         (T, 1),
@@ -113,8 +113,7 @@ def main():
     decode_counts = []
     for _ in range(N_VIDEOS):
         t1 = time.time()
-        frames, _ = fetch_video({"video": VIDEO, "nframes": 16}, return_video_sample_fps=True)
-        frames_u8 = np.clip(np.round(frames), 0, 255).astype(np.uint8)
+        frames_u8, _ = fetch_video_fast({"video": VIDEO, "nframes": 16})
         out = engine.generate(
             [Request(input_ids=prompt, frames=frames_u8, grid_thw=grid_thw,
                      vision_token_id=cfg.image_token_id)],
@@ -123,7 +122,7 @@ def main():
         runs.append(time.time() - t1)
         decode_counts.append(len(out[0]["token_ids"]))
 
-    # decode-only throughput: time a text-only batch generation
+    # decode-only throughput: bs=1 and bs=4 (the eval harness batches ~5)
     text_req = Request(input_ids=list(range(100, 164)))
     engine_txt = InferenceEngine(params, cfg, prompt_buckets=(128,))
     engine_txt.generate([text_req], sampling)  # warmup
@@ -131,6 +130,12 @@ def main():
     out_txt = engine_txt.generate([text_req], sampling)
     t_decode = time.time() - t2
     tok_s = len(out_txt[0]["token_ids"]) / t_decode
+
+    batch4 = [Request(input_ids=list(range(100 + i, 164 + i))) for i in range(4)]
+    engine_txt.generate(batch4, sampling)  # warmup bs=4 programs
+    t3 = time.time()
+    outs4 = engine_txt.generate(batch4, sampling)
+    tok_s4 = sum(len(o["token_ids"]) for o in outs4) / (time.time() - t3)
 
     e2e = float(np.mean(runs))
     videos_per_sec = 1.0 / e2e
@@ -146,6 +151,7 @@ def main():
             "e2e_sec_per_video": round(e2e, 3),
             "host_pipeline_sec": round(t_host, 3),
             "decode_tok_per_sec_bs1": round(tok_s, 2),
+            "decode_tok_per_sec_bs4": round(tok_s4, 2),
             "compile_sec": round(t_compile, 1),
             "prompt_tokens": len(prompt),
             "backend": jax.default_backend(),

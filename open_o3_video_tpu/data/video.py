@@ -380,6 +380,44 @@ def fetch_video(
         return images
 
 
+def fetch_video_fast(ele: dict) -> tuple[np.ndarray, float]:
+    """Serving fast path: decode + bicubic resize fused in the C++ decoder.
+
+    Same sampling (smart_nframes/linspace) and size (smart_resize) math as
+    :func:`fetch_video`, but swscale does the resize during decode — no
+    intermediate full-resolution frames, no per-frame PIL pass. Returns
+    (uint8 TCHW at the model resolution, sample_fps). swscale SWS_BICUBIC
+    approximates (not bit-matches) the reference's PIL bicubic; use
+    fetch_video for strict preprocessing parity.
+    """
+    from ..native import video_decoder
+
+    video_path = ele["video"]
+    if video_path.startswith("file://"):
+        video_path = video_path[7:]
+    meta = video_decoder.probe(video_path)
+    nframes = smart_nframes(ele, total_frames=meta.num_frames, video_fps=meta.fps)
+    idx = sample_indices(meta.num_frames, nframes)
+
+    min_pixels = ele.get("min_pixels", VIDEO_MIN_PIXELS)
+    total_pixels = ele.get("total_pixels", VIDEO_TOTAL_PIXELS)
+    max_pixels = max(
+        min(VIDEO_MAX_PIXELS, total_pixels / nframes * FRAME_FACTOR),
+        int(min_pixels * 1.05),
+    )
+    max_pixels = min(ele.get("max_pixels", max_pixels), max_pixels)
+    resized_height, resized_width = smart_resize(
+        meta.height, meta.width, factor=IMAGE_FACTOR,
+        min_pixels=min_pixels, max_pixels=max_pixels,
+    )
+    frames_hwc = video_decoder.decode_frames_scaled(
+        video_path, idx, resized_width, resized_height, bicubic=True
+    )
+    video = np.ascontiguousarray(frames_hwc.transpose(0, 3, 1, 2))
+    sample_fps = nframes / max(meta.num_frames, 1e-6) * meta.fps
+    return video, sample_fps
+
+
 def extract_vision_info(conversations) -> list[dict]:
     """Collect image/video content elements from chat messages
     (reference: vision_process.py:336-351)."""

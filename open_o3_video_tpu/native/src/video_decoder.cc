@@ -88,11 +88,14 @@ int o3v_probe(const char* path, int64_t* num_frames, double* fps, int* width,
 }
 
 // Decode the given frame indices to RGB24 into `out` with shape
-// (n_indices, height, width, 3). Indices may repeat and arrive unsorted.
-// Returns 0 on success; pads with the last decoded frame when the stream
-// ends early (tolerating truncated containers).
-int o3v_decode_frames(const char* path, const int64_t* indices,
-                      int64_t n_indices, uint8_t* out, int width, int height) {
+// (n_indices, height, width, 3), scaling to (width, height) with the given
+// swscale interpolation (0 = bilinear, 1 = bicubic — used to fuse the model
+// resize into decode). Indices may repeat and arrive unsorted. Returns 0 on
+// success; pads with the last decoded frame when the stream ends early
+// (tolerating truncated containers).
+int o3v_decode_frames_scaled(const char* path, const int64_t* indices,
+                             int64_t n_indices, uint8_t* out, int width,
+                             int height, int interp) {
   OpenedVideo v;
   int rc = v.open(path);
   if (rc != 0) return rc;
@@ -115,10 +118,11 @@ int o3v_decode_frames(const char* path, const int64_t* indices,
   size_t next_target = 0;
   bool eof = false;
 
+  const int sws_flags = interp == 1 ? SWS_BICUBIC : SWS_BILINEAR;
   auto convert_frame = [&](AVFrame* f, uint8_t* dst) {
     sws = sws_getCachedContext(sws, f->width, f->height,
                                static_cast<AVPixelFormat>(f->format), width,
-                               height, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                               height, AV_PIX_FMT_RGB24, sws_flags, nullptr,
                                nullptr, nullptr);
     uint8_t* dst_data[4] = {dst, nullptr, nullptr, nullptr};
     int dst_linesize[4] = {width * 3, 0, 0, 0};
@@ -176,6 +180,13 @@ int o3v_decode_frames(const char* path, const int64_t* indices,
     std::memcpy(out + row * frame_bytes, decoded[pos].data(), frame_bytes);
   }
   return 0;
+}
+
+// Back-compat entry: decode at native size, bilinear conversion.
+int o3v_decode_frames(const char* path, const int64_t* indices,
+                      int64_t n_indices, uint8_t* out, int width, int height) {
+  return o3v_decode_frames_scaled(path, indices, n_indices, out, width,
+                                  height, 0);
 }
 
 }  // extern "C"

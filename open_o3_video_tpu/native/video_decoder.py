@@ -53,6 +53,10 @@ def _load():
         ctypes.c_int,  # height
     ]
     lib.o3v_decode_frames.restype = ctypes.c_int
+    lib.o3v_decode_frames_scaled.argtypes = lib.o3v_decode_frames.argtypes + [
+        ctypes.c_int,  # interp: 0=bilinear, 1=bicubic
+    ]
+    lib.o3v_decode_frames_scaled.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -75,18 +79,30 @@ def probe(path: str) -> VideoMeta:
 
 def decode_frames(path: str, indices: np.ndarray) -> np.ndarray:
     """Decode the given frame indices; returns (N, H, W, 3) uint8 RGB."""
-    lib = _load()
     meta = probe(path)
+    return decode_frames_scaled(path, indices, meta.width, meta.height, bicubic=False)
+
+
+def decode_frames_scaled(
+    path: str, indices: np.ndarray, width: int, height: int, bicubic: bool = True
+) -> np.ndarray:
+    """Decode + swscale-resize in one C++ pass; (N, height, width, 3) uint8.
+
+    Fuses the model resize into decode (no intermediate full-res frames).
+    swscale SWS_BICUBIC approximates the reference's PIL/torchvision bicubic.
+    """
+    lib = _load()
     idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
-    out = np.empty((len(idx), meta.height, meta.width, 3), dtype=np.uint8)
-    rc = lib.o3v_decode_frames(
+    out = np.empty((len(idx), height, width, 3), dtype=np.uint8)
+    rc = lib.o3v_decode_frames_scaled(
         path.encode(),
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(idx),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        meta.width,
-        meta.height,
+        width,
+        height,
+        1 if bicubic else 0,
     )
     if rc != 0:
-        raise IOError(f"o3v_decode_frames failed ({rc}) for {path}")
+        raise IOError(f"o3v_decode_frames_scaled failed ({rc}) for {path}")
     return out

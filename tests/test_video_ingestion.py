@@ -212,3 +212,21 @@ class TestDevicePatchify:
         padded = np.concatenate([frame, frame], axis=0)
         dev = np.asarray(patchify_device(jnp.asarray(padded)))
         np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.exists(EXAMPLE_VIDEO), reason="example video not mounted")
+class TestFetchVideoFast:
+    def test_matches_reference_path_closely(self):
+        if not V.is_native_available():
+            pytest.skip("native decoder not built")
+        from open_o3_video_tpu.data.video import fetch_video_fast
+
+        fast, fps_fast = fetch_video_fast({"video": EXAMPLE_VIDEO, "nframes": 8})
+        ref, fps_ref = V.fetch_video({"video": EXAMPLE_VIDEO, "nframes": 8},
+                                     return_video_sample_fps=True)
+        assert fast.shape == ref.shape
+        assert fast.dtype == np.uint8
+        assert fps_fast == pytest.approx(fps_ref)
+        # swscale bicubic vs PIL bicubic: close, not bit-identical
+        diff = np.abs(fast.astype(np.float32) - ref).mean()
+        assert diff < 3.0, f"mean abs pixel diff {diff}"
