@@ -29,7 +29,7 @@ import sys
 import time
 from functools import lru_cache
 from io import BytesIO
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 from PIL import Image

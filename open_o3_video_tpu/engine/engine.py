@@ -19,7 +19,7 @@ collectives.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Any, Optional, Sequence
 
 import jax

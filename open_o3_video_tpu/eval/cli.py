@@ -4,19 +4,20 @@ entry points + eval_all.sh plumbing).
   python -m open_o3_video_tpu.eval.cli vstar --model_path ... --anno ... --video_folder ...
   python -m open_o3_video_tpu.eval.cli vstar-judge --result_file ... --model_path <judge>
   python -m open_o3_video_tpu.eval.cli videomme|worldsense|videommmu --model_path ... --data_dir ...
+  python -m open_o3_video_tpu.eval.cli tvgbench --model_path ... --anno ... --video_folder ...
 """
 
 from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 import yaml
 
 DEFAULT_CONFIGS = {
     # reference: eval/config/*.yaml
     "vstar": {"temperature": 0.0, "max_tokens": 2048, "video_max_pixels": 2097152, "video_max_frames": 16},
+    "tvgbench": {"temperature": 0.0, "max_tokens": 2048, "video_max_pixels": 2097152, "video_max_frames": 16},
     "videomme": {"temperature": 0.0, "max_tokens": 8192, "video_max_pixels": 262144, "video_max_frames": 64},
     "worldsense": {"temperature": 0.0, "max_tokens": 8192, "video_max_pixels": 262144, "video_max_frames": 64},
     "videommmu": {"temperature": 0.0, "max_tokens": 8192, "video_max_pixels": 262144, "video_max_frames": 64},
@@ -45,7 +46,7 @@ def build_model(args, bench: str):
 
 def main():
     parser = argparse.ArgumentParser(description="Benchmark evaluation")
-    parser.add_argument("benchmark", choices=["vstar", "vstar-judge", "videomme", "worldsense", "videommmu"])
+    parser.add_argument("benchmark", choices=["vstar", "vstar-judge", "videomme", "worldsense", "videommmu", "tvgbench"])
     parser.add_argument("--model_path", required=True)
     parser.add_argument("--config", default=None, help="yaml overriding model kwargs")
     parser.add_argument("--anno", default=None, help="V-STAR annotation json")
@@ -99,6 +100,15 @@ def main():
             model, args.data_dir, args.output or "worldsense",
             asr_dir=args.asr_dir, add_asr=args.add_asr if args.add_asr is not None else True,
             N=args.N, vote=args.vote, think_mode=args.think_mode, limit=args.limit,
+        )
+    elif args.benchmark == "tvgbench":
+        from . import tvgbench
+
+        model = build_model(args, "tvgbench")
+        tvgbench.evaluate(
+            args.anno, args.video_folder, model,
+            args.output or "tvgbench_results.json",
+            think_mode=args.think_mode, limit=args.limit,
         )
     elif args.benchmark == "videommmu":
         from . import videommmu

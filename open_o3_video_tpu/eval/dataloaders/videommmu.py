@@ -13,7 +13,7 @@ import os
 import re
 import sys
 from collections import defaultdict
-from typing import Any, Optional
+from typing import Any
 
 from ..mcq import get_multi_choice_info, parse_multi_choice_response
 

@@ -12,7 +12,7 @@ import json
 import os
 import os.path as osp
 import random
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 

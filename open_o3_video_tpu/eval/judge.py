@@ -14,12 +14,11 @@ from __future__ import annotations
 
 import json
 import math
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import numpy as np
 
 from .metrics_vstar import (
-    IOU_THRESHOLDS,
     duration_bucket,
     spatial_metrics,
     spatial_random_baseline,
@@ -49,7 +48,7 @@ class EngineJudge:
     def __init__(self, model_dir: str, mesh=None, max_new_tokens: int = 512):
         from ..data.processor import O3VideoProcessor
         from ..engine import InferenceEngine, SamplingParams
-        from ..models.qwen25vl import Qwen25VLConfig, params as P
+        from ..models.qwen25vl import params as P
 
         params, cfg = P.load_pretrained(model_dir)
         self.cfg = cfg

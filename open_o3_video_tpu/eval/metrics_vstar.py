@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import ast
 import math
-from typing import Any, Mapping, Optional, Sequence
+from typing import Any, Mapping, Sequence
 
 import numpy as np
 

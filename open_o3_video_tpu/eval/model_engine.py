@@ -19,7 +19,7 @@ from typing import Any, Optional, Sequence
 import numpy as np
 
 from ..data.processor import O3VideoProcessor
-from ..data.video import fetch_image, fetch_video, process_vision_info
+from ..data.video import process_vision_info
 from ..engine import InferenceEngine, Request, SamplingParams
 from ..models.qwen25vl import Qwen25VLConfig
 from ..models.qwen25vl import params as P

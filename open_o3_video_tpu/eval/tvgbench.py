@@ -1,0 +1,100 @@
+"""TVGBench: temporal video grounding evaluation.
+
+EXTENSION: the reference repo mentions TVGBench in its README/results but
+ships no harness (SURVEY.md §6 — "no TVGBench harness in the repo");
+temporal grounding is otherwise exercised only through V-STAR's temporal
+chain. This harness completes the benchmark suite: items are
+{video path, query, GT [start, end] (+ optional duration)}, the model is
+prompted with the V-STAR temporal-chain prompt dialect, and scores are
+R1@{0.3, 0.5, 0.7} + mean tIoU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+from ..grounding.tags import refined_timestamps
+from .metrics_vstar import recall_at, temporal_iou
+from .vstar import inference
+
+
+def build_prompt(video_length: float, query: str, think_mode: bool = True) -> str:
+    """Same dialect as the V-STAR temporal chain (eval/vstar.py)."""
+    if think_mode:
+        return (
+            f"This video is {video_length} seconds long. "
+            "<|vision_start|><|video_pad|><|vision_end|>\n"
+            f"Answer the question about the video: {query} \n. You must first think about the "
+            "reasoning process in the mind and then provide the user with the answer. The "
+            "reasoning process and answer are enclosed within <think> </think> and "
+            "<answer> </answer> tags, respectively. The answer must follow the following "
+            "format: `From <t>start_time</t>s to <t>end_time</t>s'"
+        )
+    return (
+        f"This video is {video_length} seconds long. "
+        "<|vision_start|><|video_pad|><|vision_end|>\n"
+        f"Answer the question about the video: {query} \nDirectly output the start and end "
+        "moment timestamps. You must follow the following format: "
+        "`From <t>start_time</t>s to <t>end_time</t>s'."
+    )
+
+
+def evaluate(
+    anno_file: str,
+    video_folder: str,
+    model,
+    output_file: str,
+    *,
+    think_mode: bool = True,
+    limit: Optional[int] = None,
+) -> dict[str, float]:
+    """anno_file: JSON list of {video|video_path, query|question,
+    timestamps: [s, e], duration?}. Returns the score block."""
+    with open(anno_file) as f:
+        items = json.load(f)
+    if limit:
+        items = items[:limit]
+
+    t0 = time.time()
+    ious: list[float] = []
+    results = []
+    for i, item in enumerate(items):
+        rel = item.get("video_path") or item.get("video")
+        video_path = rel if os.path.isabs(rel) else os.path.join(video_folder, rel)
+        if not os.path.exists(video_path):
+            print(f"Warning: video not found: {video_path}, skipping")
+            continue
+        query = item.get("query") or item.get("question")
+        duration = item.get("duration")
+        if duration is None:
+            from ..native import video_decoder
+
+            try:
+                meta = video_decoder.probe(video_path)
+                duration = meta.num_frames / meta.fps
+            except Exception:
+                duration = 0.0
+        prompt = build_prompt(round(float(duration), 2), query, think_mode)
+        raw, _, _ = inference(video_path, prompt, model)
+        pred = refined_timestamps(raw)
+        iou = temporal_iou(item["timestamps"], pred) if pred else 0.0
+        ious.append(iou)
+        results.append({**item, "prediction_raw": raw, "prediction": pred, "tIoU": iou})
+        print(f"{i + 1}/{len(items)} tIoU={iou:.3f}")
+
+    scores = {
+        "R1@0.3": recall_at(ious, 0.3),
+        "R1@0.5": recall_at(ious, 0.5),
+        "R1@0.7": recall_at(ious, 0.7),
+        "mIoU": float(np.mean(ious)) if ious else 0.0,
+        "num_items": len(ious),
+    }
+    with open(output_file, "w") as f:
+        json.dump({"scores": scores, "results": results}, f, indent=2)
+    print(f"TVGBench done in {time.time() - t0:.1f}s: {scores}")
+    return scores

@@ -13,7 +13,7 @@ is rasterized with PIL and assembled with imageio.
 from __future__ import annotations
 
 import re
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import numpy as np
 

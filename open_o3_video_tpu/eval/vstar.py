@@ -14,7 +14,7 @@ import json
 import math
 import os
 import re
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -7,7 +7,6 @@ table.
 
 from __future__ import annotations
 
-import json
 import time
 from typing import Optional
 

@@ -15,7 +15,7 @@ on the MXU.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Sequence
 
 import jax

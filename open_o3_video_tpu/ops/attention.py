@@ -15,7 +15,7 @@ Two call patterns in the model:
 from __future__ import annotations
 
 import os
-from functools import partial
+
 from typing import Optional
 
 import jax

@@ -10,8 +10,7 @@ labels (pad + visual tokens -> -100, sft_multi_task.py:387-398).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -48,7 +48,6 @@ def main():
 
     from ..data.processor import O3VideoProcessor
     from ..data.sft_dataset import collate_sft, load_sft_dataset, prepare_sft_example
-    from ..models.qwen25vl import Qwen25VLConfig
     from ..models.qwen25vl import params as P
     from ..parallel import make_mesh, shard_params
     from ..utils.metrics import MetricsBus

@@ -11,7 +11,6 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import defaultdict
-from typing import Optional
 
 
 @contextlib.contextmanager

@@ -31,6 +31,10 @@ python -m open_o3_video_tpu.eval.cli vstar-judge \
 #     --asr_dir "${DATA_DIR}/worldsense/asr" \
 #     --N 1 --vote majority_voting --output "${OUT_DIR}/worldsense"
 #
+# python -m open_o3_video_tpu.eval.cli tvgbench \
+#     --model_path "${MODEL_PATH}" --anno "${DATA_DIR}/tvgbench/annotations.json" \
+#     --video_folder "${DATA_DIR}/tvgbench/videos" --output "${OUT_DIR}/tvgbench_results.json"
+#
 # python -m open_o3_video_tpu.eval.cli videommmu \
 #     --model_path "${MODEL_PATH}" --data_dir "${DATA_DIR}/videommmu" \
 #     --N 1 --vote majority_voting --output "${OUT_DIR}/videommmu_results.json"

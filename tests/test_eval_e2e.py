@@ -24,9 +24,12 @@ class ScriptedModel:
     """Answers every item with a grounded <think>/<answer> trace."""
 
     def __init__(self, answer="A"):
+        from open_o3_video_tpu.data.processor import O3VideoProcessor
+
         self.answer = answer
         self.video_max_frames = 4
         self.video_max_pixels = 64 * 28 * 28
+        self.processor = O3VideoProcessor()
 
     def __call__(self, video_paths, queries, query_image):
         text = (
@@ -153,3 +156,27 @@ def test_videommmu_end_to_end(videommmu_root, tmp_path):
     assert {r["category"] for r in saved["results"]} == {
         "Perception", "Comprehension", "Adaptation"
     }
+
+
+def test_tvgbench_end_to_end(tmp_path):
+    from open_o3_video_tpu.eval import tvgbench
+
+    anno = [
+        {"video": "example_video.mp4", "query": "when does the ball roll?",
+         "timestamps": [2.0, 8.0], "duration": 22.0},
+    ]
+    anno_file = tmp_path / "tvg.json"
+    anno_file.write_text(json.dumps(anno))
+
+    class TemporalModel(ScriptedModel):
+        def inference_wo_process(self, inputs):
+            return "<think><t>3</t>s</think><answer>From <t>2.0</t>s to <t>8.0</t>s</answer>"
+
+    out_file = str(tmp_path / "tvg_out.json")
+    scores = tvgbench.evaluate(anno_file=str(anno_file),
+                               video_folder="/root/reference/eval",
+                               model=TemporalModel(), output_file=out_file)
+    assert scores["mIoU"] == pytest.approx(1.0)
+    assert scores["R1@0.7"] == 1.0
+    saved = json.load(open(out_file))
+    assert saved["results"][0]["prediction"] == [2.0, 8.0]
