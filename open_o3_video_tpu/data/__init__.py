@@ -1,6 +1,7 @@
 """Host-side data plane: video decode, frame sampling, smart resize, datasets."""
 
 from .video import (
+    fetch_video_fast,
     smart_resize,
     smart_nframes,
     fetch_image,

@@ -5,8 +5,11 @@ The TPU replacement for the vLLM engine the reference wraps
 
 - requests are left-padded into static length buckets (shape stability ==
   one XLA program per bucket, reused across calls)
-- vision towers run per-request (grids differ), text prefill runs batched
-- decode is a jitted single-token step against a preallocated KV buffer
+- vision towers run per-request as cached jitted programs (one per grid
+  configuration); raw uint8 frames can upload in place of f32 patches with
+  normalize+patchify fused on-device
+- decode is ONE fused lax.while_loop device program for the whole
+  completion, with early exit once every row has emitted EOS
 - sampling: temperature / top-p / repetition-penalty 1.05 (vLLM semantics)
 - EOS handling mirrors the reference trainer's mask-after-first-EOS
   (grpo_trainer.py:591-596)

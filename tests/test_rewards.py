@@ -296,3 +296,75 @@ def test_differential_vs_reference(fn_name, takes_answer, task):
     assert ours == pytest.approx(theirs, abs=1e-9), (
         f"{fn_name} diverged on task={task}: ours={ours} ref={theirs}"
     )
+
+
+@pytest.mark.skipif(REF is None, reason="reference repo not mounted")
+@pytest.mark.parametrize("seed", range(6))
+def test_differential_heterogeneous_fuzz(seed):
+    """Broader fuzz: varying keyframe counts, multi-box claims, multi-object
+    key_items, mismatched image sizes, MCQ answer variants."""
+    import copy
+
+    rng = random.Random(1000 + seed)
+    task = rng.choice(ALL_TASKS)
+    n = 8
+
+    def boxes_block():
+        return "".join(
+            f"<box>[{rng.randint(0, 40)},{rng.randint(0, 40)},{rng.randint(41, 99)},{rng.randint(41, 99)}]</box>"
+            for _ in range(rng.randint(1, 3))
+        )
+
+    def completion():
+        think = []
+        for _ in range(rng.randint(0, 4)):
+            roll = rng.random()
+            if roll < 0.5:
+                think.append(f"<obj>o{rng.randint(0, 2)}</obj>{boxes_block()}at<t>{round(rng.uniform(-2, 20), 1)}</t>s")
+            elif roll < 0.8:
+                think.append(f"at <t>{round(rng.uniform(0, 20), 1)}</t>s")
+            else:
+                think.append("plain")
+        ans = rng.choice([
+            f"From <t>{rng.randint(0, 6)}</t>s to <t>{rng.randint(3, 20)}</t>s",
+            rng.choice("ABCD") + rng.choice(["", ".", ")"]),
+            f"From <t>1</t>s to <t>5</t>s.\nCorrect Option: {rng.choice('ABCD')}",
+            "<obj>cat</obj><box>[5,5,25,25]</box>",
+            "the quick brown fox jumps",
+            "",
+        ])
+        return [{"role": "assistant", "content": f"<think>{' '.join(think)}</think><answer>{ans}</answer>"}]
+
+    n_kf = rng.randint(1, 4)
+    key_frames = [{"time": round(rng.uniform(0, 15), 1), "idx": i} for i in range(n_kf)]
+    key_items = {
+        str(i): {
+            f"obj{j}": [[round(rng.uniform(0, 0.4), 2), round(rng.uniform(0, 0.4), 2),
+                         round(rng.uniform(0.5, 1.0), 2), round(rng.uniform(0.5, 1.0), 2)]
+                        for _ in range(rng.randint(1, 2))]
+            for j in range(rng.randint(1, 3))
+        }
+        for i in range(n_kf)
+    }
+    answers = {
+        "visual QA": f"<obj>cat</obj><box>[{rng.randint(0, 20)},{rng.randint(0, 20)},{rng.randint(30, 90)},{rng.randint(30, 90)}]</box>",
+        "temporal QA": f"[{round(rng.uniform(0, 5), 1)}, {round(rng.uniform(6, 20), 1)}]",
+        "temporal QA (MCQ)": f"{rng.choice('ABCD')}\n[{round(rng.uniform(0, 5), 1)}, {round(rng.uniform(6, 20), 1)}]",
+        "temporal-spatial free-form QA": "the quick brown fox",
+        "General video QA MCQ": rng.choice("ABCD"),
+        "General video QA Free-form": "the quick brown fox",
+    }
+    completions = [completion() for _ in range(n)]
+    kwargs = dict(
+        task=[task] * n,
+        answer=[answers[task]] * n,
+        key_frames=[key_frames] * n,
+        key_items=[key_items] * n,
+        image_size=[(rng.choice([100, 224, 640]), rng.choice([100, 180, 480]))] * n,
+        image_size_refine=[(rng.choice([112, 196]), rng.choice([84, 140]))] * n,
+        step_percent=[rng.random()] * n,
+    )
+    for fn_name, _ in PAIRS:
+        ours = getattr(R, fn_name)(completions=copy.deepcopy(completions), **copy.deepcopy(kwargs))
+        theirs = getattr(REF, fn_name)(completions=copy.deepcopy(completions), **copy.deepcopy(kwargs))
+        assert ours == pytest.approx(theirs, abs=1e-9), (fn_name, task, seed)
