@@ -157,3 +157,74 @@ def collate_sft(
         "grid_thw": proc.grid_thw,
         "vision_token_id": model_cfg.image_token_id,
     }
+
+
+def pack_sft_batch(
+    singles: list[dict[str, Any]],
+    model_cfg,
+    *,
+    pad_multiple: int = 64,
+) -> dict[str, Any]:
+    """Pad per-example collates into one global DP batch.
+
+    The TPU-native replacement for the reference's 8-process DDP step
+    (per_device_train_batch_size x world_size, run_sft_video.sh:13): B rows,
+    right-padded to a shared length bucket, vision patches concatenated in
+    row order with an explicit row-index map so the scatter stays static.
+    """
+    from ..models.qwen25vl import build_vision_row_index
+
+    B = len(singles)
+    lens = [s["input_ids"].shape[1] for s in singles]
+    L = -(-max(lens) // pad_multiple) * pad_multiple
+    pad_id = model_cfg.pad_token_id
+
+    ids = np.full((B, L), pad_id, dtype=np.int64)
+    labels = np.full((B, L), IGNORE_INDEX, dtype=np.int64)
+    attn_valid = np.zeros((B, L), dtype=bool)
+    pos = np.ones((3, B, L), dtype=np.int64)  # HF keeps pad positions at 1
+    patch_list, grid_list, offsets = [], [], []
+    n_merged = 0
+    for b, s in enumerate(singles):
+        n = lens[b]
+        ids[b, :n] = s["input_ids"][0]
+        labels[b, :n] = s["labels"][0]
+        attn_valid[b, :n] = True
+        pos[:, b, :n] = s["position_ids"][:, 0]
+        offsets.append(n_merged)
+        if s.get("pixel_patches") is not None:
+            patch_list.append(np.asarray(s["pixel_patches"]))
+            grid_list.append(np.asarray(s["grid_thw"]))
+            n_merged += patch_list[-1].shape[0] // model_cfg.vision.merge_unit
+
+    batch: dict[str, Any] = {
+        "input_ids": ids,
+        "labels": labels,
+        "position_ids": pos,
+        "attn_valid": attn_valid,
+    }
+    if patch_list:
+        tok = model_cfg.image_token_id
+        batch["pixel_patches"] = np.concatenate(patch_list, axis=0)
+        batch["grid_thw"] = np.concatenate(grid_list, axis=0)
+        batch["vision_token_id"] = tok
+        batch["vision_row_index"] = build_vision_row_index(ids, tok, offsets)
+    return batch
+
+
+def collate_sft_batch(
+    examples: list[dict[str, Any]],
+    processor: O3VideoProcessor,
+    model_cfg,
+    data_root: str,
+    *,
+    nframes: Optional[int] = None,
+    pad_multiple: int = 64,
+) -> dict[str, Any]:
+    """B prepared examples -> one padded global batch (DP over the mesh
+    ``data`` axis; see pack_sft_batch)."""
+    singles = [
+        collate_sft(ex, processor, model_cfg, data_root, nframes=nframes)
+        for ex in examples
+    ]
+    return pack_sft_batch(singles, model_cfg, pad_multiple=pad_multiple)

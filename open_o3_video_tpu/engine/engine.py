@@ -253,24 +253,31 @@ class InferenceEngine:
         # order == sequence order); padded slots are excluded via attn_valid.
         seq_positions = np.broadcast_to(np.arange(L, dtype=np.int64), (B, L))
 
-        # Embed + scatter vision features per request.
+        # Embed + scatter vision features per request. Requests sharing the
+        # same pixel data (e.g. the G rollout copies of one RL prompt) are
+        # encoded once per call.
         embeds = embed_tokens(self.params, jnp.asarray(ids))
+        vis_cache: dict = {}
         for i, r in enumerate(requests):
             if r.pixel_patches is None and r.frames is None:
                 continue
-            if r.frames is not None:
-                patches_dev = self._frames_to_patches(r.frames)
-            else:
-                patches_dev = jnp.asarray(r.pixel_patches)
-            # One jitted vision program per grid configuration — the eager
-            # path would issue hundreds of device dispatches per request.
             grid = np.asarray(r.grid_thw)
             grid_key = tuple(map(tuple, grid.tolist()))
-            if grid_key not in self._vision_fns:
-                self._vision_fns[grid_key] = jax.jit(
-                    lambda p, x, g=grid: encode_vision(p, cfg, x, g)
-                )
-            vis = self._vision_fns[grid_key](self.params, patches_dev)
+            vis_key = (id(r.pixel_patches), id(r.frames), grid_key)
+            vis = vis_cache.get(vis_key)
+            if vis is None:
+                if r.frames is not None:
+                    patches_dev = self._frames_to_patches(r.frames)
+                else:
+                    patches_dev = jnp.asarray(r.pixel_patches)
+                # One jitted vision program per grid configuration — the eager
+                # path would issue hundreds of device dispatches per request.
+                if grid_key not in self._vision_fns:
+                    self._vision_fns[grid_key] = jax.jit(
+                        lambda p, x, g=grid: encode_vision(p, cfg, x, g)
+                    )
+                vis = self._vision_fns[grid_key](self.params, patches_dev)
+                vis_cache[vis_key] = vis
             row = merge_vision_embeddings(
                 cfg,
                 jnp.asarray(ids[i : i + 1]),

@@ -7,15 +7,23 @@ in ``params.py``.
 """
 
 from .config import Qwen25VLConfig, TextConfig, VisionConfig
-from .model import forward, encode_vision, get_rope_index
+from .model import (
+    build_vision_row_index,
+    encode_vision,
+    forward,
+    get_rope_index,
+    merge_vision_embeddings_by_index,
+)
 from . import params
 
 __all__ = [
     "Qwen25VLConfig",
     "TextConfig",
     "VisionConfig",
+    "build_vision_row_index",
     "forward",
     "encode_vision",
     "get_rope_index",
+    "merge_vision_embeddings_by_index",
     "params",
 ]

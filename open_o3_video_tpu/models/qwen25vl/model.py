@@ -145,6 +145,42 @@ def merge_vision_embeddings(
     return out.reshape(inputs_embeds.shape)
 
 
+def merge_vision_embeddings_by_index(
+    inputs_embeds: jnp.ndarray,  # (B, S, D)
+    vision_embeds: jnp.ndarray,  # (num_vision_tokens, D)
+    vision_row_index: jnp.ndarray,  # (B, S) int32; -1 for non-vision positions
+) -> jnp.ndarray:
+    """Scatter vision rows into token slots via an explicit index map.
+
+    Unlike the cumsum-rank merge above, the mapping is supplied by the host,
+    so several batch rows can SHARE vision rows — e.g. the G generations of
+    one RL prompt reuse a single vision encoding instead of tiling pixel
+    values xG as the reference does (grpo_trainer.py:601-609)."""
+    flat_idx = vision_row_index.reshape(-1)
+    flat = inputs_embeds.reshape(-1, inputs_embeds.shape[-1])
+    gathered = vision_embeds[jnp.clip(flat_idx, 0, vision_embeds.shape[0] - 1)]
+    out = jnp.where((flat_idx >= 0)[:, None], gathered.astype(flat.dtype), flat)
+    return out.reshape(inputs_embeds.shape)
+
+
+def build_vision_row_index(
+    input_ids: np.ndarray,  # (B, S) host array
+    token_id: int,
+    row_offsets: Sequence[Optional[int]],  # per row: vision-table offset, or
+    # None for rows whose placeholders must NOT be mapped (degraded samples
+    # running text-only — their placeholder tokens keep text embeddings).
+) -> np.ndarray:
+    """Host-side (B, S) int32 map: n-th placeholder of row b -> row_offsets[b]+n."""
+    B, S = input_ids.shape
+    idx = np.full((B, S), -1, dtype=np.int32)
+    for b in range(B):
+        if row_offsets[b] is None:
+            continue
+        pos = np.where(input_ids[b] == token_id)[0]
+        idx[b, pos] = row_offsets[b] + np.arange(len(pos), dtype=np.int32)
+    return idx
+
+
 def forward(
     params: dict,
     cfg: Qwen25VLConfig,
@@ -154,6 +190,7 @@ def forward(
     pixel_patches: Optional[jnp.ndarray] = None,
     grid_thw: Optional[np.ndarray] = None,
     vision_token_id: Optional[int] = None,
+    vision_row_index: Optional[jnp.ndarray] = None,
     attn_valid: Optional[jnp.ndarray] = None,
     cache: Optional[dict] = None,
     cache_offset=0,
@@ -165,8 +202,11 @@ def forward(
     embeds = embed_tokens(params, input_ids)
     if pixel_patches is not None:
         vis = encode_vision(params, cfg, pixel_patches, grid_thw)
-        tok = vision_token_id if vision_token_id is not None else cfg.image_token_id
-        embeds = merge_vision_embeddings(cfg, input_ids, embeds, vis, tok)
+        if vision_row_index is not None:
+            embeds = merge_vision_embeddings_by_index(embeds, vis, vision_row_index)
+        else:
+            tok = vision_token_id if vision_token_id is not None else cfg.image_token_id
+            embeds = merge_vision_embeddings(cfg, input_ids, embeds, vis, tok)
     hidden, new_cache = text_forward(
         params["text"],
         cfg.text,

@@ -90,11 +90,6 @@ def causal_attention(
     mask = jnp.where(mask.any(axis=-1, keepdims=True), mask, self_mask)
     mask = mask[:, None, :, :]  # (B, 1, S, T)
 
-    if impl == "pallas":
-        from .flash_attention import flash_attention_gqa
-
-        return flash_attention_gqa(q, k, v, mask=mask)
-
     # XLA fused path: f32 logits, grouped kv broadcast.
     if Hq != Hkv:
         group = Hq // Hkv

@@ -110,11 +110,40 @@ def main():
         trainer.params, trainer.opt_state = state["params"], state["opt_state"]
         print(f"Resumed from step {start_step}")
 
+    # One prompt per data replica per step (reference: 1 prompt/GPU x 8,
+    # run_grpo_video.sh:11); prompts = B, sequences = B x num_generations.
+    n_prompts = mesh.shape["data"] if mesh is not None else 1
+
     step = start_step
+    cursor = start_step * n_prompts
+    last_good_sample = None
+    n_degraded = 0
     while step < total_steps:
-        example = dataset[step % len(dataset)]
-        sample = prepare_rl_sample(example, processor, args.data_root, nframes=args.nframes)
-        trainer.step(sample, global_step=step, max_steps=total_steps)
+        batch_samples = []
+        for _ in range(n_prompts):
+            example = dataset[cursor % len(dataset)]
+            cursor += 1
+            try:
+                sample = prepare_rl_sample(
+                    example, processor, args.data_root, nframes=args.nframes
+                )
+                last_good_sample = sample
+            except Exception as e:
+                # Degraded recompute (reference "using fixed data",
+                # grpo_trainer.py:452-465): substitute the last good sample
+                # rather than killing the run.
+                n_degraded += 1
+                print(f"[warn] sample prep failed at step {step} ({e!r}); using fixed data")
+                if last_good_sample is None:
+                    continue
+                sample = last_good_sample
+            batch_samples.append(sample)
+        if not batch_samples:
+            step += 1
+            continue
+        while len(batch_samples) < n_prompts:  # keep B == data-axis size
+            batch_samples.append(batch_samples[0])
+        trainer.step_batch(batch_samples, global_step=step, max_steps=total_steps)
         step += 1
         if step % cfg.logging_steps == 0:
             metrics.flush(step)

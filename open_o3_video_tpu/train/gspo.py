@@ -77,11 +77,13 @@ def make_logps_fn(model_cfg: Qwen25VLConfig):
 
     def build(grid_thw, vision_token_id):
         @jax.jit
-        def fn(params, input_ids, position_ids, pixel_patches, attn_valid):
+        def fn(params, input_ids, position_ids, pixel_patches, attn_valid,
+               vision_row_index=None):
             logits, _ = forward(
                 params, model_cfg, input_ids, position_ids,
                 pixel_patches=pixel_patches, grid_thw=grid_thw,
                 vision_token_id=vision_token_id, attn_valid=attn_valid,
+                vision_row_index=vision_row_index,
             )
             logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
             tgt = input_ids[:, 1:]
@@ -106,12 +108,14 @@ def gspo_loss(
     pixel_patches: Optional[jnp.ndarray] = None,
     grid_thw=None,
     vision_token_id: Optional[int] = None,
+    vision_row_index: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """The GSPO objective (grpo_trainer.py:634-706)."""
     logits, _ = forward(
         params, model_cfg, input_ids, position_ids,
         pixel_patches=pixel_patches, grid_thw=grid_thw,
         vision_token_id=vision_token_id, attn_valid=attn_valid,
+        vision_row_index=vision_row_index,
     )
     logp_all = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     token_logps = jnp.take_along_axis(logp_all, input_ids[:, 1:][..., None], axis=-1)[..., 0]
@@ -194,31 +198,89 @@ class GSPOTrainer:
 
     # ---------------------------------------------------------------- public
 
+    def _degrade_invalid_vision(self, sample: dict[str, Any]) -> dict[str, Any]:
+        """Strip vision from a sample whose tensors are inconsistent."""
+        if sample.get("grid_thw") is None:
+            return sample
+        mcfg = self.model_cfg
+        try:
+            grid = np.asarray(sample["grid_thw"])
+            patches = np.asarray(sample["pixel_patches"])
+            expected = int(grid.prod(axis=1).sum())
+            tok = sample.get("vision_token_id", mcfg.image_token_id)
+            n_placeholders = sum(
+                1 for t in sample["input_ids"] if t == tok
+            )
+            ok = (
+                patches.shape[0] == expected
+                and n_placeholders == expected // mcfg.vision.merge_unit
+            )
+        except Exception:
+            ok = False
+        if ok:
+            return sample
+        print("[warn] inconsistent vision tensors; degrading sample to text-only")
+        out = dict(sample)
+        out["pixel_patches"] = None
+        out["grid_thw"] = None
+        out["vision_token_id"] = None
+        return out
+
     def step(self, sample: dict[str, Any], global_step: int, max_steps: int) -> dict[str, float]:
+        """One prompt (the reference's bs=1/device path)."""
+        return self.step_batch([sample], global_step, max_steps)
+
+    def step_batch(
+        self, samples: Sequence[dict[str, Any]], global_step: int, max_steps: int
+    ) -> dict[str, float]:
+        """One GSPO update over ``B = len(samples)`` prompts x G generations.
+
+        The TPU-native replacement for the reference's 8-process DDP step
+        (1 prompt/GPU, run_grpo_video.sh:11): all B*G sequences form one
+        global batch sharded over the mesh ``data`` axis; XLA GSPMD inserts
+        the gradient psum (== NCCL all-reduce) and the returned metrics are
+        means over every replica (== accelerator.gather_for_metrics,
+        grpo_trainer.py:711-738). Vision is encoded ONCE per prompt and
+        shared across its G rows via an explicit row-index merge — the
+        reference instead tiles pixel_values xG (grpo_trainer.py:601-609).
+        """
         cfg, mcfg = self.cfg, self.model_cfg
         from ..engine import Request, SamplingParams
 
         G = cfg.num_generations
-        prompt_ids = list(sample["input_ids"])[-cfg.max_prompt_length :]
-        # Left-pad the prompt to a length bucket so the jitted logp/update
-        # programs are reused across prompts instead of recompiling per
-        # length (pads are masked via attn_valid; positions recomputed).
-        bucket = 256
-        Lp_real = len(prompt_ids)
-        Lp_pad = -(-Lp_real // bucket) * bucket
-        n_left_pad = Lp_pad - Lp_real
-        prompt_ids_padded = [self.model_cfg.pad_token_id] * n_left_pad + prompt_ids
+        B = len(samples)
+        R = B * G  # total sequence rows
+        if self.mesh is not None:
+            dsize = self.mesh.shape["data"]
+            assert R % dsize == 0, f"B*G={R} not divisible by data axis {dsize}"
 
-        # 1. rollout
-        req = Request(
-            input_ids=prompt_ids,
-            pixel_patches=sample.get("pixel_patches"),
-            grid_thw=sample.get("grid_thw"),
-            vision_token_id=sample.get("vision_token_id"),
-        )
+        # Degrade invalid vision BEFORE the rollout (reference absorbs vision
+        # failures per step and falls back to no-vision forwards,
+        # grpo_trainer.py:452-465, 611-632): a sample whose patch count
+        # disagrees with its grid or placeholder count runs as text-only
+        # instead of killing the step.
+        samples = [self._degrade_invalid_vision(s) for s in samples]
+
+        # Left-pad every prompt to a common length bucket so the jitted
+        # logp/update programs are reused across steps (pads are masked via
+        # attn_valid; positions recomputed with the mask).
+        bucket = 256
+        prompts = [list(s["input_ids"])[-cfg.max_prompt_length :] for s in samples]
+        Lp = -(-max(len(p) for p in prompts) // bucket) * bucket
+
+        # 1. rollout — ONE batched engine call for all B*G sequences
+        reqs = []
+        for s, p in zip(samples, prompts):
+            req = Request(
+                input_ids=p,
+                pixel_patches=s.get("pixel_patches"),
+                grid_thw=s.get("grid_thw"),
+                vision_token_id=s.get("vision_token_id"),
+            )
+            reqs.extend([req] * G)
         self.engine.params = self.params  # rollouts always use latest policy
         outs = self.engine.generate(
-            [req] * G,
+            reqs,
             SamplingParams(
                 temperature=cfg.temperature,
                 top_p=cfg.top_p,
@@ -234,79 +296,157 @@ class GSPOTrainer:
         # 2. rewards on host (dataset columns repeated per generation,
         #    grpo_trainer.py:650-655; step_percent drives adaptive sigma :467-469)
         step_percent = (global_step + 1) / max_steps
+        keys = set()
+        for s in samples:
+            keys.update(s.get("reward_kwargs", {}).keys())
         reward_kwargs = {
-            key: [value] * G for key, value in sample.get("reward_kwargs", {}).items()
+            key: [s.get("reward_kwargs", {}).get(key) for s in samples for _ in range(G)]
+            for key in keys
         }
-        reward_kwargs["step_percent"] = [step_percent] * G
-        rewards_per_func = np.zeros((G, len(self.reward_funcs)), dtype=np.float32)
+        reward_kwargs["step_percent"] = [step_percent] * R
+        rewards_per_func = np.zeros((R, len(self.reward_funcs)), dtype=np.float32)
         for i, fn in enumerate(self.reward_funcs):
             rewards_per_func[:, i] = np.asarray(
                 fn(completions=completions, **reward_kwargs), dtype=np.float32
             )
         rewards = rewards_per_func.sum(axis=1)
-        advantages = group_advantages(rewards, G)
+        advantages = group_advantages(rewards, G)  # group-local per prompt
 
         # 3. pack (left-padded prompt)+completion, right padding after EOS
         Lc = cfg.max_completion_length
-        Lp = Lp_pad
         total = Lp + Lc
-        ids = np.full((G, total), mcfg.pad_token_id, dtype=np.int64)
-        attn_valid = np.zeros((G, total), dtype=bool)
-        comp_ids = np.full((G, Lc), mcfg.pad_token_id, dtype=np.int64)
-        for g in range(G):
-            ids[g, :Lp] = prompt_ids_padded
-            n = min(len(completions_ids[g]), Lc)
-            ids[g, Lp : Lp + n] = completions_ids[g][:n]
-            attn_valid[g, n_left_pad : Lp + n] = True
-            comp_ids[g, :n] = completions_ids[g][:n]
+        ids = np.full((R, total), mcfg.pad_token_id, dtype=np.int64)
+        attn_valid = np.zeros((R, total), dtype=bool)
+        comp_ids = np.full((R, Lc), mcfg.pad_token_id, dtype=np.int64)
+        for r in range(R):
+            p = prompts[r // G]
+            n_left = Lp - len(p)
+            ids[r, n_left:Lp] = p
+            n = min(len(completions_ids[r]), Lc)
+            ids[r, Lp : Lp + n] = completions_ids[r][:n]
+            attn_valid[r, n_left : Lp + n] = True
+            comp_ids[r, :n] = completions_ids[r][:n]
         completion_mask = completion_mask_after_eos(comp_ids, mcfg.eos_token_id)
         # tokens past each row's real completion are masked regardless of EOS
-        for g in range(G):
-            completion_mask[g, len(completions_ids[g]) :] = 0
+        for r in range(R):
+            completion_mask[r, len(completions_ids[r]) :] = 0
 
-        from ..models.qwen25vl import get_rope_index
+        # 4. vision: concat UNIQUE patches across prompts; every row of a
+        #    prompt maps its placeholders to the same vision rows.
+        from ..models.qwen25vl import build_vision_row_index, get_rope_index
 
-        kw = {}
-        if sample.get("grid_thw") is not None:
-            key = (
-                "video_grid_thw"
-                if sample.get("vision_token_id") == mcfg.video_token_id
-                else "image_grid_thw"
+        vis_samples = [s for s in samples if s.get("grid_thw") is not None]
+        vis_toks = {s.get("vision_token_id") for s in vis_samples}
+        assert len(vis_toks) <= 1, "mixed vision token ids in one batch"
+        vis_tok = next(iter(vis_toks)) if vis_toks else None
+
+        patches = grid = vision_row_index = None
+        if vis_samples:
+            patch_list, grid_list, offsets = [], [], []
+            n_merged = 0
+            for s in samples:
+                if s.get("grid_thw") is not None:
+                    offsets.append(n_merged)
+                    patch_list.append(np.asarray(s["pixel_patches"]))
+                    grid_list.append(np.asarray(s["grid_thw"]))
+                    n_merged += patch_list[-1].shape[0] // mcfg.vision.merge_unit
+                else:
+                    offsets.append(None)  # text-only/degraded: no mapping
+            patches = np.concatenate(patch_list, axis=0)
+            grid = np.concatenate(grid_list, axis=0)
+            row_offsets = [offsets[r // G] for r in range(R)]
+            vision_row_index = build_vision_row_index(ids, vis_tok, row_offsets)
+
+        # Positions: vision rows consume their grids in row order; text-only
+        # (incl. degraded) rows take sequential text positions even if
+        # placeholder tokens remain — matching the reference's no-vision
+        # fallback, where HF computes rope without grid kwargs.
+        amask = attn_valid.astype(np.int64)
+        has_vis = [samples[r // G].get("grid_thw") is not None for r in range(R)]
+        if all(has_vis):
+            tiled = [np.asarray(s["grid_thw"]) for s in samples for _ in range(G)]
+            key = "video_grid_thw" if vis_tok == mcfg.video_token_id else "image_grid_thw"
+            position_ids, _ = get_rope_index(
+                mcfg, ids, attention_mask=amask, **{key: np.concatenate(tiled, axis=0)}
             )
-            kw[key] = np.asarray(sample["grid_thw"])
-        position_ids, _ = get_rope_index(
-            mcfg, ids, attention_mask=attn_valid.astype(np.int64), **kw
-        )
+        elif not any(has_vis):
+            position_ids, _ = get_rope_index(mcfg, ids, attention_mask=amask)
+        else:
+            position_ids = np.ones((3, R, total), dtype=np.int64)
+            vr = [r for r in range(R) if has_vis[r]]
+            tr_ = [r for r in range(R) if not has_vis[r]]
+            tiled = [
+                np.asarray(samples[r // G]["grid_thw"]) for r in vr
+            ]
+            key = "video_grid_thw" if vis_tok == mcfg.video_token_id else "image_grid_thw"
+            pos_v, _ = get_rope_index(
+                mcfg, ids[vr], attention_mask=amask[vr],
+                **{key: np.concatenate(tiled, axis=0)},
+            )
+            position_ids[:, vr] = pos_v
+            pos_t, _ = get_rope_index(mcfg, ids[tr_], attention_mask=amask[tr_])
+            position_ids[:, tr_] = pos_t
 
-        patches = sample.get("pixel_patches")
-        grid = sample.get("grid_thw")
-        vis_tok = sample.get("vision_token_id")
+        # 5. device placement — shard the batch over the data axis
+        def put(x, spec):
+            if x is None:
+                return None
+            x = jnp.asarray(x)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P_
 
-        # 4. reference logps (frozen params, no grad)
-        logps_key = (None if grid is None else tuple(map(tuple, np.asarray(grid).tolist())), vis_tok, total)
+                return jax.device_put(x, NamedSharding(self.mesh, P_(*spec)))
+            return x
+
+        batch_spec = ("data",)
+        ids_d = put(ids, batch_spec)
+        pos_d = put(position_ids, (None, "data"))
+        valid_d = put(attn_valid, batch_spec)
+        cmask_d = put(completion_mask, batch_spec)
+        adv_d = put(advantages, batch_spec)
+        vri_d = put(vision_row_index, batch_spec)
+        patches_d = put(patches, (None,))  # replicated: ragged across prompts
+
+        # 6. reference logps (frozen params, no grad); on failure retry
+        #    without vision kwargs (reference degraded recompute,
+        #    grpo_trainer.py:611-632).
+        grid_key = None if grid is None else tuple(map(tuple, grid.tolist()))
+        logps_key = (grid_key, vis_tok, total, R)
         if ("logps", logps_key) not in self._step_fns:
             self._step_fns[("logps", logps_key)] = make_logps_fn(mcfg)(grid, vis_tok)
         logps_fn = self._step_fns[("logps", logps_key)]
-        ref_logps = logps_fn(
-            self.ref_params,
-            jnp.asarray(ids),
-            jnp.asarray(position_ids),
-            None if patches is None else jnp.asarray(patches),
-            jnp.asarray(attn_valid),
-        )[:, Lp - 1 :]
+        try:
+            ref_logps = logps_fn(
+                self.ref_params, ids_d, pos_d, patches_d, valid_d, vri_d
+            )[:, Lp - 1 :]
+            use_vision = patches is not None
+        except Exception as e:  # degraded recompute: drop vision kwargs
+            print(f"logps with vision failed ({e}); retrying without vision")
+            nv_key = (None, None, total, R)
+            if ("logps", nv_key) not in self._step_fns:
+                self._step_fns[("logps", nv_key)] = make_logps_fn(mcfg)(None, None)
+            logps_fn = self._step_fns[("logps", nv_key)]
+            ref_logps = logps_fn(self.ref_params, ids_d, pos_d, None, valid_d, None)[
+                :, Lp - 1 :
+            ]
+            use_vision = False
+            logps_key = nv_key
 
-        # 5. loss + update (jitted per shape bucket)
-        upd_key = ("update", logps_key)
+        # 7. loss + update (jitted per shape bucket)
+        upd_key = ("update", logps_key, Lp)
         if upd_key not in self._step_fns:
+            g_ = grid if use_vision else None
+            vt_ = vis_tok if use_vision else None
 
             @jax.jit
             def update_fn(params, opt_state, ids, position_ids, attn_valid,
-                          completion_mask, ref_logps, advantages, patches):
+                          completion_mask, ref_logps, advantages, patches, vri):
                 (loss, aux), grads = jax.value_and_grad(
                     lambda p: gspo_loss(
                         p, mcfg, cfg, ids, position_ids, attn_valid,
                         completion_mask, Lp, ref_logps, advantages,
-                        pixel_patches=patches, grid_thw=grid, vision_token_id=vis_tok,
+                        pixel_patches=patches, grid_thw=g_, vision_token_id=vt_,
+                        vision_row_index=vri,
                     ),
                     has_aux=True,
                 )(params)
@@ -319,17 +459,19 @@ class GSPOTrainer:
         self.params, self.opt_state, loss, kl = self._step_fns[upd_key](
             self.params,
             self.opt_state,
-            jnp.asarray(ids),
-            jnp.asarray(position_ids),
-            jnp.asarray(attn_valid),
-            jnp.asarray(completion_mask),
+            ids_d,
+            pos_d,
+            valid_d,
+            cmask_d,
             ref_logps,
-            jnp.asarray(advantages),
-            None if patches is None else jnp.asarray(patches),
+            adv_d,
+            patches_d if use_vision else None,
+            vri_d if use_vision else None,
         )
 
-        # 6. metrics (grpo_trainer.py:711-738)
-        groups = rewards.reshape(-1, G)
+        # 8. metrics — means over ALL replicas' rows
+        #    (== gather_for_metrics, grpo_trainer.py:711-738)
+        groups = rewards.reshape(B, G)
         metrics = {
             "loss": float(loss),
             "kl": float(kl),

@@ -74,6 +74,7 @@ def sft_loss(
         pixel_patches=batch.get("pixel_patches"),
         grid_thw=batch.get("grid_thw"),
         vision_token_id=batch.get("vision_token_id"),
+        vision_row_index=batch.get("vision_row_index"),
         attn_valid=batch.get("attn_valid"),
         remat=remat,
     )
@@ -90,23 +91,43 @@ def sft_loss(
 
 
 def make_train_step(model_cfg: Qwen25VLConfig, train_cfg: SFTConfig, optimizer):
-    """Jitted (params, opt_state, batch) -> (params, opt_state, metrics).
+    """(params, opt_state, batch) -> (params, opt_state, metrics).
+
+    ``grid_thw`` / ``vision_token_id`` are host metadata (compile-time
+    constants for the vision tower's segment spec), so the returned callable
+    dispatches to one jitted program per (grid, keys) combination instead of
+    tracing them as arrays.
 
     Under a mesh, params/opt_state arrive sharded (fsdp/tensor) and batch
     arrives sharded on the data axis; XLA GSPMD inserts the gradient psum
     (== the reference's NCCL all-reduce, SURVEY.md §5.8).
     """
+    jitted: dict = {}
 
-    @jax.jit
     def train_step(params, opt_state, batch):
-        (loss, aux), grads = jax.value_and_grad(
-            lambda p: sft_loss(p, model_cfg, batch, remat=train_cfg.gradient_checkpointing),
-            has_aux=True,
-        )(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        gnorm = optax.global_norm(grads)
-        return params, opt_state, {**aux, "grad_norm": gnorm}
+        batch = dict(batch)
+        grid = batch.pop("grid_thw", None)
+        vis_tok = batch.pop("vision_token_id", None)
+        grid_key = None if grid is None else tuple(map(tuple, np.asarray(grid).tolist()))
+        key = (grid_key, vis_tok, tuple(sorted(batch.keys())))
+        if key not in jitted:
+
+            @jax.jit
+            def fn(params, opt_state, batch, _grid=grid, _vt=vis_tok):
+                full = {**batch, "grid_thw": _grid, "vision_token_id": _vt}
+                (loss, aux), grads = jax.value_and_grad(
+                    lambda p: sft_loss(
+                        p, model_cfg, full, remat=train_cfg.gradient_checkpointing
+                    ),
+                    has_aux=True,
+                )(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                gnorm = optax.global_norm(grads)
+                return params, opt_state, {**aux, "grad_norm": gnorm}
+
+            jitted[key] = fn
+        return jitted[key](params, opt_state, batch)
 
     return train_step
 

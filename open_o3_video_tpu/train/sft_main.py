@@ -31,6 +31,10 @@ def parse_args():
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--nframes", type=int, default=None)
+    p.add_argument(
+        "--per_device_train_batch_size", type=int, default=1,
+        help="samples per data replica (reference: 1, run_sft_video.sh:13)",
+    )
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_fsdp", type=int, default=-1)
     p.add_argument("--mesh_tensor", type=int, default=1)
@@ -47,7 +51,7 @@ def main():
     from tqdm import tqdm
 
     from ..data.processor import O3VideoProcessor
-    from ..data.sft_dataset import collate_sft, load_sft_dataset, prepare_sft_example
+    from ..data.sft_dataset import collate_sft_batch, load_sft_dataset, prepare_sft_example
     from ..models.qwen25vl import params as P
     from ..parallel import make_mesh, shard_params
     from ..utils.metrics import MetricsBus
@@ -60,7 +64,19 @@ def main():
     raw = load_sft_dataset(args.dataset_name)
     prepared = [prepare_sft_example(ex, args.data_root) for ex in tqdm(raw, desc="Preparing dataset")]
 
-    total_steps = args.max_steps if args.max_steps > 0 else int(len(prepared) * args.num_train_epochs)
+    mesh = None
+    import jax
+
+    if len(jax.devices()) > 1 or args.mesh_tensor > 1 or args.mesh_fsdp > 1:
+        mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor)
+
+    # Global batch = one sample per data replica x per-device batch size
+    # (reference: 8 procs x bs 1, run_sft_video.sh:13).
+    data_size = mesh.shape["data"] if mesh is not None else 1
+    global_bs = data_size * args.per_device_train_batch_size
+
+    steps_per_epoch = max(1, len(prepared) // global_bs)
+    total_steps = args.max_steps if args.max_steps > 0 else int(steps_per_epoch * args.num_train_epochs)
     train_cfg = SFTConfig(
         learning_rate=args.learning_rate,
         max_grad_norm=args.max_grad_norm,
@@ -71,11 +87,7 @@ def main():
     )
     optimizer = make_optimizer(train_cfg)
 
-    mesh = None
-    import jax
-
-    if len(jax.devices()) > 1 or args.mesh_tensor > 1 or args.mesh_fsdp > 1:
-        mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor)
+    if mesh is not None:
         params = shard_params(params, mesh)
     opt_state = optimizer.init(params)
     train_step = make_train_step(model_cfg, train_cfg, optimizer)
@@ -89,20 +101,51 @@ def main():
     metrics = MetricsBus(use_wandb=args.report_to == "wandb")
     step = start_step
     epoch = 0
-    import jax.numpy as jnp  # noqa: F811
+    n_skipped = 0
+
+    def shard_batch(batch):
+        """Host batch -> device batch sharded over the data axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        out = {}
+        for k, v in batch.items():
+            if k in ("grid_thw", "vision_token_id") or v is None:
+                out[k] = v  # host metadata (static under jit)
+                continue
+            v = jnp.asarray(v)
+            if mesh is None:
+                out[k] = v
+            elif k == "position_ids":
+                out[k] = jax.device_put(v, NamedSharding(mesh, P_(None, "data")))
+            elif k in ("pixel_patches",):
+                # ragged across examples -> replicated
+                out[k] = jax.device_put(v, NamedSharding(mesh, P_()))
+            else:
+                out[k] = jax.device_put(v, NamedSharding(mesh, P_("data")))
+        return out
 
     while step < total_steps:
-        for ex in prepared:
+        for i in range(0, len(prepared) - global_bs + 1, global_bs):
             if step >= total_steps:
                 break
-            batch = collate_sft(ex, processor, model_cfg, args.data_root, nframes=args.nframes)
-            batch = {k: jnp.asarray(v) if v is not None and k != "grid_thw" and k != "vision_token_id" else v
-                     for k, v in batch.items()}
+            group = prepared[i : i + global_bs]
+            try:
+                batch = collate_sft_batch(
+                    group, processor, model_cfg, args.data_root, nframes=args.nframes
+                )
+            except Exception as e:
+                # Failure absorption (reference degraded-recompute pattern,
+                # grpo_trainer.py:452-465): a bad sample skips its batch
+                # instead of killing the run.
+                n_skipped += 1
+                print(f"[warn] collate failed at step {step} ({e!r}); skipping batch")
+                continue
+            batch = shard_batch(batch)
             params, opt_state, m = train_step(params, opt_state, batch)
             metrics.push(loss=float(m["loss"]), grad_norm=float(m["grad_norm"]))
             step += 1
             if step % train_cfg.logging_steps == 0:
-                metrics.flush(step, extra={"epoch": epoch})
+                metrics.flush(step, extra={"epoch": epoch, "skipped": n_skipped})
             if step % train_cfg.save_steps == 0:
                 CKPT.save_checkpoint(args.output_dir, step, {"params": params, "opt_state": opt_state})
         epoch += 1
