@@ -72,11 +72,24 @@ class ByteTokenizer:
 
     vocab_size = 152064
 
-    def __init__(self):
-        self._specials = dict(SPECIAL_IDS)
+    def __init__(self, specials: Optional[dict] = None):
+        self._specials = dict(specials if specials is not None else SPECIAL_IDS)
         self._id_to_special = {v: k for k, v in self._specials.items()}
-        self.eos_token_id = SPECIAL_IDS[IM_END]
-        self.pad_token_id = SPECIAL_IDS["<|endoftext|>"]
+        self.eos_token_id = self._specials[IM_END]
+        self.pad_token_id = self._specials["<|endoftext|>"]
+
+    @classmethod
+    def for_config(cls, cfg) -> "ByteTokenizer":
+        """Specials remapped to a model config's ids (tiny-vocab tests)."""
+        return cls(specials={
+            IM_START: cfg.eos_token_id - 1 if cfg.eos_token_id >= 1 else 98,
+            IM_END: cfg.eos_token_id,
+            VISION_START: cfg.vision_start_token_id,
+            VISION_END: cfg.vision_end_token_id,
+            IMAGE_PAD: cfg.image_token_id,
+            VIDEO_PAD: cfg.video_token_id,
+            "<|endoftext|>": cfg.pad_token_id,
+        })
 
     def encode(self, text: str, **_kw) -> list[int]:
         ids: list[int] = []

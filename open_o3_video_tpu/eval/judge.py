@@ -57,7 +57,9 @@ class EngineJudge:
         self.sampling = SamplingParams(temperature=0.0, repetition_penalty=1.0,
                                        max_tokens=max_new_tokens)
 
-    def __call__(self, question: str, gt: str, candidate: str) -> int:
+    max_num_seqs = 8  # judge prompts are short; batch aggressively
+
+    def _request(self, question: str, gt: str, candidate: str):
         from ..engine import Request
 
         messages = [
@@ -65,13 +67,32 @@ class EngineJudge:
             {"role": "user", "content": JUDGE_TEMPLATE.format(question, gt, candidate)},
         ]
         text = self.processor.apply_chat_template(messages, add_generation_prompt=True)
-        ids = self.processor.tokenizer.encode(text)
-        out = self.engine.generate([Request(input_ids=ids)], self.sampling)[0]
-        response = self.processor.decode(out["token_ids"], skip_special_tokens=True)
+        return Request(input_ids=self.processor.tokenizer.encode(text))
+
+    @staticmethod
+    def _parse(response: str) -> int:
         try:
             return int(response)
         except (ValueError, TypeError):
             return -1
+
+    def __call__(self, question: str, gt: str, candidate: str) -> int:
+        out = self.engine.generate([self._request(question, gt, candidate)], self.sampling)[0]
+        return self._parse(self.processor.decode(out["token_ids"], skip_special_tokens=True))
+
+    def batch(self, jobs: list[tuple[str, str, str]]) -> list[int]:
+        """Rate many (question, gt, candidate) triplets per engine call —
+        the reference's 72B judge scores strictly one answer per forward
+        (eval_vstar.py:43-73)."""
+        reqs = [self._request(*job) for job in jobs]
+        ratings: list[int] = []
+        for start in range(0, len(reqs), self.max_num_seqs):
+            outs = self.engine.generate(reqs[start : start + self.max_num_seqs], self.sampling)
+            ratings.extend(
+                self._parse(self.processor.decode(o["token_ids"], skip_special_tokens=True))
+                for o in outs
+            )
+        return ratings
 
 
 def _empty_stats() -> dict[str, Any]:
@@ -102,6 +123,17 @@ def evaluate_json(
     with open(file_path) as f:
         data = json.load(f)
 
+    # Pass 1: batch-score every VQA answer when the judge supports it.
+    vqa_scores: dict[int, int] = {}
+    if hasattr(judge, "batch"):
+        jobs, job_idx = [], []
+        for idx, item in enumerate(data):
+            if item.get("answer_vqa"):
+                jobs.append((item["question"], item["answer"], item["answer_vqa"]))
+                job_idx.append(idx)
+        for idx, score in zip(job_idx, judge.batch(jobs)):
+            vqa_scores[idx] = score
+
     overall = _empty_stats()
     durations: dict[str, dict] = {}
     domains: dict[str, dict] = {}
@@ -117,7 +149,11 @@ def evaluate_json(
 
         if not item.get("answer_vqa"):
             continue
-        score = judge(item["question"], item["answer"], item["answer_vqa"])
+        score = (
+            vqa_scores[idx]
+            if idx in vqa_scores
+            else judge(item["question"], item["answer"], item["answer_vqa"])
+        )
         for g in groups:
             g["all_rating"].append(score if score != -1 else 0)
             if score != -1:

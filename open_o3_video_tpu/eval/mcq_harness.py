@@ -38,19 +38,34 @@ def evaluate_mcq_item(
     question_for_scorer: Optional[str] = None,
     parse_answer_fn: Optional[Callable[[str, dict], str]] = None,
 ) -> dict[str, Any]:
-    """Returns {pred, think, frame_shape, paths} for one benchmark item."""
+    """Returns {pred, think, frame_shape, paths} for one benchmark item.
+
+    All N paths run as ONE engine batch when the model supports it
+    (generate_paths: video decoded once, N sampled completions); TTS
+    evidence-scoring calls are likewise batched (run_images_scorer_batch).
+    Models exposing only the reference per-call surface fall back to the
+    sequential loop."""
     score_list: list[float] = []
     pred_list: list[str] = []
     n_think = ["" for _ in range(N)]
-    frame_shape = None
-    raw_outputs: list[str] = []
 
-    for path_idx in range(N):
-        output_list, frames, fps, shape = model([video_path], [text_input], query_image=[image])
-        pred_text = output_list[0]
-        raw_outputs.append(pred_text)
-        frame_shape = shape
+    # 1. generate the N reasoning paths
+    if hasattr(model, "generate_paths"):
+        raw_outputs, frames, fps, frame_shape = model.generate_paths(
+            video_path, text_input, image, N
+        )
+        raw_outputs = list(raw_outputs)
+    else:
+        raw_outputs, frames, fps, frame_shape = [], None, None, None
+        for _ in range(N):
+            output_list, frames, fps, frame_shape = model(
+                [video_path], [text_input], query_image=[image]
+            )
+            raw_outputs.append(output_list[0])
 
+    # 2. parse paths; defer confidence-vote scorer calls so they batch
+    pending: list[tuple[int, list, list]] = []  # (score slot, msgs, crops)
+    for path_idx, pred_text in enumerate(raw_outputs):
         if think_mode:
             m = ANSWER_RE.search(pred_text)
             if not m:
@@ -82,7 +97,8 @@ def evaluate_mcq_item(
                 if len(image_list) > 0:
                     question = question_for_scorer or doc.get("question", "")
                     msgs = build_image_scorer_msgs(image_list, question)
-                    score = relevance_mapping(model.run_images_scorer(msgs, image_list))
+                    pending.append((len(score_list), msgs, image_list))
+                    score = 0.2  # placeholder; overwritten below
                 else:
                     score = 0.2
             else:
@@ -101,6 +117,15 @@ def evaluate_mcq_item(
                 pred_list.append("NA")
                 score = 0.0
         score_list.append(score)
+
+    # 3. batch the deferred evidence-scoring calls
+    if pending:
+        if hasattr(model, "run_images_scorer_batch"):
+            ratings = model.run_images_scorer_batch([(m, im) for _, m, im in pending])
+        else:
+            ratings = [model.run_images_scorer(m, im) for _, m, im in pending]
+        for (slot, _, _), rating in zip(pending, ratings):
+            score_list[slot] = relevance_mapping(rating)
 
     choice_score = {c: 0.0 for c in choices}
     for i in range(len(pred_list)):

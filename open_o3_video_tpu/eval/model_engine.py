@@ -61,24 +61,29 @@ class QwenVLEngine:
 
     # ------------------------------------------------------------- internals
 
-    def _expand_video_placeholder(self, text: str) -> str:
-        # Video arrives as per-frame images; drop any stray native-video pads.
-        return text
-
     def _requests_from_messages(self, messages_batch: Sequence[list]) -> list[Request]:
+        from ..data.processor import IMAGE_PAD, VIDEO_PAD, VISION_END, VISION_START
+
+        video_block = f"{VISION_START}{VIDEO_PAD}{VISION_END}"
+        image_block = f"{VISION_START}{IMAGE_PAD}{VISION_END}"
         reqs = []
         for messages in messages_batch:
             text = self.processor.apply_chat_template(messages, add_generation_prompt=True)
             image_inputs, video_inputs, _ = process_vision_info(
                 messages, return_video_kwargs=True
             )
+            # Video runs as frames-as-images everywhere in this framework
+            # (SURVEY §5.7 token-identity trick), so each native video-pad
+            # block expands to one image block per frame.
             images: list[Any] = []
             if video_inputs:
                 for vid in video_inputs:
                     if isinstance(vid, np.ndarray):
-                        images.extend(vid[i] for i in range(vid.shape[0]))
+                        frames = [vid[i] for i in range(vid.shape[0])]
                     else:
-                        images.extend(vid)
+                        frames = list(vid)
+                    text = text.replace(video_block, image_block * len(frames), 1)
+                    images.extend(frames)
             if image_inputs:
                 images.extend(image_inputs)
             proc = self.processor(text, images=images or None)
@@ -137,28 +142,68 @@ class QwenVLEngine:
             return outputs, frames, fps, frame_shape
         return outputs, frames, fps
 
+    def generate_paths(self, video_path, text_input, image, n_paths: int):
+        """N sampled reasoning paths for ONE item in a single engine batch.
+
+        The video is decoded/processed once and the N requests share its
+        pixel arrays (the engine encodes them once per call) — the reference
+        re-runs the full vLLM call per path (test_videomme.py:129-246).
+        Returns (outputs, frames, fps, frame_shape)."""
+        messages, video_inputs, fps = self.get_batch_messages(
+            [video_path], [text_input], [image]
+        )
+        frames = video_inputs[0]
+        frame_shape = (frames.shape[3], frames.shape[2])
+        req = self._requests_from_messages(messages)[0]
+        outputs = self._generate_texts([req] * n_paths)
+        return outputs, frames, fps, frame_shape
+
+    def _scorer_request(self, msgs, images) -> Request:
+        text = self.processor.apply_chat_template(msgs, add_generation_prompt=True)
+        proc = self.processor(text, images=list(images) or None)
+        return Request(input_ids=proc.input_ids, pixel_patches=proc.pixel_patches,
+                       grid_thw=proc.grid_thw, vision_token_id=self.cfg.image_token_id)
+
+    @staticmethod
+    def _parse_score(answer: str) -> int:
+        answer = answer.strip()
+        return int(answer) if answer in ("0", "1", "2") else -1
+
     def run_images_scorer(self, msgs, images) -> int:
         """Self-scoring of evidence crops; int 0/1/2 or -1
         (reference: model_vllm.py:108-122)."""
-        text = self.processor.apply_chat_template(msgs, add_generation_prompt=True)
-        proc = self.processor(text, images=list(images) or None)
-        out = self.engine.generate(
-            [Request(input_ids=proc.input_ids, pixel_patches=proc.pixel_patches,
-                     grid_thw=proc.grid_thw, vision_token_id=self.cfg.image_token_id)],
-            self.sampling,
-        )[0]
-        answer = self.processor.decode(out["token_ids"], skip_special_tokens=True).strip()
-        return int(answer) if answer in ("0", "1", "2") else -1
+        out = self.engine.generate([self._scorer_request(msgs, images)], self.sampling)[0]
+        return self._parse_score(
+            self.processor.decode(out["token_ids"], skip_special_tokens=True)
+        )
+
+    def run_images_scorer_batch(self, jobs: Sequence[tuple]) -> list[int]:
+        """Batched evidence scoring: jobs = [(msgs, images), ...]."""
+        reqs = [self._scorer_request(m, im) for m, im in jobs]
+        scores = []
+        for start in range(0, len(reqs), self.max_num_seqs):
+            outs = self.engine.generate(reqs[start : start + self.max_num_seqs], self.sampling)
+            scores.extend(
+                self._parse_score(
+                    self.processor.decode(o["token_ids"], skip_special_tokens=True)
+                )
+                for o in outs
+            )
+        return scores
+
+    def _request_from_raw(self, item: dict) -> Request:
+        images = item.get("multi_modal_data", {}).get("image")
+        proc = self.processor(item["prompt"], images=images)
+        return Request(input_ids=proc.input_ids, pixel_patches=proc.pixel_patches,
+                       grid_thw=proc.grid_thw, vision_token_id=self.cfg.image_token_id)
 
     def inference_wo_process(self, inputs) -> str:
         """vLLM-style raw inputs: [{"prompt": str, "multi_modal_data":
         {"image": [...]}}] (reference: model_vllm.py:124-126)."""
-        item = inputs[0]
-        images = item.get("multi_modal_data", {}).get("image")
-        proc = self.processor(item["prompt"], images=images)
-        out = self.engine.generate(
-            [Request(input_ids=proc.input_ids, pixel_patches=proc.pixel_patches,
-                     grid_thw=proc.grid_thw, vision_token_id=self.cfg.image_token_id)],
-            self.sampling,
-        )[0]
+        out = self.engine.generate([self._request_from_raw(inputs[0])], self.sampling)[0]
         return self.processor.decode(out["token_ids"], skip_special_tokens=True)
+
+    def inference_wo_process_batch(self, inputs: Sequence[dict]) -> list[str]:
+        """Batched variant: ALL raw inputs, chunked by max_num_seqs."""
+        reqs = [self._request_from_raw(item) for item in inputs]
+        return self._generate_texts(reqs)

@@ -92,16 +92,17 @@ def strip_stray_vision_tags(text: str) -> str:
     return text[: start + len(start_marker)] + middle + text[end:]
 
 
-def inference(video_path: str, prompt: str, model, fps: float = 1.0):
-    """One V-STAR query: frames as images with timestamps (reference: 186-263)."""
-    frames, frame_times = extract_frames_from_video(
-        video_path, fps=fps, max_frames=model.video_max_frames
-    )
-    if not frames:
-        raise ValueError(f"No frames extracted from video: {video_path}")
+VIDEO_PAD = "<|vision_start|><|video_pad|><|vision_end|>"
+
+
+def build_query_input(prompt, frames, frame_times, model, image_inputs=None):
+    """One query -> a vLLM-style raw input dict. ``image_inputs`` (the
+    smart-resized frames) can be passed in to share the expensive resize
+    across the 5 queries of one item — the reference re-processes frames per
+    query (inference(), test_vstar_multi_images.py:186-263)."""
     frame_prompt = create_frame_prompt(frame_times)
-    if "<|vision_start|><|video_pad|><|vision_end|>" in prompt:
-        prompt = prompt.replace("<|vision_start|><|video_pad|><|vision_end|>", frame_prompt)
+    if VIDEO_PAD in prompt:
+        prompt = prompt.replace(VIDEO_PAD, frame_prompt)
     else:
         prompt = frame_prompt + prompt
 
@@ -116,13 +117,25 @@ def inference(video_path: str, prompt: str, model, fps: float = 1.0):
     text = model.processor.apply_chat_template(messages, add_generation_prompt=True)
     text = strip_stray_vision_tags(text)
 
-    from ..data.video import process_vision_info
+    if image_inputs is None:
+        from ..data.video import process_vision_info
 
-    image_inputs, _, _ = process_vision_info([messages], return_video_kwargs=True)
+        image_inputs, _, _ = process_vision_info([messages], return_video_kwargs=True)
     mm_data = {}
     if image_inputs is not None:
         mm_data["image"] = image_inputs
-    generated = model.inference_wo_process([{"prompt": text, "multi_modal_data": mm_data}])
+    return {"prompt": text, "multi_modal_data": mm_data}, image_inputs
+
+
+def inference(video_path: str, prompt: str, model, fps: float = 1.0):
+    """One V-STAR query: frames as images with timestamps (reference: 186-263)."""
+    frames, frame_times = extract_frames_from_video(
+        video_path, fps=fps, max_frames=model.video_max_frames
+    )
+    if not frames:
+        raise ValueError(f"No frames extracted from video: {video_path}")
+    inp, _ = build_query_input(prompt, frames, frame_times, model)
+    generated = model.inference_wo_process([inp])
     return generated, len(frames), (frames[0].size if frames else (0, 0))
 
 
@@ -137,22 +150,21 @@ THINK_SUFFIX_VQA = (
 )
 
 
-def get_answer_vqa(data, video_path, model, think_mode=True):
+def vqa_prompt(data, think_mode=True) -> str:
     prompt = (
         f"Answer the question about the video: {data['question']} \n "
         "(If the answer is a person, you don't need to identify the person.)"
     )
     if think_mode:
         prompt += THINK_SUFFIX_VQA
-    answer, _, _ = inference(video_path, prompt, model)
-    return answer
+    return prompt
 
 
-def get_answer_temporal(data, video_path, model, think_mode=True):
+def temporal_prompt(data, think_mode=True) -> str:
     video_length = round(data["frame_count"] / data["fps"], 2)
     q = data["temporal_question"]
     if think_mode:
-        prompt = (
+        return (
             f"This video is {video_length} seconds long. "
             "<|vision_start|><|video_pad|><|vision_end|>\n"
             f"Answer the question about the video: {q} \n. You must first think about the "
@@ -161,19 +173,16 @@ def get_answer_temporal(data, video_path, model, think_mode=True):
             "<answer> </answer> tags, respectively. The answer must follow the following "
             "format: `From <t>start_time</t>s to <t>end_time</t>s'"
         )
-    else:
-        prompt = (
-            f"This video is {video_length} seconds long. "
-            "<|vision_start|><|video_pad|><|vision_end|>\n"
-            f"Answer the question about the video: {q} \nDirectly output the start and end "
-            "moment timestamps. You must follow the following format: "
-            "`From <t>start_time</t>s to <t>end_time</t>s'."
-        )
-    answer, _, _ = inference(video_path, prompt, model)
-    return answer
+    return (
+        f"This video is {video_length} seconds long. "
+        "<|vision_start|><|video_pad|><|vision_end|>\n"
+        f"Answer the question about the video: {q} \nDirectly output the start and end "
+        "moment timestamps. You must follow the following format: "
+        "`From <t>start_time</t>s to <t>end_time</t>s'."
+    )
 
 
-def get_answer_temporal_2(data, video_path, bboxes, model, think_mode=True):
+def temporal_2_prompt(data, bboxes, think_mode=True) -> str:
     video_length = round(data["frame_count"] / data["fps"], 2)
     q = data["temporal_question"]
     w, h = data["width"], data["height"]
@@ -185,22 +194,34 @@ def get_answer_temporal_2(data, video_path, bboxes, model, think_mode=True):
         f"which are:{bboxes}. "
     )
     if think_mode:
-        prompt = head + (
+        return head + (
             "You must first think about the reasoning process in the mind and then provide "
             "the user with the answer. The reasoning process and answer are enclosed within "
             "<think> </think> and <answer> </answer> tags, respectively. The answer must "
             "follow the following format: `From <t>start_time</t>s to <t>end_time</t>s'"
         )
-    else:
-        prompt = head + (
-            "Directly output the start and end moment timestamps. You must follow the "
-            "following format: `From <t>start_time</t>s to <t>end_time</t>s'."
-        )
-    answer, _, _ = inference(video_path, prompt, model)
+    return head + (
+        "Directly output the start and end moment timestamps. You must follow the "
+        "following format: `From <t>start_time</t>s to <t>end_time</t>s'."
+    )
+
+
+def get_answer_vqa(data, video_path, model, think_mode=True):
+    answer, _, _ = inference(video_path, vqa_prompt(data, think_mode), model)
     return answer
 
 
-def get_answer_spatial(data, video_path, model, think_mode=True):
+def get_answer_temporal(data, video_path, model, think_mode=True):
+    answer, _, _ = inference(video_path, temporal_prompt(data, think_mode), model)
+    return answer
+
+
+def get_answer_temporal_2(data, video_path, bboxes, model, think_mode=True):
+    answer, _, _ = inference(video_path, temporal_2_prompt(data, bboxes, think_mode), model)
+    return answer
+
+
+def spatial_prompt(data, think_mode=True) -> str:
     st, et = math.ceil(data["timestamps"][0]), math.floor(data["timestamps"][1])
     time_range = list(range(st, et + 1))
     q = data["spatial_question"]
@@ -217,11 +238,15 @@ Please answer the question about the video: {q} with a series of bounding boxes 
 For each whole second within the time range {time_range} provided (inclusive of the boundaries), output a series of bounding boxes of the object in JSON format. The keys should be the whole seconds (as strings), and the values should be the box in [x1, y1, x2, y2] format.
 Example output: {{"{time_range[0]}": [x1, y1, x2, y2],...}}
 """
-    answer, _, frame_size = inference(video_path, prompt, model)
+    return prompt
+
+
+def get_answer_spatial(data, video_path, model, think_mode=True):
+    answer, _, frame_size = inference(video_path, spatial_prompt(data, think_mode), model)
     return answer, frame_size[0], frame_size[1]
 
 
-def get_answer_spatial_2(data, video_path, bboxes, model, think_mode=True):
+def spatial_2_prompt(data, bboxes, think_mode=True) -> str:
     q = data["spatial_question_2"]
     n = len(bboxes)
     if think_mode:
@@ -243,7 +268,11 @@ The keys should be the whole seconds (as strings), and the values should be the 
 Example output:
 {{"0": [x0,y0,x1,y1], "1":..., ..., "{n}":...}} (if the frames at 0~{n} second are related to the questions)
 """
-    answer, _, frame_size = inference(video_path, prompt, model)
+    return prompt
+
+
+def get_answer_spatial_2(data, video_path, bboxes, model, think_mode=True):
+    answer, _, frame_size = inference(video_path, spatial_2_prompt(data, bboxes, think_mode), model)
     return answer, frame_size[0], frame_size[1]
 
 
@@ -311,38 +340,108 @@ def find_video(video_folder: str, vid: str) -> Optional[str]:
     return None
 
 
-def process_item(data: dict, video_folder: str, model, think_mode: bool = True) -> Optional[dict]:
-    """Run all 5 queries for one item (reference worker body: 473-571)."""
-    vid = data.get("vid") or data.get("video_id")
-    video_path = data.get("video_path") or find_video(video_folder, vid)
-    if video_path is None or not os.path.exists(video_path):
-        print(f"Warning: video not found for {vid}, skipping")
-        return None
+# The 5 independent queries per item: the chains' "dependencies" are GT
+# inputs (spatial uses GT timestamps, chain 2 uses GT boxes), so all five
+# can run as ONE engine batch — the reference issues them sequentially
+# (worker body, test_vstar_multi_images.py:473-571).
+QUERY_KEYS = ("vqa", "temporal", "spatial", "spatial_2", "temporal_2")
 
-    result = dict(data)
-    result["answer_vqa"] = get_answer_vqa(data, video_path, model, think_mode)
 
-    # Chain 1: when -> where
-    ans_t = get_answer_temporal(data, video_path, model, think_mode)
-    result["answer_temporal_pre"] = ans_t
-    result["answer_temporal"] = extract_timestamps(ans_t)
+def prepare_item_inputs(data: dict, video_path: str, model, think_mode: bool = True):
+    """Decode frames ONCE, build all 5 query inputs.
 
-    ans_s, iw, ih = get_answer_spatial(data, video_path, model, think_mode)
-    result["answer_spatial_pre"] = ans_s
-    result["answer_spatial"] = extract_bounding_boxes(ans_s, data, iw, ih)
-
-    # Chain 2: where (GT box count given) -> when (GT boxes given)
+    Returns (inputs dict key->raw input, frame_size (w, h))."""
+    frames, frame_times = extract_frames_from_video(
+        video_path, fps=1.0, max_frames=model.video_max_frames
+    )
+    if not frames:
+        raise ValueError(f"No frames extracted from video: {video_path}")
     gt_boxes = [
         {k: box[k] for k in ("xmin", "ymin", "xmax", "ymax")} for box in data.get("bboxes", [])
     ]
-    ans_s2, iw2, ih2 = get_answer_spatial_2(data, video_path, gt_boxes, model, think_mode)
-    result["answer_spatial_pre_2"] = ans_s2
-    result["answer_spatial_2"] = extract_bounding_boxes(ans_s2, data, iw2, ih2)
+    prompts = {
+        "vqa": vqa_prompt(data, think_mode),
+        "temporal": temporal_prompt(data, think_mode),
+        "spatial": spatial_prompt(data, think_mode),
+        "spatial_2": spatial_2_prompt(data, gt_boxes, think_mode),
+        "temporal_2": temporal_2_prompt(data, gt_boxes, think_mode),
+    }
+    inputs = {}
+    image_inputs = None
+    for key in QUERY_KEYS:
+        inputs[key], image_inputs = build_query_input(
+            prompts[key], frames, frame_times, model, image_inputs
+        )
+    return inputs, frames[0].size
 
-    ans_t2 = get_answer_temporal_2(data, video_path, gt_boxes, model, think_mode)
-    result["answer_temporal_pre_2"] = ans_t2
-    result["answer_temporal_2"] = extract_timestamps(ans_t2)
+
+def _parse_item_result(data: dict, texts: dict, frame_size) -> dict:
+    iw, ih = frame_size
+    result = dict(data)
+    result["answer_vqa"] = texts["vqa"]
+    result["answer_temporal_pre"] = texts["temporal"]
+    result["answer_temporal"] = extract_timestamps(texts["temporal"])
+    result["answer_spatial_pre"] = texts["spatial"]
+    result["answer_spatial"] = extract_bounding_boxes(texts["spatial"], data, iw, ih)
+    result["answer_spatial_pre_2"] = texts["spatial_2"]
+    result["answer_spatial_2"] = extract_bounding_boxes(texts["spatial_2"], data, iw, ih)
+    result["answer_temporal_pre_2"] = texts["temporal_2"]
+    result["answer_temporal_2"] = extract_timestamps(texts["temporal_2"])
     return result
+
+
+def process_items_batched(
+    items: Sequence[dict],
+    video_folder: str,
+    model,
+    think_mode: bool = True,
+    errors: Optional[list] = None,
+) -> list[dict]:
+    """Run a slice of items with every query batched through the engine.
+
+    Replaces the reference's 8-process fleet (test_vstar_multi_images.py:
+    621-693) with in-process engine batching; failed items are recorded in
+    ``errors`` and skipped instead of terminating the run (the reference
+    kills the whole fleet on first error, :644-674)."""
+    prepared = []
+    for data in items:
+        vid = data.get("vid") or data.get("video_id")
+        video_path = data.get("video_path") or find_video(video_folder, vid)
+        if video_path is None or not os.path.exists(video_path):
+            print(f"Warning: video not found for {vid}, skipping")
+            if errors is not None:
+                errors.append({"vid": vid, "error": "video not found"})
+            continue
+        try:
+            inputs, frame_size = prepare_item_inputs(data, video_path, model, think_mode)
+        except Exception as e:
+            print(f"Warning: failed to prepare {vid} ({e!r}), skipping")
+            if errors is not None:
+                errors.append({"vid": vid, "error": repr(e)})
+            continue
+        prepared.append((data, inputs, frame_size))
+
+    if not prepared:
+        return []
+
+    flat_inputs = [inputs[k] for _, inputs, _ in prepared for k in QUERY_KEYS]
+    if hasattr(model, "inference_wo_process_batch"):
+        flat_texts = model.inference_wo_process_batch(flat_inputs)
+    else:
+        flat_texts = [model.inference_wo_process([inp]) for inp in flat_inputs]
+
+    results = []
+    nq = len(QUERY_KEYS)
+    for i, (data, _, frame_size) in enumerate(prepared):
+        texts = dict(zip(QUERY_KEYS, flat_texts[i * nq : (i + 1) * nq]))
+        results.append(_parse_item_result(data, texts, frame_size))
+    return results
+
+
+def process_item(data: dict, video_folder: str, model, think_mode: bool = True) -> Optional[dict]:
+    """Run all 5 queries for one item (reference worker body: 473-571)."""
+    out = process_items_batched([data], video_folder, model, think_mode)
+    return out[0] if out else None
 
 
 def evaluate(
@@ -353,9 +452,11 @@ def evaluate(
     *,
     think_mode: bool = True,
     limit: Optional[int] = None,
+    item_batch: int = 4,
 ) -> list[dict]:
     """Full benchmark pass; results restored to annotation order
-    (reference main: 575-693)."""
+    (reference main: 575-693). ``item_batch`` items run together, so each
+    engine step sees up to 5*item_batch concurrent requests."""
     with open(anno_file) as f:
         annotations = json.load(f)
     for i, item in enumerate(annotations):
@@ -363,13 +464,25 @@ def evaluate(
     if limit:
         annotations = annotations[:limit]
 
-    results = []
-    for item in annotations:
-        out = process_item(item, video_folder, model, think_mode)
-        if out is not None:
-            results.append(out)
+    results, errors = [], []
+    item_batch = max(1, item_batch)
+    for start in range(0, len(annotations), item_batch):
+        results.extend(
+            process_items_batched(
+                annotations[start : start + item_batch],
+                video_folder,
+                model,
+                think_mode,
+                errors=errors,
+            )
+        )
     results.sort(key=lambda r: r["original_index"])
     with open(output_file, "w") as f:
         json.dump(results, f, indent=2)
+    if errors:
+        err_file = output_file.replace(".json", "") + "_errors.json"
+        with open(err_file, "w") as f:
+            json.dump(errors, f, indent=2)
+        print(f"{len(errors)} items failed -> {err_file}")
     print(f"V-STAR inference complete: {len(results)} items -> {output_file}")
     return results

@@ -1,0 +1,127 @@
+"""Batched-eval correctness: batched engine paths == sequential paths.
+
+The reference amortized eval over an 8-GPU process fleet
+(test_vstar_multi_images.py:621-693); the rebuild batches requests through
+the engine instead. These tests pin that batching is output-invariant
+(greedy sampling), using a tiny random-weight model on the example video.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+EXAMPLE_VIDEO = "/root/reference/eval/example_video.mp4"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(EXAMPLE_VIDEO), reason="example video not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def engine_model():
+    from open_o3_video_tpu.data.processor import ByteTokenizer, O3VideoProcessor
+    from open_o3_video_tpu.eval.model_engine import QwenVLEngine
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+
+    cfg = Qwen25VLConfig.tiny()
+    params = P.init(cfg, seed=0)
+    processor = O3VideoProcessor(tokenizer=ByteTokenizer.for_config(cfg))
+    return QwenVLEngine(
+        params,
+        rt_shape=True,
+        cfg=cfg,
+        processor=processor,
+        temperature=0.0,
+        max_tokens=8,
+        video_max_pixels=16 * 28 * 28,
+        video_max_frames=2,
+    )
+
+
+def _vstar_item(idx=0):
+    return {
+        "vid": f"item{idx}",
+        "video_path": EXAMPLE_VIDEO,
+        "question": "What is the object?",
+        "temporal_question": "When does it appear?",
+        "spatial_question": "Where is it?",
+        "spatial_question_2": "Where is it exactly?",
+        "timestamps": [1.0, 3.0],
+        "frame_count": 491,
+        "fps": 22.29,
+        "width": 640,
+        "height": 360,
+        "domain": "test",
+        "answer": "a ball",
+        "bboxes": [
+            {"timestamp": 1, "xmin": 10, "ymin": 10, "xmax": 60, "ymax": 60},
+        ],
+        "original_index": idx,
+    }
+
+
+class TestVStarBatching:
+    def test_batched_items_match_sequential(self, engine_model, tmp_path):
+        from open_o3_video_tpu.eval import vstar
+
+        items = [_vstar_item(0), _vstar_item(1)]
+        seq = [vstar.process_item(dict(it), "", engine_model) for it in items]
+        batched = vstar.process_items_batched([dict(it) for it in items], "", engine_model)
+        assert len(batched) == len(seq) == 2
+        for s, b in zip(seq, batched):
+            for key in ("answer_vqa", "answer_temporal_pre", "answer_spatial_pre",
+                        "answer_spatial_pre_2", "answer_temporal_pre_2"):
+                assert s[key] == b[key], key
+
+    def test_evaluate_writes_ordered_results_and_errors(self, engine_model, tmp_path):
+        from open_o3_video_tpu.eval import vstar
+
+        anno = [_vstar_item(0), {**_vstar_item(1), "video_path": "/nonexistent.mp4"}]
+        anno_file = tmp_path / "anno.json"
+        anno_file.write_text(json.dumps(anno))
+        out_file = str(tmp_path / "out.json")
+        results = vstar.evaluate(str(anno_file), "", engine_model, out_file, item_batch=4)
+        # bad item skipped + recorded, run completes
+        assert len(results) == 1
+        assert results[0]["original_index"] == 0
+        errs = json.loads((tmp_path / "out_errors.json").read_text())
+        assert len(errs) == 1 and errs[0]["vid"] == "item1"
+
+
+class TestEngineBatchSurfaces:
+    def test_inference_wo_process_batch_matches_single(self, engine_model):
+        inputs = [
+            {"prompt": "Hello there", "multi_modal_data": {}},
+            {"prompt": "Another prompt entirely", "multi_modal_data": {}},
+        ]
+        singles = [engine_model.inference_wo_process([i]) for i in inputs]
+        batched = engine_model.inference_wo_process_batch(inputs)
+        assert batched == singles
+
+    def test_generate_paths_batches_n(self, engine_model):
+        outs, frames, fps, shape = engine_model.generate_paths(
+            EXAMPLE_VIDEO, "Describe the video.", None, 3
+        )
+        assert len(outs) == 3
+        assert frames.ndim == 4
+        # greedy: all paths identical, and equal to a single __call__
+        single, _, _, _ = engine_model(
+            [EXAMPLE_VIDEO], ["Describe the video."], query_image=[None]
+        )
+        assert outs[0] == outs[1] == outs[2] == single[0]
+
+    def test_scorer_batch_matches_single(self, engine_model):
+        from PIL import Image
+
+        crop = Image.fromarray(np.zeros((56, 56, 3), dtype=np.uint8))
+        msgs = [{"role": "user", "content": [
+            {"type": "image", "image": crop},
+            {"type": "text", "text": "Rate relevance 0-2."},
+        ]}]
+        single = engine_model.run_images_scorer(msgs, [crop])
+        batched = engine_model.run_images_scorer_batch([(msgs, [crop]), (msgs, [crop])])
+        assert batched == [single, single]
