@@ -1,18 +1,26 @@
-"""Batched inference engine: prefill + KV-cached decode with sampling.
+"""Batched inference engine: continuous batching over a persistent KV arena.
 
 The TPU replacement for the vLLM engine the reference wraps
-(eval/models/model_vllm.py, eval/inference_example.py:15-29):
+(eval/models/model_vllm.py, eval/inference_example.py:15-29). vLLM's two
+core serving features are rebuilt XLA-first:
 
-- requests are left-padded into static length buckets (shape stability ==
-  one XLA program per bucket, reused across calls)
-- vision towers run per-request as cached jitted programs (one per grid
-  configuration); raw uint8 frames can upload in place of f32 patches with
-  normalize+patchify fused on-device
-- decode is ONE fused lax.while_loop device program for the whole
-  completion, with early exit once every row has emitted EOS
-- sampling: temperature / top-p / repetition-penalty 1.05 (vLLM semantics)
-- EOS handling mirrors the reference trainer's mask-after-first-EOS
-  (grpo_trainer.py:591-596)
+- **Persistent KV arena** (== paged KV): one (max_slots, T) cache per
+  (slots, length) configuration lives on the engine across generate()
+  calls; programs donate it so XLA updates in place instead of
+  reallocating ~GBs per call.
+- **Continuous batching** (== vLLM request admission): requests queue onto
+  fixed decode slots; decode runs as fused while_loop SEGMENTS (default 64
+  tokens) with early exit, and between segments finished slots are
+  harvested and refilled from the queue — a straggler no longer stalls the
+  whole wave, and arbitrarily many requests stream through max_slots rows.
+
+Static-shape discipline: prompts are left-padded into length buckets (one
+XLA program per bucket), every slot decodes at its own depth via per-row
+cache offsets, and vision towers run as cached jitted programs per grid
+configuration (requests sharing pixel data are encoded once per call).
+Sampling: temperature / top-p / repetition-penalty 1.05 (vLLM semantics);
+EOS handling mirrors the reference trainer's mask-after-first-EOS
+(grpo_trainer.py:591-596).
 
 Scale-out: pass a mesh — params are sharded by parallel.mesh rules (tensor
 axis == vLLM tensor_parallel_size; fsdp == ZeRO-3) and XLA GSPMD inserts the
@@ -75,78 +83,114 @@ class InferenceEngine:
         mesh=None,
         prompt_buckets: Sequence[int] = (512, 1024, 2048, 4096, 8192, 16384, 32768),
         cache_dtype=jnp.bfloat16,
+        max_slots: int = 8,
+        decode_segment: int = 64,
     ):
         self.cfg = cfg
         self.mesh = mesh
         self.prompt_buckets = tuple(prompt_buckets)
         self.cache_dtype = cache_dtype
+        self.max_slots = max_slots
+        self.decode_segment = decode_segment
         if mesh is not None:
             from ..parallel.mesh import shard_params
 
             params = shard_params(params, mesh)
         self.params = params
 
-        self._prefill = jax.jit(self._prefill_impl)
         self._vision_fns: dict = {}
-        self._decode_loop = jax.jit(
-            self._decode_loop_impl,
-            static_argnames=("temperature", "top_p", "repetition_penalty", "max_tokens", "prompt_len"),
+        self._arenas: dict = {}  # (n_slots, T) -> {"k","v"} persistent cache
+
+        # Donation lets XLA reuse the arena/state buffers in place; the CPU
+        # backend does not implement donation and would warn per call.
+        donate = jax.default_backend() != "cpu"
+        self._admit = jax.jit(
+            self._admit_impl,
+            donate_argnames=("arena_k", "arena_v") if donate else (),
+        )
+        self._segment = jax.jit(
+            self._segment_impl,
+            static_argnames=("temperature", "top_p", "repetition_penalty", "n_steps"),
+            donate_argnames=(
+                ("arena_k", "arena_v", "seen", "attn_valid", "offsets",
+                 "mrope_cur", "remaining", "done")
+                if donate
+                else ()
+            ),
         )
 
     # ------------------------------------------------------------------ impl
 
-    def _prefill_impl(self, params, embeds, position_ids, seq_positions, attn_valid, cache):
+    def _admit_impl(self, params, embeds, position_ids, seq_positions,
+                    attn_valid_rows, arena_k, arena_v, slots):
+        """Prefill ``n`` new rows and scatter their KV into arena slots.
+
+        embeds (n, L, D); attn_valid_rows (n, T); slots (n,). Returns
+        (next-token logits (n, V), arena_k, arena_v)."""
+        cfg = self.cfg
+        n = embeds.shape[0]
+        T = arena_k.shape[2]
+        cache = init_kv_cache(cfg.text, n, T, dtype=arena_k.dtype)
         hidden, cache = text_forward(
             params["text"],
-            self.cfg.text,
+            cfg.text,
             embeds,
             position_ids,
             seq_positions=seq_positions,
-            attn_valid=attn_valid,
+            attn_valid=attn_valid_rows,
             cache=cache,
             cache_offset=0,
         )
         logits = logits_from_hidden(params["text"], hidden[:, -1:, :])[:, 0]
-        return logits, cache
+        arena_k = arena_k.at[:, slots].set(cache["k"])
+        arena_v = arena_v.at[:, slots].set(cache["v"])
+        return logits, arena_k, arena_v
 
-    def _decode_loop_impl(
+    def _segment_impl(
         self,
         params,
-        first_token,  # (B,)
-        first_lp,  # (B,)
-        mrope_next,  # (B,) decode m-rope position of the first generated token
+        token,  # (B,) last sampled, not yet fed
+        arena_k,
+        arena_v,
+        seen,  # (B, V) bool
         attn_valid,  # (B, T)
-        cache,
+        done,  # (B,)
         rng,
-        seen_mask,  # (B, V) bool
+        offsets,  # (B,) buffer slot of `token`
+        mrope_cur,  # (B,) m-rope position of `token`
+        remaining,  # (B,) token budget left after `token`
         *,
         temperature: float,
         top_p: float,
         repetition_penalty: float,
-        max_tokens: int,
-        prompt_len: int,
+        n_steps: int,
     ):
-        """One fused device program for the whole decode: lax.while_loop with
-        early exit once every row has emitted EOS."""
+        """Up to ``n_steps`` fused decode steps over all slots, exiting early
+        once every slot is done. Each slot decodes at its own depth
+        (per-row cache offsets)."""
         cfg = self.cfg
-        B = first_token.shape[0]
+        B, T = attn_valid.shape
+        pad = cfg.pad_token_id
         eos = cfg.eos_token_id
-        tokens_buf = jnp.zeros((B, max_tokens), jnp.int32).at[:, 0].set(first_token)
-        lp_buf = jnp.zeros((B, max_tokens), jnp.float32).at[:, 0].set(first_lp)
-        done0 = first_token == eos
+        toks = jnp.full((B, n_steps), pad, jnp.int32)
+        lps = jnp.zeros((B, n_steps), jnp.float32)
+        emitted = jnp.zeros((B,), jnp.int32)
 
-        def cond(state):
-            step, done = state[0], state[5]
-            return jnp.logical_and(step < max_tokens, ~jnp.all(done))
+        def cond(st):
+            k, done = st[0], st[6]
+            return jnp.logical_and(k < n_steps, ~jnp.all(done))
 
-        def body(state):
-            step, token, cache, seen_mask, attn_valid, done, rng, tokens_buf, lp_buf = state
-            offset = prompt_len + step - 1  # buffer slot of `token`
-            attn_valid = attn_valid.at[:, offset].set(True)
+        def body(st):
+            (k, token, ak, av, seen, attn_valid, done, rng, offsets,
+             mrope_cur, remaining, toks, lps, emitted) = st
+            rows = jnp.arange(B)
+            live = ~done
+            attn_valid = attn_valid.at[rows, offsets].set(
+                attn_valid[rows, offsets] | live
+            )
             embeds = embed_tokens(params, token[:, None])
-            pos = mrope_next + (step - 1)
-            position_ids = jnp.broadcast_to(pos[None, :, None], (3, B, 1))
-            seq_pos = jnp.full((B, 1), offset, dtype=jnp.int32)
+            position_ids = jnp.broadcast_to(mrope_cur[None, :, None], (3, B, 1))
+            seq_pos = offsets[:, None]
             hidden, cache = text_forward(
                 params["text"],
                 cfg.text,
@@ -154,9 +198,10 @@ class InferenceEngine:
                 position_ids,
                 seq_positions=seq_pos,
                 attn_valid=attn_valid,
-                cache=cache,
-                cache_offset=offset,
+                cache={"k": ak, "v": av},
+                cache_offset=offsets,
             )
+            ak, av = cache["k"], cache["v"]
             logits = logits_from_hidden(params["text"], hidden[:, 0, :])
             rng, sub = jax.random.split(rng)
             nxt = sample_token(
@@ -164,20 +209,29 @@ class InferenceEngine:
                 logits,
                 temperature=temperature,
                 top_p=top_p,
-                seen_mask=seen_mask,
+                seen_mask=seen,
                 repetition_penalty=repetition_penalty,
             )
-            lp = jax.nn.log_softmax(logits, axis=-1)[jnp.arange(B), nxt]
-            nxt = jnp.where(done, cfg.pad_token_id, nxt)
-            seen_mask = seen_mask.at[jnp.arange(B), nxt].set(True)
-            tokens_buf = tokens_buf.at[:, step].set(jnp.where(done, cfg.pad_token_id, nxt))
-            lp_buf = lp_buf.at[:, step].set(jnp.where(done, 0.0, lp))
-            done = done | (nxt == eos)
-            return (step + 1, nxt, cache, seen_mask, attn_valid, done, rng, tokens_buf, lp_buf)
+            lp = jax.nn.log_softmax(logits, axis=-1)[rows, nxt]
+            nxt = jnp.where(done, pad, nxt)
+            seen = seen.at[rows, nxt].set(True)
+            toks = toks.at[:, k].set(jnp.where(done, pad, nxt))
+            lps = lps.at[:, k].set(jnp.where(done, 0.0, lp))
+            emitted = emitted + live.astype(jnp.int32)
+            remaining = remaining - live.astype(jnp.int32)
+            done = done | (nxt == eos) | (remaining <= 0)
+            offsets = jnp.where(done, offsets, offsets + 1)
+            mrope_cur = jnp.where(done, mrope_cur, mrope_cur + 1)
+            return (k + 1, nxt, ak, av, seen, attn_valid, done, rng, offsets,
+                    mrope_cur, remaining, toks, lps, emitted)
 
-        state = (jnp.asarray(1), first_token, cache, seen_mask, attn_valid, done0, rng, tokens_buf, lp_buf)
-        state = jax.lax.while_loop(cond, body, state)
-        return state[7], state[8], state[0]  # tokens, logprobs, n_steps
+        st = (jnp.asarray(0), token, arena_k, arena_v, seen, attn_valid, done,
+              rng, offsets, mrope_cur, remaining, toks, lps, emitted)
+        st = jax.lax.while_loop(cond, body, st)
+        (_, token, arena_k, arena_v, seen, attn_valid, done, rng, offsets,
+         mrope_cur, remaining, toks, lps, emitted) = st
+        return (toks, lps, emitted, token, arena_k, arena_v, seen, attn_valid,
+                done, rng, offsets, mrope_cur, remaining)
 
     def _frames_to_patches(self, frames: np.ndarray) -> jnp.ndarray:
         """uint8 (T, C, H, W) -> frames-as-images patches, on-device.
@@ -202,39 +256,27 @@ class InferenceEngine:
 
         return convert(jnp.asarray(frames))
 
-    # ----------------------------------------------------------------- public
+    # --------------------------------------------------------------- host prep
 
-    def generate(
-        self,
-        requests: Sequence[Request],
-        sampling: Optional[SamplingParams] = None,
-        return_logprobs: bool = False,
-    ) -> list[dict[str, Any]]:
-        """Generate completions for a batch of requests.
+    def _prepare_rows(self, reqs: Sequence[Request], L: int, T: int, vis_cache: dict):
+        """Left-pad prompts, compute rope, embed + merge vision.
 
-        Returns one dict per request: {"token_ids": list[int],
-        "num_prompt_tokens": int, "logprobs": optional list[float]}.
-        """
-        sampling = sampling or SamplingParams()
+        Returns (embeds (n,L,D) dev, position_ids (3,n,L), seq_positions
+        (n,L), attn_rows (n,T) np, seen_rows (n,V) np, next_pos (n,) np)."""
         cfg = self.cfg
-        B = len(requests)
-        lens = [len(r.input_ids) for r in requests]
-        L = _bucket(max(lens), self.prompt_buckets)
-        T = L + sampling.max_tokens
+        n = len(reqs)
+        lens = [len(r.input_ids) for r in reqs]
         pad_id = cfg.pad_token_id
 
-        ids = np.full((B, L), pad_id, dtype=np.int64)
-        mask = np.zeros((B, L), dtype=np.int64)
-        for i, r in enumerate(requests):
-            ids[i, L - lens[i] :] = np.asarray(r.input_ids)
-            mask[i, L - lens[i] :] = 1
+        ids = np.full((n, L), pad_id, dtype=np.int64)
+        mask = np.zeros((n, L), dtype=np.int64)
+        for i, r in enumerate(reqs):
+            ids[i, L - lens[i]:] = np.asarray(r.input_ids)
+            mask[i, L - lens[i]:] = 1
 
-        # Host-side 3D positions + next decode position per row.
-        position_ids = np.ones((3, B, L), dtype=np.int64)
-        next_pos = np.zeros(B, dtype=np.int64)
-        for i, r in enumerate(requests):
-            row_ids = ids[i : i + 1]
-            row_mask = mask[i : i + 1]
+        position_ids = np.ones((3, n, L), dtype=np.int64)
+        next_pos = np.zeros(n, dtype=np.int64)
+        for i, r in enumerate(reqs):
             kw = {}
             if r.grid_thw is not None:
                 key = (
@@ -245,20 +287,15 @@ class InferenceEngine:
                 kw[key] = np.asarray(r.grid_thw)
                 if r.second_per_grid_ts is not None:
                     kw["second_per_grid_ts"] = r.second_per_grid_ts
-            pos, _ = get_rope_index(cfg, row_ids, attention_mask=row_mask, **kw)
+            pos, _ = get_rope_index(cfg, ids[i:i + 1], attention_mask=mask[i:i + 1], **kw)
             position_ids[:, i] = pos[:, 0]
             next_pos[i] = pos[:, 0, :].max() + 1
 
-        # Causality stream = KV buffer slot index (left padding keeps buffer
-        # order == sequence order); padded slots are excluded via attn_valid.
-        seq_positions = np.broadcast_to(np.arange(L, dtype=np.int64), (B, L))
-
         # Embed + scatter vision features per request. Requests sharing the
         # same pixel data (e.g. the G rollout copies of one RL prompt) are
-        # encoded once per call.
+        # encoded once per call via vis_cache.
         embeds = embed_tokens(self.params, jnp.asarray(ids))
-        vis_cache: dict = {}
-        for i, r in enumerate(requests):
+        for i, r in enumerate(reqs):
             if r.pixel_patches is None and r.frames is None:
                 continue
             grid = np.asarray(r.grid_thw)
@@ -270,84 +307,196 @@ class InferenceEngine:
                     patches_dev = self._frames_to_patches(r.frames)
                 else:
                     patches_dev = jnp.asarray(r.pixel_patches)
-                # One jitted vision program per grid configuration — the eager
-                # path would issue hundreds of device dispatches per request.
+                # One jitted vision program per grid configuration — the
+                # eager path would issue hundreds of dispatches per request.
                 if grid_key not in self._vision_fns:
                     self._vision_fns[grid_key] = jax.jit(
-                        lambda p, x, g=grid: encode_vision(p, cfg, x, g)
+                        lambda p, x, g=grid: encode_vision(p, self.cfg, x, g)
                     )
                 vis = self._vision_fns[grid_key](self.params, patches_dev)
                 vis_cache[vis_key] = vis
             row = merge_vision_embeddings(
                 cfg,
-                jnp.asarray(ids[i : i + 1]),
-                embeds[i : i + 1],
+                jnp.asarray(ids[i:i + 1]),
+                embeds[i:i + 1],
                 vis,
                 r.vision_token_id or cfg.image_token_id,
             )
-            embeds = embeds.at[i : i + 1].set(row)
+            embeds = embeds.at[i:i + 1].set(row)
 
-        attn_valid = np.zeros((B, T), dtype=bool)
-        attn_valid[:, :L] = mask.astype(bool)
+        attn_rows = np.zeros((n, T), dtype=bool)
+        attn_rows[:, :L] = mask.astype(bool)
 
-        cache = init_kv_cache(cfg.text, B, T, dtype=self.cache_dtype)
-        logits, cache = self._prefill(
-            self.params,
-            embeds,
-            jnp.asarray(position_ids),
-            jnp.asarray(seq_positions),
-            jnp.asarray(attn_valid),
-            cache,
-        )
+        seen_rows = np.zeros((n, cfg.text.vocab_size), dtype=bool)
+        for i in range(n):
+            seen_rows[i, ids[i][mask[i] == 1]] = True
 
-        # Token-presence mask for repetition penalty (prompt tokens count).
-        seen = np.zeros((B, cfg.text.vocab_size), dtype=bool)
-        for i in range(B):
-            seen[i, ids[i][mask[i] == 1]] = True
-        seen_mask = jnp.asarray(seen)
+        seq_positions = np.broadcast_to(np.arange(L, dtype=np.int64), (n, L))
+        return embeds, position_ids, seq_positions, attn_rows, seen_rows, next_pos
 
-        rng = jax.random.PRNGKey(sampling.seed)
-        rng, sub = jax.random.split(rng)
-        first = sample_token(
-            sub,
-            logits,
-            temperature=sampling.temperature,
-            top_p=sampling.top_p,
-            seen_mask=seen_mask,
-            repetition_penalty=sampling.repetition_penalty,
-        )
-        first_lp = jax.nn.log_softmax(logits, axis=-1)[jnp.arange(B), first]
-        seen_mask = seen_mask.at[jnp.arange(B), first].set(True)
+    def _get_arena(self, n_slots: int, T: int) -> dict:
+        key = (n_slots, T)
+        arena = self._arenas.pop(key, None)
+        if arena is None:
+            arena = init_kv_cache(self.cfg.text, n_slots, T, dtype=self.cache_dtype)
+        return arena
 
-        tokens_buf, lp_buf, _ = self._decode_loop(
-            self.params,
-            first.astype(jnp.int32),
-            first_lp,
-            jnp.asarray(next_pos),
-            jnp.asarray(attn_valid),
-            cache,
-            rng,
-            seen_mask,
-            temperature=sampling.temperature,
-            top_p=sampling.top_p,
-            repetition_penalty=sampling.repetition_penalty,
-            max_tokens=sampling.max_tokens,
-            prompt_len=L,
-        )
-        tokens_np = np.asarray(tokens_buf)
-        lp_np = np.asarray(lp_buf)
+    # ----------------------------------------------------------------- public
 
+    def generate(
+        self,
+        requests: Sequence[Request],
+        sampling: Optional[SamplingParams] = None,
+        return_logprobs: bool = False,
+    ) -> list[dict[str, Any]]:
+        """Generate completions for any number of requests.
+
+        Requests are grouped by prompt-length bucket; within a group they
+        stream through ``max_slots`` decode slots with continuous admission.
+        Returns one dict per request (input order): {"token_ids": list[int],
+        "num_prompt_tokens": int, "logprobs": optional list[float]}."""
+        sampling = sampling or SamplingParams()
+        results: list = [None] * len(requests)
+        groups: dict[int, list[int]] = {}
+        for i, r in enumerate(requests):
+            L = _bucket(len(r.input_ids), self.prompt_buckets)
+            groups.setdefault(L, []).append(i)
+        for L, idxs in groups.items():
+            self._run_group(L, idxs, requests, sampling, return_logprobs, results)
+        return results
+
+    def _run_group(self, L, idxs, requests, sampling, return_logprobs, results):
+        cfg = self.cfg
+        B = self.max_slots
+        T = L + sampling.max_tokens
+        V = cfg.text.vocab_size
         eos = cfg.eos_token_id
-        results = []
-        for i in range(B):
-            row = tokens_np[i].tolist()
+        arena = self._get_arena(B, T)
+
+        token = jnp.zeros((B,), jnp.int32)
+        offsets = jnp.zeros((B,), jnp.int32)
+        mrope_cur = jnp.zeros((B,), jnp.int32)
+        remaining = jnp.zeros((B,), jnp.int32)
+        done = jnp.ones((B,), bool)
+        attn_valid = jnp.zeros((B, T), bool)
+        seen = jnp.zeros((B, V), bool)
+        rng = jax.random.PRNGKey(sampling.seed)
+
+        slot_rid: list = [None] * B
+        emitted: dict = {}
+        lp_acc: dict = {}
+        vis_cache: dict = {}
+        qpos = 0
+
+        def finalize(s):
+            rid = slot_rid[s]
+            row = emitted[rid]
             if eos in row:
-                row = row[: row.index(eos) + 1]
+                cut = row.index(eos) + 1
+                row = row[:cut]
+                lp_acc[rid] = lp_acc[rid][:cut]
             out: dict[str, Any] = {
                 "token_ids": row,
-                "num_prompt_tokens": lens[i],
+                "num_prompt_tokens": len(requests[rid].input_ids),
             }
             if return_logprobs:
-                out["logprobs"] = lp_np[i, : len(row)].tolist()
-            results.append(out)
-        return results
+                out["logprobs"] = lp_acc[rid]
+            results[rid] = out
+            slot_rid[s] = None
+
+        while True:
+            free = [s for s in range(B) if slot_rid[s] is None]
+            n_admit = min(len(free), len(idxs) - qpos)
+            if n_admit:
+                slots = free[:n_admit]
+                rids = idxs[qpos:qpos + n_admit]
+                qpos += n_admit
+                reqs = [requests[r] for r in rids]
+                (embeds, pos, seq_pos, attn_rows, seen_rows, next_pos) = (
+                    self._prepare_rows(reqs, L, T, vis_cache)
+                )
+                logits, ak, av = self._admit(
+                    self.params,
+                    embeds,
+                    jnp.asarray(pos),
+                    jnp.asarray(seq_pos),
+                    jnp.asarray(attn_rows),
+                    arena["k"],
+                    arena["v"],
+                    jnp.asarray(np.asarray(slots, dtype=np.int32)),
+                )
+                arena = {"k": ak, "v": av}
+                seen_rows_dev = jnp.asarray(seen_rows)
+                rng, sub = jax.random.split(rng)
+                first = sample_token(
+                    sub,
+                    logits,
+                    temperature=sampling.temperature,
+                    top_p=sampling.top_p,
+                    seen_mask=seen_rows_dev,
+                    repetition_penalty=sampling.repetition_penalty,
+                )
+                first_lp = jax.nn.log_softmax(logits, axis=-1)[
+                    jnp.arange(n_admit), first
+                ]
+                first_h = np.asarray(first)
+                first_lp_h = np.asarray(first_lp)
+
+                slots_j = jnp.asarray(np.asarray(slots, dtype=np.int32))
+                token = token.at[slots_j].set(first.astype(jnp.int32))
+                offsets = offsets.at[slots_j].set(L)
+                mrope_cur = mrope_cur.at[slots_j].set(
+                    jnp.asarray(next_pos.astype(np.int32))
+                )
+                remaining = remaining.at[slots_j].set(sampling.max_tokens - 1)
+                row_done = (first_h == eos) | (sampling.max_tokens <= 1)
+                done = done.at[slots_j].set(jnp.asarray(row_done))
+                attn_valid = attn_valid.at[slots_j].set(jnp.asarray(attn_rows))
+                seen = seen.at[slots_j].set(
+                    seen_rows_dev.at[jnp.arange(n_admit), first].set(True)
+                )
+                for j, (s, rid) in enumerate(zip(slots, rids)):
+                    slot_rid[s] = rid
+                    emitted[rid] = [int(first_h[j])]
+                    lp_acc[rid] = [float(first_lp_h[j])]
+                    if row_done[j]:
+                        finalize(s)
+
+            active = [s for s in range(B) if slot_rid[s] is not None]
+            if not active:
+                if qpos >= len(idxs):
+                    break
+                continue
+
+            (toks, lps, emitted_n, token, ak, av, seen, attn_valid, done, rng,
+             offsets, mrope_cur, remaining) = self._segment(
+                self.params,
+                token,
+                arena["k"],
+                arena["v"],
+                seen,
+                attn_valid,
+                done,
+                rng,
+                offsets,
+                mrope_cur,
+                remaining,
+                temperature=sampling.temperature,
+                top_p=sampling.top_p,
+                repetition_penalty=sampling.repetition_penalty,
+                n_steps=min(self.decode_segment, sampling.max_tokens),
+            )
+            arena = {"k": ak, "v": av}
+            toks_h = np.asarray(toks)
+            lps_h = np.asarray(lps)
+            emitted_h = np.asarray(emitted_n)
+            done_h = np.asarray(done)
+            for s in active:
+                rid = slot_rid[s]
+                n = int(emitted_h[s])
+                emitted[rid].extend(int(t) for t in toks_h[s, :n])
+                lp_acc[rid].extend(float(x) for x in lps_h[s, :n])
+                if done_h[s]:
+                    finalize(s)
+
+        self._arenas[(B, T)] = arena  # persist for the next generate() call

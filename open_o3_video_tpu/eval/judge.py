@@ -57,7 +57,6 @@ class EngineJudge:
         self.sampling = SamplingParams(temperature=0.0, repetition_penalty=1.0,
                                        max_tokens=max_new_tokens)
 
-    max_num_seqs = 8  # judge prompts are short; batch aggressively
 
     def _request(self, question: str, gt: str, candidate: str):
         from ..engine import Request
@@ -85,14 +84,11 @@ class EngineJudge:
         the reference's 72B judge scores strictly one answer per forward
         (eval_vstar.py:43-73)."""
         reqs = [self._request(*job) for job in jobs]
-        ratings: list[int] = []
-        for start in range(0, len(reqs), self.max_num_seqs):
-            outs = self.engine.generate(reqs[start : start + self.max_num_seqs], self.sampling)
-            ratings.extend(
-                self._parse(self.processor.decode(o["token_ids"], skip_special_tokens=True))
-                for o in outs
-            )
-        return ratings
+        outs = self.engine.generate(reqs, self.sampling)
+        return [
+            self._parse(self.processor.decode(o["token_ids"], skip_special_tokens=True))
+            for o in outs
+        ]
 
 
 def _empty_stats() -> dict[str, Any]:

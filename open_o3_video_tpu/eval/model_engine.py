@@ -98,14 +98,13 @@ class QwenVLEngine:
         return reqs
 
     def _generate_texts(self, requests: Sequence[Request]) -> list[str]:
-        texts = []
-        for start in range(0, len(requests), self.max_num_seqs):
-            chunk = list(requests[start : start + self.max_num_seqs])
-            outs = self.engine.generate(chunk, self.sampling)
-            for out in outs:
-                ids = out["token_ids"]
-                texts.append(self.processor.decode(ids, skip_special_tokens=True))
-        return texts
+        # The engine continuous-batches internally (max_slots decode slots
+        # with queued admission), so all requests go down in one call.
+        outs = self.engine.generate(list(requests), self.sampling)
+        return [
+            self.processor.decode(out["token_ids"], skip_special_tokens=True)
+            for out in outs
+        ]
 
     # ----------------------------------------------------------------- public
 
@@ -180,16 +179,13 @@ class QwenVLEngine:
     def run_images_scorer_batch(self, jobs: Sequence[tuple]) -> list[int]:
         """Batched evidence scoring: jobs = [(msgs, images), ...]."""
         reqs = [self._scorer_request(m, im) for m, im in jobs]
-        scores = []
-        for start in range(0, len(reqs), self.max_num_seqs):
-            outs = self.engine.generate(reqs[start : start + self.max_num_seqs], self.sampling)
-            scores.extend(
-                self._parse_score(
-                    self.processor.decode(o["token_ids"], skip_special_tokens=True)
-                )
-                for o in outs
+        outs = self.engine.generate(reqs, self.sampling)
+        return [
+            self._parse_score(
+                self.processor.decode(o["token_ids"], skip_special_tokens=True)
             )
-        return scores
+            for o in outs
+        ]
 
     def _request_from_raw(self, item: dict) -> Request:
         images = item.get("multi_modal_data", {}).get("image")

@@ -48,16 +48,29 @@ def _attention_layer(
     q, k = apply_mrope(q, k, cos, sin)
 
     if cache is not None:
-        k_cache = jax.lax.dynamic_update_slice(
-            cache["k"][layer_idx], k.astype(cache["k"].dtype), (0, cache_offset, 0, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            cache["v"][layer_idx], v.astype(cache["v"].dtype), (0, cache_offset, 0, 0)
-        )
+        if jnp.ndim(cache_offset) == 0:
+            k_cache = jax.lax.dynamic_update_slice(
+                cache["k"][layer_idx], k.astype(cache["k"].dtype), (0, cache_offset, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                cache["v"][layer_idx], v.astype(cache["v"].dtype), (0, cache_offset, 0, 0)
+            )
+        else:
+            # Per-row offsets (continuous batching: each slot decodes at its
+            # own depth). seq_positions already carries the buffer slots.
+            rows = jnp.arange(B)[:, None]
+            k_cache = cache["k"][layer_idx].at[rows, seq_positions].set(
+                k.astype(cache["k"].dtype)
+            )
+            v_cache = cache["v"][layer_idx].at[rows, seq_positions].set(
+                v.astype(cache["v"].dtype)
+            )
         new_cache = (k_cache, v_cache)
         T = k_cache.shape[1]
         kv_positions = jnp.arange(T)[None, :].repeat(B, axis=0)
-        cache_valid = jnp.arange(T)[None, :] < (cache_offset + S)
+        cache_valid = jnp.arange(T)[None, :] < jnp.reshape(
+            jnp.asarray(cache_offset) + S, (-1, 1)
+        )
         full_kv_mask = cache_valid if kv_mask is None else (kv_mask & cache_valid)
         out = causal_attention(
             q,

@@ -1,0 +1,91 @@
+"""Continuous-batching engine tests: queueing past max_slots, refill
+correctness, arena persistence, mixed buckets."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from open_o3_video_tpu.engine import InferenceEngine, Request, SamplingParams
+from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+
+GREEDY = SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=6)
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    cfg = Qwen25VLConfig.tiny()
+    params = P.init(cfg, seed=0)
+    return InferenceEngine(
+        params, cfg, prompt_buckets=(16, 32), cache_dtype=jnp.float32,
+        max_slots=2, decode_segment=4,
+    )
+
+
+def _prompts(k, rng):
+    return [rng.integers(5, 400, size=rng.integers(4, 14)).tolist() for _ in range(k)]
+
+
+class TestContinuous:
+    def test_queue_past_slots_matches_solo(self, tiny_engine):
+        """5 requests through 2 slots (forced refills) == solo generation."""
+        rng = np.random.default_rng(0)
+        prompts = _prompts(5, rng)
+        solo = [
+            tiny_engine.generate([Request(input_ids=p)], GREEDY)[0]["token_ids"]
+            for p in prompts
+        ]
+        batched = tiny_engine.generate([Request(input_ids=p) for p in prompts], GREEDY)
+        for i in range(5):
+            assert batched[i]["token_ids"] == solo[i], i
+
+    def test_varied_max_tokens_budget(self, tiny_engine):
+        out = tiny_engine.generate(
+            [Request(input_ids=[5, 6, 7])],
+            SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=1),
+        )
+        assert len(out[0]["token_ids"]) == 1
+
+    def test_arena_persists_across_calls(self, tiny_engine):
+        rng = np.random.default_rng(1)
+        p = _prompts(1, rng)[0]
+        tiny_engine.generate([Request(input_ids=p)], GREEDY)
+        keys_before = set(tiny_engine._arenas.keys())
+        assert keys_before, "arena should persist after a call"
+        out1 = tiny_engine.generate([Request(input_ids=p)], GREEDY)
+        out2 = tiny_engine.generate([Request(input_ids=p)], GREEDY)
+        assert out1[0]["token_ids"] == out2[0]["token_ids"]
+
+    def test_mixed_buckets_one_call(self, tiny_engine):
+        rng = np.random.default_rng(2)
+        short = rng.integers(5, 400, size=8).tolist()   # bucket 16
+        long = rng.integers(5, 400, size=24).tolist()   # bucket 32
+        solo_s = tiny_engine.generate([Request(input_ids=short)], GREEDY)[0]["token_ids"]
+        solo_l = tiny_engine.generate([Request(input_ids=long)], GREEDY)[0]["token_ids"]
+        both = tiny_engine.generate(
+            [Request(input_ids=long), Request(input_ids=short)], GREEDY
+        )
+        assert both[0]["token_ids"] == solo_l
+        assert both[1]["token_ids"] == solo_s
+
+    def test_logprobs_through_refill(self, tiny_engine):
+        rng = np.random.default_rng(3)
+        prompts = _prompts(3, rng)
+        outs = tiny_engine.generate(
+            [Request(input_ids=p) for p in prompts], GREEDY, return_logprobs=True
+        )
+        for o in outs:
+            assert len(o["logprobs"]) == len(o["token_ids"])
+            assert all(lp <= 0 for lp in o["logprobs"])
+
+    def test_sampled_rows_differ(self, tiny_engine):
+        """Identical prompts with temperature>0 must produce independent
+        samples per row (the GSPO rollout contract)."""
+        p = [5, 6, 7, 8, 9, 10]
+        outs = tiny_engine.generate(
+            [Request(input_ids=p)] * 4,
+            SamplingParams(temperature=1.0, top_p=1.0, repetition_penalty=1.0,
+                           max_tokens=8, seed=0),
+        )
+        seqs = {tuple(o["token_ids"]) for o in outs}
+        assert len(seqs) > 1
