@@ -230,3 +230,60 @@ class TestFetchVideoFast:
         # swscale bicubic vs PIL bicubic: close, not bit-identical
         diff = np.abs(fast.astype(np.float32) - ref).mean()
         assert diff < 3.0, f"mean abs pixel diff {diff}"
+
+
+@pytest.mark.skipif(not os.path.exists(EXAMPLE_VIDEO), reason="example video not mounted")
+class TestNativeKeyframeSeeks:
+    """Sparse targets beyond the seek gap must use av_seek_frame and still
+    return frame-exact results (seek path falls back to sequential decode
+    on any timestamp uncertainty)."""
+
+    @pytest.fixture(scope="class")
+    def long_video(self, tmp_path_factory):
+        import cv2
+
+        path = str(tmp_path_factory.mktemp("vid") / "long.mp4")
+        w, h, n = 160, 120, 2000
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        for i in range(n):
+            f = base.copy()
+            f[:20, :20] = (i % 255, (i // 255) % 255, 17)  # frame stamp
+            vw.write(f)
+        vw.release()
+        return path, n
+
+    def test_sparse_seek_decode_matches_cv2(self, long_video):
+        import cv2
+
+        from open_o3_video_tpu.native.video_decoder import decode_frames, available
+
+        if not available():
+            pytest.skip("native decoder not built")
+        path, n = long_video
+        # gap ~285 >> the 128-frame seek threshold: seeks engage
+        idx = np.linspace(0, n - 1, 8).astype(np.int64)
+        frames = decode_frames(path, idx)
+        cap = cv2.VideoCapture(path)
+        for j, i in enumerate(idx):
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+            ok, f = cap.read()
+            assert ok
+            ref = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+            np.testing.assert_array_equal(frames[j], ref, err_msg=f"frame {i}")
+        cap.release()
+
+    def test_unsorted_and_repeated_indices(self, long_video):
+        from open_o3_video_tpu.native.video_decoder import decode_frames, available
+
+        if not available():
+            pytest.skip("native decoder not built")
+        path, n = long_video
+        idx = np.array([1500, 10, 1500, 700], dtype=np.int64)
+        frames = decode_frames(path, idx)
+        np.testing.assert_array_equal(frames[0], frames[2])
+        sorted_frames = decode_frames(path, np.array([10, 700, 1500], dtype=np.int64))
+        np.testing.assert_array_equal(frames[1], sorted_frames[0])
+        np.testing.assert_array_equal(frames[3], sorted_frames[1])
+        np.testing.assert_array_equal(frames[0], sorted_frames[2])
