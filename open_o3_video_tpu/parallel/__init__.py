@@ -1,5 +1,13 @@
-"""Device mesh + sharding rules (data / fsdp / tensor axes)."""
+"""Device mesh + sharding rules (data / fsdp / tensor axes) and the
+multi-host bootstrap (jax.distributed, hybrid ICI/DCN meshes)."""
 
 from .mesh import make_mesh, shard_params, param_sharding_rules, replicate
+from . import distributed
 
-__all__ = ["make_mesh", "shard_params", "param_sharding_rules", "replicate"]
+__all__ = [
+    "make_mesh",
+    "shard_params",
+    "param_sharding_rules",
+    "replicate",
+    "distributed",
+]

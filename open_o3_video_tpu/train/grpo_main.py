@@ -47,6 +47,10 @@ def parse_args():
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_fsdp", type=int, default=-1)
     p.add_argument("--mesh_tensor", type=int, default=1)
+    # Multi-host bootstrap (SURVEY §5.8); see sft_main for the flag contract.
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--report_to", default="none")
     p.add_argument("--seed", type=int, default=42)
@@ -58,7 +62,21 @@ def main():
     os.environ.setdefault("WANDB_MODE", "offline")
     os.environ.setdefault("DECORD_EOF_RETRY_MAX", "20480")
 
+    from ..parallel import distributed as D
+
+    D.initialize(args.coordinator_address, args.num_processes, args.process_id)
+
     import jax
+
+    if jax.process_count() > 1:
+        # GSPO rollouts run through the in-process engine, which packs host
+        # batches per process; the cross-host story for rollouts (per-host
+        # engines on local meshes + global update mesh) is documented in
+        # README and not wired yet. Fail loudly rather than mis-shard.
+        raise NotImplementedError(
+            "multi-host GSPO is not supported yet; run SFT multi-host or "
+            "GSPO on a single host (any number of local chips)"
+        )
 
     from ..data.processor import O3VideoProcessor
     from ..data.rl_dataset import load_rl_dataset, prepare_rl_sample
@@ -94,7 +112,7 @@ def main():
     if len(jax.devices()) > 1 or args.mesh_tensor > 1 or args.mesh_fsdp > 1:
         mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor)
 
-    metrics = MetricsBus(use_wandb=args.report_to == "wandb")
+    metrics = MetricsBus(use_wandb=args.report_to == "wandb", primary=D.is_primary())
     trainer = GSPOTrainer(
         params, ref_params, model_cfg, cfg,
         detokenize=lambda ids: processor.decode(ids, skip_special_tokens=True),

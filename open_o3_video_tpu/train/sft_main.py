@@ -38,6 +38,12 @@ def parse_args():
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_fsdp", type=int, default=-1)
     p.add_argument("--mesh_tensor", type=int, default=1)
+    # Multi-host (SURVEY §5.8): on a TPU pod jax.distributed auto-discovers
+    # the coordinator; off-pod pass all three explicitly (or via
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--report_to", default="none")
     return p.parse_args()
@@ -47,13 +53,18 @@ def main():
     args = parse_args()
     os.environ.setdefault("WANDB_MODE", "offline")
 
+    from ..parallel import distributed as D
+
+    D.initialize(args.coordinator_address, args.num_processes, args.process_id)
+
     import jax.numpy as jnp
+    import numpy as np
     from tqdm import tqdm
 
     from ..data.processor import O3VideoProcessor
     from ..data.sft_dataset import collate_sft_batch, load_sft_dataset, prepare_sft_example
     from ..models.qwen25vl import params as P
-    from ..parallel import make_mesh, shard_params
+    from ..parallel import shard_params
     from ..utils.metrics import MetricsBus
     from . import checkpoint as CKPT
     from .sft import SFTConfig, make_optimizer, make_train_step
@@ -68,7 +79,10 @@ def main():
     import jax
 
     if len(jax.devices()) > 1 or args.mesh_tensor > 1 or args.mesh_fsdp > 1:
-        mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor)
+        # Multi-process: the data axis grows by one DCN granule per host.
+        mesh = D.make_hybrid_mesh(
+            data=args.mesh_data, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor
+        )
 
     # Global batch = one sample per data replica x per-device batch size
     # (reference: 8 procs x bs 1, run_sft_video.sh:13).
@@ -98,30 +112,40 @@ def main():
         params, opt_state = state["params"], state["opt_state"]
         print(f"Resumed from step {start_step}")
 
-    metrics = MetricsBus(use_wandb=args.report_to == "wandb")
+    metrics = MetricsBus(use_wandb=args.report_to == "wandb", primary=D.is_primary())
     step = start_step
     epoch = 0
     n_skipped = 0
 
     def shard_batch(batch):
-        """Host batch -> device batch sharded over the data axis."""
-        from jax.sharding import NamedSharding, PartitionSpec as P_
+        """Host batch (GLOBAL rows, identical on every host) -> device batch
+        sharded over the data axis. Multi-host: each process contributes the
+        row block owned by its devices (put_global)."""
+        from jax.sharding import PartitionSpec as P_
+
+        pc = jax.process_count()
+        pid = jax.process_index()
 
         out = {}
         for k, v in batch.items():
             if k in ("grid_thw", "vision_token_id") or v is None:
                 out[k] = v  # host metadata (static under jit)
                 continue
-            v = jnp.asarray(v)
             if mesh is None:
-                out[k] = v
-            elif k == "position_ids":
-                out[k] = jax.device_put(v, NamedSharding(mesh, P_(None, "data")))
-            elif k in ("pixel_patches",):
-                # ragged across examples -> replicated
-                out[k] = jax.device_put(v, NamedSharding(mesh, P_()))
+                out[k] = jnp.asarray(v)
+                continue
+            v = np.asarray(v)
+            if k == "position_ids":
+                rows = v.shape[1] // pc
+                local = v[:, pid * rows:(pid + 1) * rows] if pc > 1 else v
+                out[k] = D.put_global(local, mesh, P_(None, "data"))
+            elif k == "pixel_patches":
+                # ragged across examples -> replicated (identical per host)
+                out[k] = D.put_global(v, mesh, P_())
             else:
-                out[k] = jax.device_put(v, NamedSharding(mesh, P_("data")))
+                rows = v.shape[0] // pc
+                local = v[pid * rows:(pid + 1) * rows] if pc > 1 else v
+                out[k] = D.put_global(local, mesh, P_("data"))
         return out
 
     while step < total_steps:
@@ -142,7 +166,7 @@ def main():
                 continue
             batch = shard_batch(batch)
             params, opt_state, m = train_step(params, opt_state, batch)
-            metrics.push(loss=float(m["loss"]), grad_norm=float(m["grad_norm"]))
+            metrics.push(loss=D.scalar(m["loss"]), grad_norm=D.scalar(m["grad_norm"]))
             step += 1
             if step % train_cfg.logging_steps == 0:
                 metrics.flush(step, extra={"epoch": epoch, "skipped": n_skipped})
@@ -151,7 +175,8 @@ def main():
         epoch += 1
 
     CKPT.save_checkpoint(args.output_dir, step, {"params": params, "opt_state": opt_state})
-    CKPT.export_safetensors(params, model_cfg, args.output_dir)
+    if D.is_primary():
+        CKPT.export_safetensors(params, model_cfg, args.output_dir)
     print(f"SFT complete: {step} steps -> {args.output_dir}")
 
 

@@ -16,11 +16,16 @@ from typing import Any, Optional
 
 
 class MetricsBus:
-    def __init__(self, log_path: Optional[str] = None, use_wandb: bool = False, project: str = "video-llm-training"):
+    def __init__(self, log_path: Optional[str] = None, use_wandb: bool = False,
+                 project: str = "video-llm-training", primary: bool = True):
+        """``primary=False`` (non-zero process in a multi-host run) still
+        accumulates/averages but writes to no sink — the analogue of HF
+        Trainer's rank-0-only logging."""
         self._acc: dict[str, list[float]] = defaultdict(list)
         self._log_path = log_path
+        self._primary = primary
         self._wandb = None
-        if use_wandb:
+        if use_wandb and primary:
             try:
                 os.environ.setdefault("WANDB_MODE", "offline")
                 import wandb
@@ -41,12 +46,13 @@ class MetricsBus:
         if extra:
             out.update(extra)
         record = {"step": step, "time": time.time(), **out}
-        line = json.dumps(record)
-        print(line, flush=True)
-        if self._log_path:
-            with open(self._log_path, "a") as f:
-                f.write(line + "\n")
-        if self._wandb is not None:
-            self._wandb.log(out, step=step)
+        if self._primary:
+            line = json.dumps(record)
+            print(line, flush=True)
+            if self._log_path:
+                with open(self._log_path, "a") as f:
+                    f.write(line + "\n")
+            if self._wandb is not None:
+                self._wandb.log(out, step=step)
         self._acc.clear()
         return out

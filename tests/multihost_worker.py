@@ -1,0 +1,94 @@
+"""Worker for the 2-process multi-host test (see test_multihost.py).
+
+Each process owns 4 virtual CPU devices; together they form a hybrid
+(data=2x2, fsdp=2, tensor=1) mesh where the outer data axis crosses the
+process boundary (== DCN). Runs one sharded SFT-style train step with each
+process feeding only ITS batch rows, then checks the loss against an
+unsharded single-host computation of the same global batch.
+
+Usage: python multihost_worker.py <coordinator> <num_processes> <process_id>
+"""
+
+import os
+import sys
+
+
+def main():
+    coordinator, num_processes, process_id = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    )
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from open_o3_video_tpu.parallel import distributed as D
+
+    assert D.initialize(coordinator, num_processes, process_id)
+    assert jax.process_count() == num_processes
+    assert len(jax.devices()) == 4 * num_processes
+
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import PartitionSpec as P_
+
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, get_rope_index, params as P
+    from open_o3_video_tpu.parallel import shard_params
+    from open_o3_video_tpu.train import sft as S
+
+    cfg = Qwen25VLConfig.tiny(dtype=jnp.float32)
+    params = P.init(cfg, seed=0)  # same seed on every host
+
+    mesh = D.make_hybrid_mesh(data=2, fsdp=2, tensor=1, dcn_data=num_processes)
+    assert dict(mesh.shape) == {"data": 2 * num_processes, "fsdp": 2, "tensor": 1}
+
+    # Global batch: one row per data replica; deterministic on every host.
+    B = mesh.shape["data"]
+    rng = np.random.default_rng(42)
+    ids = rng.integers(5, 400, size=(B, 16))
+    labels = ids.copy()
+    labels[:, :8] = S.IGNORE_INDEX
+    pos, _ = get_rope_index(cfg, ids)
+
+    # Each process feeds only ITS rows (DDP-rank semantics).
+    rows_per_proc = B // num_processes
+    lo = process_id * rows_per_proc
+    hi = lo + rows_per_proc
+    batch = {
+        "input_ids": D.put_global(ids[lo:hi], mesh, P_("data")),
+        "labels": D.put_global(labels[lo:hi], mesh, P_("data")),
+        "position_ids": D.put_global(pos[:, lo:hi], mesh, P_(None, "data")),
+    }
+
+    sharded = shard_params(params, mesh)
+    tcfg = S.SFTConfig(learning_rate=1e-3, gradient_checkpointing=False)
+    opt = S.make_optimizer(tcfg)
+    opt_state = opt.init(sharded)
+    step = S.make_train_step(cfg, tcfg, opt)
+    _, _, m = step(sharded, opt_state, batch)
+    # The loss is replicated: every process reads its own addressable shard.
+    loss = float(m["loss"].addressable_data(0))
+
+    # Unsharded single-host reference on the SAME global batch.
+    ref_batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "position_ids": jnp.asarray(pos),
+    }
+    ref_loss, _ = S.sft_loss(params, cfg, ref_batch, remat=False)
+    ref_loss = float(ref_loss)
+
+    assert abs(loss - ref_loss) < 1e-5, (loss, ref_loss)
+    D.sync("done")
+    print(f"proc {process_id}: OK loss={loss:.6f} ref={ref_loss:.6f} "
+          f"primary={D.is_primary()}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
