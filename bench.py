@@ -12,7 +12,15 @@ chip's 16 GB HBM — and decode HBM traffic halves. Attention runs the Pallas
 flash kernel (ops/flash_attention.py). Prints ONE JSON line.
 
 Env knobs: BENCH_TEXT_LAYERS, BENCH_QUANT=0 to disable int8,
-BENCH_DECODE_TOKENS, BENCH_VIDEOS, BENCH_VIDEO.
+BENCH_DECODE_TOKENS, BENCH_VIDEOS, BENCH_VIDEO, O3V_ATTN_IMPL=xla to
+disable the Pallas kernel.
+
+``vs_baseline`` compares against a same-chip NAIVE configuration — bf16
+weights + XLA attention + one request at a time, i.e. what a straight
+HF-transformers port would run (that configuration cannot even hold the
+full 28-layer model in 16 GB HBM, so it was measured at 14 layers and
+videos/s scaled by layer count; re-measure with BENCH_MEASURE_BASELINE=1
+BENCH_QUANT=0 O3V_ATTN_IMPL=xla BENCH_TEXT_LAYERS=14).
 """
 
 import json
@@ -32,6 +40,17 @@ DECODE_TOKENS = int(os.environ.get("BENCH_DECODE_TOKENS", "128"))
 N_VIDEOS = int(os.environ.get("BENCH_VIDEOS", "4"))
 VIDEO = os.environ.get(
     "BENCH_VIDEO", "/root/reference/eval/example_video.mp4"
+)
+MEASURE_BASELINE = os.environ.get("BENCH_MEASURE_BASELINE", "0") == "1"
+
+# Same-chip naive-configuration yardstick (see module docstring): measured
+# 2026-08-16 on 1x v5e via the tunnel with BENCH_QUANT=0 O3V_ATTN_IMPL=xla
+# BENCH_TEXT_LAYERS=14, single request: 4.061 s/video (0.43 s host + 3.63 s
+# compute). Scaled to 28 layers (compute x2 + host): 7.69 s/video = 0.130
+# videos/s — generous to the baseline, since 28L bf16 does not even fit in
+# one chip's 16 GB HBM. Override with BENCH_BASELINE_VIDEOS_PER_SEC.
+HF_BASELINE_VIDEOS_PER_SEC = float(
+    os.environ.get("BENCH_BASELINE_VIDEOS_PER_SEC", "0.130") or "0"
 )
 
 
@@ -108,7 +127,7 @@ def main():
     engine.generate([req], sampling)
     t_compile = time.time() - t0
 
-    # ---- timed runs
+    # ---- timed runs: single-request e2e
     runs = []
     decode_counts = []
     for _ in range(N_VIDEOS):
@@ -121,37 +140,62 @@ def main():
         )
         runs.append(time.time() - t1)
         decode_counts.append(len(out[0]["token_ids"]))
+    e2e_single = float(np.mean(runs))
 
-    # decode-only throughput: bs=1 and bs=4 (the eval harness batches ~5)
-    text_req = Request(input_ids=list(range(100, 164)))
+    # ---- batched e2e: N_VIDEOS requests through the continuous engine at
+    # once (the eval-harness shape: vstar item_batch x 5 queries); each
+    # request gets its own decoded video (distinct frame arrays).
+    def batched_run():
+        frame_sets = [fetch_video_fast({"video": VIDEO, "nframes": 16})[0]
+                      for _ in range(N_VIDEOS)]
+        reqs = [
+            Request(input_ids=prompt, frames=f, grid_thw=grid_thw,
+                    vision_token_id=cfg.image_token_id)
+            for f in frame_sets
+        ]
+        engine.generate(reqs, sampling)
+
+    batched_run()  # warmup (compile the n-row admission program)
+    engine.timer.reset()
+    t_b = time.time()
+    batched_run()
+    t_batched = time.time() - t_b
+    stage_report = engine.timer.report()
+
+    # decode-only throughput: bs=1 / bs=4 / bs=8 (max_slots)
     engine_txt = InferenceEngine(params, cfg, prompt_buckets=(128,))
-    engine_txt.generate([text_req], sampling)  # warmup
-    t2 = time.time()
-    out_txt = engine_txt.generate([text_req], sampling)
-    t_decode = time.time() - t2
-    tok_s = len(out_txt[0]["token_ids"]) / t_decode
 
-    batch4 = [Request(input_ids=list(range(100 + i, 164 + i))) for i in range(4)]
-    engine_txt.generate(batch4, sampling)  # warmup bs=4 programs
-    t3 = time.time()
-    outs4 = engine_txt.generate(batch4, sampling)
-    tok_s4 = sum(len(o["token_ids"]) for o in outs4) / (time.time() - t3)
+    def decode_tok_s(bs):
+        batch = [Request(input_ids=list(range(100 + i, 164 + i))) for i in range(bs)]
+        engine_txt.generate(batch, sampling)  # warmup program
+        t = time.time()
+        outs = engine_txt.generate(batch, sampling)
+        return sum(len(o["token_ids"]) for o in outs) / (time.time() - t)
 
-    e2e = float(np.mean(runs))
-    videos_per_sec = 1.0 / e2e
+    tok_s = decode_tok_s(1)
+    tok_s4 = decode_tok_s(4)
+    tok_s8 = decode_tok_s(8)
+
+    videos_per_sec = N_VIDEOS / t_batched
+    baseline = HF_BASELINE_VIDEOS_PER_SEC
     result = {
         "metric": "e2e_videos_per_sec_per_chip",
         "value": round(videos_per_sec, 4),
         "unit": (
-            f"videos/s (16f->{int(np.mean(decode_counts))}tok, {TEXT_LAYERS}L@7Bdims, "
-            f"{n_params/1e9:.2f}B params{', int8' if QUANT else ''})"
+            f"videos/s batched x{N_VIDEOS} (16f->{int(np.mean(decode_counts))}tok, "
+            f"{TEXT_LAYERS}L@7Bdims, {n_params/1e9:.2f}B params{', int8' if QUANT else ''})"
         ),
-        "vs_baseline": 0.0,
+        "vs_baseline": round(videos_per_sec / baseline, 2) if baseline > 0 else 0.0,
         "detail": {
-            "e2e_sec_per_video": round(e2e, 3),
+            "e2e_sec_per_video_single": round(e2e_single, 3),
+            "e2e_videos_per_sec_single": round(1.0 / e2e_single, 4),
+            "e2e_sec_total_batched": round(t_batched, 3),
             "host_pipeline_sec": round(t_host, 3),
             "decode_tok_per_sec_bs1": round(tok_s, 2),
             "decode_tok_per_sec_bs4": round(tok_s4, 2),
+            "decode_tok_per_sec_bs8": round(tok_s8, 2),
+            "engine_stages_batched": stage_report,
+            "baseline_videos_per_sec": baseline,
             "compile_sec": round(t_compile, 1),
             "prompt_tokens": len(prompt),
             "backend": jax.default_backend(),

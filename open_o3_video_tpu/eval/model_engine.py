@@ -6,9 +6,9 @@ Same call contract as the reference wrapper (eval/models/model_vllm.py):
 - ``run_images_scorer(msgs, images) -> int`` (0/1/2, -1 on anything else)
 - ``inference_wo_process(inputs) -> str``
 
-but inference runs on the TPU engine: requests are batched through
-prefill/decode (the analogue of vLLM's max_num_seqs=5 continuous batching)
-and sampling uses the same defaults (temperature from config, repetition
+but inference runs on the TPU engine: requests stream through its
+continuous-batching decode slots (the vLLM max_num_seqs analogue) and
+sampling uses the same defaults (temperature from config, repetition
 penalty 1.05).
 """
 
@@ -43,9 +43,14 @@ class QwenVLEngine:
         self.video_max_frames = llm_args.pop("video_max_frames", 16)
         self.max_num_seqs = llm_args.pop("max_num_seqs", 5)
 
+        load_in_int8 = llm_args.pop("load_in_int8", False)
         if isinstance(llm_name_or_params, str):
             print("Start initialize the model.")
-            params, cfg = P.load_pretrained(llm_name_or_params, cfg)
+            # int8 streams decoder weights to ~9.5 GB so the full 7B + KV
+            # arena fits one 16 GB chip (load_pretrained quantize_text).
+            params, cfg = P.load_pretrained(
+                llm_name_or_params, cfg, quantize_text=load_in_int8
+            )
             processor = processor or O3VideoProcessor.from_pretrained(llm_name_or_params)
         else:
             params = llm_name_or_params
@@ -200,6 +205,7 @@ class QwenVLEngine:
         return self.processor.decode(out["token_ids"], skip_special_tokens=True)
 
     def inference_wo_process_batch(self, inputs: Sequence[dict]) -> list[str]:
-        """Batched variant: ALL raw inputs, chunked by max_num_seqs."""
+        """Batched variant: ALL raw inputs in one engine call (the engine
+        continuous-batches across its decode slots internally)."""
         reqs = [self._request_from_raw(item) for item in inputs]
         return self._generate_texts(reqs)

@@ -35,18 +35,28 @@ def evaluate(
         )
 
     metrics: list[dict[str, Any]] = []
+    errors: list[dict[str, Any]] = []
     for i, (vp, img, txt, doc) in enumerate(zip(video_paths, image_input, text_input, docs)):
         question = doc["question"] + "\n" + "\n".join(f"{opt}" for opt in doc["options"])
-        out = evaluate_mcq_item(
-            model, vp, txt, img, doc,
-            N=N, vote=vote, think_mode=think_mode, question_for_scorer=question,
-        )
+        try:
+            out = evaluate_mcq_item(
+                model, vp, txt, img, doc,
+                N=N, vote=vote, think_mode=think_mode, question_for_scorer=question,
+            )
+        except Exception as e:
+            # skip-and-record: one bad item no longer kills the run (the
+            # reference terminates the whole fleet on first worker error,
+            # test_videomme.py:329-335)
+            print(f"[warn] item {doc.get('question_id')} failed ({e!r}); skipping")
+            errors.append({"question_id": doc.get("question_id"), "error": repr(e)})
+            continue
         print(doc["videoID"], "GT:", doc["answer"], "Pred:", out["pred"])
         metrics.append(D.process_results(doc, out["pred"], out["think"], out["frame_shape"]))
         print(f"{i + 1}/{len(docs)}")
 
     score = D.aggregate_results(metrics)
     with open(output_file, "w") as f:
-        json.dump({"overall": score, "results": metrics}, f, indent=2, default=str)
+        json.dump({"overall": score, "results": metrics, "errors": errors},
+                  f, indent=2, default=str)
     print(f"VideoMME done in {time.time() - t0:.1f}s -> {output_file}; overall {score:.1f}%")
     return score

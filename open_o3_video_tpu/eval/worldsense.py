@@ -40,10 +40,15 @@ def evaluate(
         if isinstance(candidates, str):
             candidates = eval(candidates)
         question = doc["question"] + "\n" + "\n".join(candidates)
-        out = evaluate_mcq_item(
-            model, vp, txt, img, doc,
-            N=N, vote=vote, think_mode=think_mode, question_for_scorer=question,
-        )
+        try:
+            out = evaluate_mcq_item(
+                model, vp, txt, img, doc,
+                N=N, vote=vote, think_mode=think_mode, question_for_scorer=question,
+            )
+        except Exception as e:
+            # skip-and-record instead of fleet-kill (test_videomme.py:329-335)
+            print(f"[warn] item {doc.get('index')} failed ({e!r}); skipping")
+            continue
         rec = dict(doc)
         rec["prediction"] = out["pred"]
         rec["reasoning_process"] = out["think"]

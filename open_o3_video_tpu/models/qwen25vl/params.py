@@ -133,18 +133,43 @@ def _normalize_key(key: str) -> str:
     return key  # visual.*, lm_head.*
 
 
-def from_named_arrays(named: Iterator[tuple[str, np.ndarray]], cfg: Qwen25VLConfig) -> dict:
-    """Build the param tree from (hf_name, numpy array) pairs."""
+_QUANT_TEXT_LEAVES = frozenset(
+    {"q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w", "lm_head"}
+)
+
+
+def from_named_arrays(
+    named: Iterator[tuple[str, np.ndarray]],
+    cfg: Qwen25VLConfig,
+    quantize_text: bool = False,
+) -> dict:
+    """Build the param tree from (hf_name, numpy array) pairs.
+
+    ``quantize_text=True`` int8-quantizes each decoder matmul weight AS IT
+    STREAMS IN, so loading the released 7B checkpoint never materializes a
+    full bf16 decoder on-chip (same leaves as ``init(quantize_text=True)``).
+    """
     v, t = cfg.vision, cfg.text
     dt = cfg.dtype
     params = init_empty(cfg)
 
     def put(path: list, value: np.ndarray, transpose: bool = False):
         arr = value.T if transpose else value
+        leaf = jnp.asarray(arr, dtype=dt)
+        if (
+            quantize_text
+            and path[0] == "text"
+            and path[-1] in _QUANT_TEXT_LEAVES
+        ):
+            from ...ops.quant import quantize_weight
+
+            q = quantize_weight(leaf)
+            leaf.delete()
+            leaf = q
         node = params
         for p in path[:-1]:
             node = node[p]
-        node[path[-1]] = jnp.asarray(arr, dtype=dt)
+        node[path[-1]] = leaf
 
     tied_embed = None
     saw_lm_head = False
@@ -221,7 +246,7 @@ def from_named_arrays(named: Iterator[tuple[str, np.ndarray]], cfg: Qwen25VLConf
     if not saw_lm_head:
         if tied_embed is None:
             raise ValueError("checkpoint has neither lm_head.weight nor embed_tokens.weight")
-        params["text"]["lm_head"] = jnp.asarray(tied_embed.T, dtype=dt)
+        put(["text", "lm_head"], tied_embed, transpose=True)
 
     # Text-only checkpoints (e.g. the Qwen2.5-72B judge, eval_all.sh:18) have
     # no vision tower; drop the empty branch rather than failing the check.
@@ -273,17 +298,25 @@ def _check_complete(params: Any, path: str = ""):
         raise ValueError(f"missing parameter: {path}")
 
 
-def from_torch_state_dict(state_dict, cfg: Qwen25VLConfig) -> dict:
+def from_torch_state_dict(state_dict, cfg: Qwen25VLConfig, quantize_text: bool = False) -> dict:
     """Import from an in-memory torch state dict (tests / conversions)."""
     def gen():
         for key, tensor in state_dict.items():
             yield key, tensor.detach().to("cpu").float().numpy()
 
-    return from_named_arrays(gen(), cfg)
+    return from_named_arrays(gen(), cfg, quantize_text=quantize_text)
 
 
-def load_pretrained(model_dir: str, cfg: Qwen25VLConfig | None = None) -> tuple[dict, Qwen25VLConfig]:
-    """Load from an HF model directory of safetensors shards."""
+def load_pretrained(
+    model_dir: str,
+    cfg: Qwen25VLConfig | None = None,
+    quantize_text: bool = False,
+) -> tuple[dict, Qwen25VLConfig]:
+    """Load from an HF model directory of safetensors shards.
+
+    ``quantize_text=True`` streams each decoder matmul to int8 during the
+    shard read — the full 7B loads into ~9.5 GB instead of 16.6 GB bf16
+    (which would not fit a single 16 GB chip alongside a KV cache)."""
     from safetensors import safe_open
 
     if cfg is None:
@@ -303,7 +336,7 @@ def load_pretrained(model_dir: str, cfg: Qwen25VLConfig | None = None) -> tuple[
                 for key in f.keys():
                     yield key, f.get_tensor(key)
 
-    return from_named_arrays(gen(), cfg), cfg
+    return from_named_arrays(gen(), cfg, quantize_text=quantize_text), cfg
 
 
 def save_safetensors(params: dict, cfg: Qwen25VLConfig, out_path: str):

@@ -1,9 +1,10 @@
 """Checkpoint IO: Orbax sharded save/restore + HF-safetensors interop.
 
 Replaces the reference's HF Trainer + DeepSpeed checkpointing
-(SURVEY.md §5.4): ``save_steps``-style periodic saves, step resume, and
-"gather 16-bit weights on save" == exporting the unsharded tree to
-safetensors for released-checkpoint interop.
+(SURVEY.md §5.4): ``save_steps``-style periodic saves (optionally async),
+step resume that restores arrays INTO the caller's shardings (safe across
+topology changes), and "gather 16-bit weights on save" == exporting the
+unsharded tree to safetensors for released-checkpoint interop.
 """
 
 from __future__ import annotations
@@ -11,15 +12,41 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+_async_ckptr = None
 
-def save_checkpoint(ckpt_dir: str, step: int, state: dict[str, Any]):
-    """Async-capable Orbax save of {params, opt_state, step, ...}."""
+
+def _get_async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: dict[str, Any],
+                    async_save: bool = False):
+    """Orbax save of {params, opt_state, step, ...}.
+
+    ``async_save=True`` returns immediately while the write proceeds in the
+    background (call :func:`wait_for_saves` before reading the files or
+    exiting) — the analogue of not stalling the train loop on save_steps.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
+    if async_save:
+        _get_async_checkpointer().save(path, state, force=True)
+    else:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, state, force=True)
     return path
+
+
+def wait_for_saves():
+    """Block until all async saves have committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:
@@ -34,7 +61,15 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
 
 
 def restore_checkpoint(ckpt_dir: str, step: Optional[int] = None, target: Optional[dict] = None):
-    """Restore a checkpoint (latest step when unspecified)."""
+    """Restore a checkpoint (latest step when unspecified).
+
+    With ``target`` (a pytree of arrays — e.g. the freshly initialized,
+    already-sharded state), every array restores directly INTO the target's
+    sharding and dtype, which is both topology-change-safe and avoids a
+    host gather (DeepSpeed's load_checkpoint analogue). Without it, arrays
+    restore with their as-saved layout (orbax warns that this is unsafe on
+    a different topology).
+    """
     import orbax.checkpoint as ocp
 
     if step is None:
@@ -44,7 +79,17 @@ def restore_checkpoint(ckpt_dir: str, step: Optional[int] = None, target: Option
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
     with ocp.PyTreeCheckpointer() as ckptr:
         if target is not None:
-            restored = ckptr.restore(path, item=target)
+            import jax
+
+            def restore_arg(x):
+                if hasattr(x, "sharding"):
+                    return ocp.ArrayRestoreArgs(
+                        sharding=x.sharding, global_shape=x.shape, dtype=x.dtype
+                    )
+                return ocp.RestoreArgs()
+
+            restore_args = jax.tree.map(restore_arg, target)
+            restored = ckptr.restore(path, item=target, restore_args=restore_args)
         else:
             restored = ckptr.restore(path)
     return restored, step

@@ -122,11 +122,22 @@ def main():
         seed=args.seed,
     )
 
+    import numpy as np
+
+    def ckpt_state(step):
+        # The rollout sampler draws seed+global_step per step, so capturing
+        # (seed, step) makes resumed rollouts reproduce the original stream.
+        return {"params": trainer.params, "opt_state": trainer.opt_state,
+                "meta": {"step": np.asarray(step, np.int64),
+                         "seed": np.asarray(trainer.seed, np.int64)}}
+
     start_step = 0
     if args.resume_from_checkpoint:
-        state, start_step = CKPT.restore_checkpoint(args.resume_from_checkpoint)
+        target = ckpt_state(0)
+        state, start_step = CKPT.restore_checkpoint(args.resume_from_checkpoint, target=target)
         trainer.params, trainer.opt_state = state["params"], state["opt_state"]
-        print(f"Resumed from step {start_step}")
+        trainer.seed = int(state["meta"]["seed"])
+        print(f"Resumed from step {start_step} (sampler seed {trainer.seed})")
 
     # One prompt per data replica per step (reference: 1 prompt/GPU x 8,
     # run_grpo_video.sh:11); prompts = B, sequences = B x num_generations.
@@ -166,12 +177,10 @@ def main():
         if step % cfg.logging_steps == 0:
             metrics.flush(step)
         if step % args.save_steps == 0:
-            CKPT.save_checkpoint(
-                args.output_dir, step,
-                {"params": trainer.params, "opt_state": trainer.opt_state},
-            )
+            CKPT.save_checkpoint(args.output_dir, step, ckpt_state(step), async_save=True)
 
-    CKPT.save_checkpoint(args.output_dir, step, {"params": trainer.params, "opt_state": trainer.opt_state})
+    CKPT.wait_for_saves()
+    CKPT.save_checkpoint(args.output_dir, step, ckpt_state(step))
     CKPT.export_safetensors(trainer.params, model_cfg, args.output_dir)
     print(f"GSPO complete: {step} steps -> {args.output_dir}")
 

@@ -31,6 +31,7 @@ import optax
 from ..grounding.rewards import REWARD_REGISTRY, RewardFn
 from ..models.qwen25vl import Qwen25VLConfig, forward
 from ..utils.metrics import MetricsBus
+from ..utils.profiling import StageTimer
 
 
 @dataclasses.dataclass
@@ -189,6 +190,8 @@ class GSPOTrainer:
         self.ref_params = ref_params
         self.engine = InferenceEngine(params, model_cfg)
 
+        # Per-stage wall clock (rollout/reward/logps/update), SURVEY §5.1.
+        self.timer = StageTimer()
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adamw(cfg.learning_rate),
@@ -279,16 +282,17 @@ class GSPOTrainer:
             )
             reqs.extend([req] * G)
         self.engine.params = self.params  # rollouts always use latest policy
-        outs = self.engine.generate(
-            reqs,
-            SamplingParams(
-                temperature=cfg.temperature,
-                top_p=cfg.top_p,
-                repetition_penalty=1.0,
-                max_tokens=cfg.max_completion_length,
-                seed=self.seed + global_step,
-            ),
-        )
+        with self.timer.stage("rollout"):
+            outs = self.engine.generate(
+                reqs,
+                SamplingParams(
+                    temperature=cfg.temperature,
+                    top_p=cfg.top_p,
+                    repetition_penalty=1.0,
+                    max_tokens=cfg.max_completion_length,
+                    seed=self.seed + global_step,
+                ),
+            )
         completions_ids = [o["token_ids"] for o in outs]
         completions_text = [self.detokenize(ids) for ids in completions_ids]
         completions = [[{"role": "assistant", "content": txt}] for txt in completions_text]
@@ -305,10 +309,11 @@ class GSPOTrainer:
         }
         reward_kwargs["step_percent"] = [step_percent] * R
         rewards_per_func = np.zeros((R, len(self.reward_funcs)), dtype=np.float32)
-        for i, fn in enumerate(self.reward_funcs):
-            rewards_per_func[:, i] = np.asarray(
-                fn(completions=completions, **reward_kwargs), dtype=np.float32
-            )
+        with self.timer.stage("reward"):
+            for i, fn in enumerate(self.reward_funcs):
+                rewards_per_func[:, i] = np.asarray(
+                    fn(completions=completions, **reward_kwargs), dtype=np.float32
+                )
         rewards = rewards_per_func.sum(axis=1)
         advantages = group_advantages(rewards, G)  # group-local per prompt
 
@@ -416,9 +421,11 @@ class GSPOTrainer:
             self._step_fns[("logps", logps_key)] = make_logps_fn(mcfg)(grid, vis_tok)
         logps_fn = self._step_fns[("logps", logps_key)]
         try:
-            ref_logps = logps_fn(
-                self.ref_params, ids_d, pos_d, patches_d, valid_d, vri_d
-            )[:, Lp - 1 :]
+            with self.timer.stage("ref_logps"):
+                ref_logps = logps_fn(
+                    self.ref_params, ids_d, pos_d, patches_d, valid_d, vri_d
+                )[:, Lp - 1 :]
+                ref_logps.block_until_ready()
             use_vision = patches is not None
         except Exception as e:  # degraded recompute: drop vision kwargs
             print(f"logps with vision failed ({e}); retrying without vision")
@@ -456,18 +463,20 @@ class GSPOTrainer:
 
             self._step_fns[upd_key] = update_fn
 
-        self.params, self.opt_state, loss, kl = self._step_fns[upd_key](
-            self.params,
-            self.opt_state,
-            ids_d,
-            pos_d,
-            valid_d,
-            cmask_d,
-            ref_logps,
-            adv_d,
-            patches_d if use_vision else None,
-            vri_d if use_vision else None,
-        )
+        with self.timer.stage("update"):
+            self.params, self.opt_state, loss, kl = self._step_fns[upd_key](
+                self.params,
+                self.opt_state,
+                ids_d,
+                pos_d,
+                valid_d,
+                cmask_d,
+                ref_logps,
+                adv_d,
+                patches_d if use_vision else None,
+                vri_d if use_vision else None,
+            )
+            loss.block_until_ready()
 
         # 8. metrics — means over ALL replicas' rows
         #    (== gather_for_metrics, grpo_trainer.py:711-738)

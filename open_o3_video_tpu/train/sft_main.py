@@ -108,7 +108,10 @@ def main():
 
     start_step = 0
     if args.resume_from_checkpoint:
-        state, start_step = CKPT.restore_checkpoint(args.resume_from_checkpoint)
+        # Restore INTO the live shardings (topology-change-safe).
+        target = {"params": params, "opt_state": opt_state,
+                  "meta": {"step": np.zeros((), np.int64)}}
+        state, start_step = CKPT.restore_checkpoint(args.resume_from_checkpoint, target=target)
         params, opt_state = state["params"], state["opt_state"]
         print(f"Resumed from step {start_step}")
 
@@ -171,10 +174,20 @@ def main():
             if step % train_cfg.logging_steps == 0:
                 metrics.flush(step, extra={"epoch": epoch, "skipped": n_skipped})
             if step % train_cfg.save_steps == 0:
-                CKPT.save_checkpoint(args.output_dir, step, {"params": params, "opt_state": opt_state})
+                CKPT.save_checkpoint(
+                    args.output_dir, step,
+                    {"params": params, "opt_state": opt_state,
+                     "meta": {"step": np.asarray(step, np.int64)}},
+                    async_save=True,  # don't stall the train loop
+                )
         epoch += 1
 
-    CKPT.save_checkpoint(args.output_dir, step, {"params": params, "opt_state": opt_state})
+    CKPT.wait_for_saves()
+    CKPT.save_checkpoint(
+        args.output_dir, step,
+        {"params": params, "opt_state": opt_state,
+         "meta": {"step": np.asarray(step, np.int64)}},
+    )
     if D.is_primary():
         CKPT.export_safetensors(params, model_cfg, args.output_dir)
     print(f"SFT complete: {step} steps -> {args.output_dir}")

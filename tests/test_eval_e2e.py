@@ -180,3 +180,25 @@ def test_tvgbench_end_to_end(tmp_path):
     assert scores["R1@0.7"] == 1.0
     saved = json.load(open(out_file))
     assert saved["results"][0]["prediction"] == [2.0, 8.0]
+
+
+def test_videomme_item_failure_skipped_and_recorded(videomme_root, tmp_path):
+    """A raising item must be skipped and recorded, not kill the run
+    (the reference terminates its whole fleet, test_videomme.py:329-335)."""
+    from open_o3_video_tpu.eval import videomme
+
+    class FlakyModel(ScriptedModel):
+        calls = 0
+
+        def __call__(self, video_paths, queries, query_image):
+            FlakyModel.calls += 1
+            if FlakyModel.calls == 1:
+                raise RuntimeError("corrupt video")
+            return super().__call__(video_paths, queries, query_image)
+
+    out_file = str(tmp_path / "out.json")
+    score = videomme.evaluate(FlakyModel("B"), videomme_root, out_file, N=1)
+    data = json.load(open(out_file))
+    assert len(data["errors"]) == 1
+    assert len(data["results"]) == 1
+    assert score == 100.0  # surviving item is q2 with GT B

@@ -105,3 +105,75 @@ class TestQuantizedSharding:
         ref, _ = forward(params, cfg, jnp.asarray(ids), jnp.asarray(pos))
         out, _ = forward(sharded, cfg, jnp.asarray(ids), jnp.asarray(pos))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+class TestQuantizedStreamingLoad:
+    def test_load_streams_to_int8_and_matches_post_quant(self, tmp_path):
+        """from_torch_state_dict(quantize_text=True) == quantize after a
+        full-precision import: same quantized leaves, and the structure
+        matches init(quantize_text=True)."""
+        torch = pytest.importorskip("torch")
+        from transformers.models.qwen2_5_vl import (
+            Qwen2_5_VLConfig,
+            Qwen2_5_VLForConditionalGeneration,
+        )
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+
+        from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+        from open_o3_video_tpu.ops.quant import quantize_weight
+
+        cfg = Qwen25VLConfig.tiny(dtype=jnp.float32)
+        v, t = cfg.vision, cfg.text
+        hf_cfg = Qwen2_5_VLConfig(
+            vision_config=dict(
+                depth=v.depth, hidden_size=v.hidden_size,
+                intermediate_size=v.intermediate_size, num_heads=v.num_heads,
+                patch_size=v.patch_size, spatial_merge_size=v.spatial_merge_size,
+                temporal_patch_size=v.temporal_patch_size, window_size=v.window_size,
+                fullatt_block_indexes=list(v.fullatt_block_indexes),
+                out_hidden_size=v.out_hidden_size,
+            ),
+            text_config=dict(
+                vocab_size=t.vocab_size, hidden_size=t.hidden_size,
+                intermediate_size=t.intermediate_size,
+                num_hidden_layers=t.num_hidden_layers,
+                num_attention_heads=t.num_attention_heads,
+                num_key_value_heads=t.num_key_value_heads,
+                rope_scaling={"type": "mrope", "mrope_section": list(t.mrope_section)},
+                tie_word_embeddings=False,
+            ),
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        hf = Qwen2_5_VLForConditionalGeneration(hf_cfg).eval().float()
+
+        full = P.from_torch_state_dict(hf.state_dict(), cfg)
+        streamed = P.from_torch_state_dict(hf.state_dict(), cfg, quantize_text=True)
+
+        layer_full = full["text"]["layers"][0]
+        layer_q = streamed["text"]["layers"][0]
+        from open_o3_video_tpu.ops.quant import QuantizedLinear
+
+        for name in ("q_w", "o_w", "down_w"):
+            assert isinstance(layer_q[name], QuantizedLinear), name
+            ref_q = quantize_weight(layer_full[name])
+            np.testing.assert_array_equal(
+                np.asarray(layer_q[name].w_q), np.asarray(ref_q.w_q)
+            )
+            np.testing.assert_allclose(
+                np.asarray(layer_q[name].scale), np.asarray(ref_q.scale),
+                rtol=1e-6,
+            )
+        assert isinstance(streamed["text"]["lm_head"], QuantizedLinear)
+        # non-quantized leaves untouched
+        np.testing.assert_array_equal(
+            np.asarray(layer_q["q_b"]), np.asarray(layer_full["q_b"])
+        )
+        # structure matches init(quantize_text=True) so sharding rules and
+        # forward paths are identical
+        ref_struct = jax.tree_util.tree_structure(
+            P.init(cfg, seed=0, quantize_text=True)
+        )
+        assert jax.tree_util.tree_structure(streamed) == ref_struct

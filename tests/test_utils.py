@@ -147,3 +147,48 @@ class TestTextOnlyCheckpoint:
         out = eng.generate([Request(input_ids=[5, 6, 7])],
                            SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=3))
         assert len(out[0]["token_ids"]) >= 1
+
+
+class TestShardedCheckpoint:
+    def test_restore_into_different_topology(self, tmp_path):
+        """Save sharded on one mesh layout, restore INTO another: values
+        preserved, restored arrays adopt the target shardings (no orbax
+        'unsafe on a different topology' pathway)."""
+        import warnings
+
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        from open_o3_video_tpu.parallel import make_mesh
+
+        mesh_a = make_mesh(data=1, fsdp=8, tensor=1)
+        mesh_b = make_mesh(data=2, fsdp=2, tensor=2)
+        w = np.arange(64 * 16, dtype=np.float32).reshape(64, 16)
+        state = {
+            "params": {"w": jax.device_put(w, NamedSharding(mesh_a, P_("fsdp", None)))},
+            "meta": {"step": np.asarray(3, np.int64)},
+        }
+        CKPT.save_checkpoint(str(tmp_path), 3, state)
+
+        target_sharding = NamedSharding(mesh_b, P_("fsdp", "tensor"))
+        target = {
+            "params": {"w": jax.device_put(jnp.zeros_like(w), target_sharding)},
+            "meta": {"step": np.zeros((), np.int64)},
+        }
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            restored, step = CKPT.restore_checkpoint(str(tmp_path), target=target)
+        assert step == 3
+        got = restored["params"]["w"]
+        np.testing.assert_array_equal(np.asarray(got), w)
+        assert got.sharding == target_sharding
+        assert int(restored["meta"]["step"]) == 3
+
+    def test_async_save_then_restore(self, tmp_path):
+        params = {"a": np.arange(8.0), "b": {"c": np.ones((3, 3))}}
+        CKPT.save_checkpoint(str(tmp_path), 11, {"params": params}, async_save=True)
+        CKPT.wait_for_saves()
+        restored, step = CKPT.restore_checkpoint(str(tmp_path))
+        assert step == 11
+        np.testing.assert_array_equal(restored["params"]["a"], params["a"])
