@@ -41,6 +41,7 @@ from ..models.qwen25vl import Qwen25VLConfig, get_rope_index
 from ..models.qwen25vl.model import embed_tokens, encode_vision, merge_vision_embeddings
 from ..models.qwen25vl.text import init_kv_cache, logits_from_hidden, text_forward
 from ..ops.sampling import sample_token
+from ..utils.profiling import StageTimer, trace_annotation
 
 
 @dataclasses.dataclass
@@ -85,6 +86,7 @@ class InferenceEngine:
         cache_dtype=jnp.bfloat16,
         max_slots: int = 8,
         decode_segment: int = 64,
+        decode_attn_impl: Optional[str] = "xla",
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -92,6 +94,7 @@ class InferenceEngine:
         self.cache_dtype = cache_dtype
         self.max_slots = max_slots
         self.decode_segment = decode_segment
+        self.decode_attn_impl = decode_attn_impl
         if mesh is not None:
             from ..parallel.mesh import shard_params
 
@@ -100,6 +103,9 @@ class InferenceEngine:
 
         self._vision_fns: dict = {}
         self._arenas: dict = {}  # (n_slots, T) -> {"k","v"} persistent cache
+        # Per-stage wall clock (SURVEY §5.1 — the reference had only ad-hoc
+        # prints); read/reset via engine.timer.report() (bench.py surfaces it).
+        self.timer = StageTimer()
 
         # Donation lets XLA reuse the arena/state buffers in place; the CPU
         # backend does not implement donation and would warn per call.
@@ -110,9 +116,10 @@ class InferenceEngine:
         )
         self._segment = jax.jit(
             self._segment_impl,
-            static_argnames=("temperature", "top_p", "repetition_penalty", "n_steps"),
+            static_argnames=("temperature", "top_p", "repetition_penalty",
+                             "n_steps", "prompt_len"),
             donate_argnames=(
-                ("arena_k", "arena_v", "seen", "attn_valid", "offsets",
+                ("arena_k", "arena_v", "seen", "attn_valid",
                  "mrope_cur", "remaining", "done")
                 if donate
                 else ()
@@ -156,7 +163,7 @@ class InferenceEngine:
         attn_valid,  # (B, T)
         done,  # (B,)
         rng,
-        offsets,  # (B,) buffer slot of `token`
+        cursor,  # () group-global decode step counter (ring write head)
         mrope_cur,  # (B,) m-rope position of `token`
         remaining,  # (B,) token budget left after `token`
         *,
@@ -164,42 +171,66 @@ class InferenceEngine:
         top_p: float,
         repetition_penalty: float,
         n_steps: int,
+        prompt_len: int,
     ):
         """Up to ``n_steps`` fused decode steps over all slots, exiting early
-        once every slot is done. Each slot decodes at its own depth
-        (per-row cache offsets)."""
+        once every slot is done.
+
+        The decode region [prompt_len, T) is a RING with a single
+        group-global write head: every step writes ALL rows' KV at the SAME
+        buffer column (the only cache-update form XLA keeps in place — a
+        per-row scatter is ~200x slower on TPU), with per-row validity bits
+        carrying which slots belong to whom. The ring (size = max_tokens)
+        is clobber-safe: a row is active for at most max_tokens steps, so a
+        slot being overwritten always belongs to an already-finished span.
+        Causality for the single-token queries is validity alone — every
+        valid slot of a row IS one of its earlier tokens — so explicit
+        zero kv_positions disable the positional mask.
+        """
         cfg = self.cfg
         B, T = attn_valid.shape
+        ring = T - prompt_len
         pad = cfg.pad_token_id
         eos = cfg.eos_token_id
         toks = jnp.full((B, n_steps), pad, jnp.int32)
         lps = jnp.zeros((B, n_steps), jnp.float32)
         emitted = jnp.zeros((B,), jnp.int32)
+        kv_pos_zero = jnp.zeros((B, T), jnp.int32)
 
         def cond(st):
             k, done = st[0], st[6]
             return jnp.logical_and(k < n_steps, ~jnp.all(done))
 
         def body(st):
-            (k, token, ak, av, seen, attn_valid, done, rng, offsets,
+            (k, token, ak, av, seen, attn_valid, done, rng, cursor,
              mrope_cur, remaining, toks, lps, emitted) = st
             rows = jnp.arange(B)
             live = ~done
-            attn_valid = attn_valid.at[rows, offsets].set(
-                attn_valid[rows, offsets] | live
+            s_col = prompt_len + jax.lax.rem(cursor, ring)
+            attn_valid = jax.lax.dynamic_update_slice(
+                attn_valid, live[:, None], (0, s_col)
             )
             embeds = embed_tokens(params, token[:, None])
             position_ids = jnp.broadcast_to(mrope_cur[None, :, None], (3, B, 1))
-            seq_pos = offsets[:, None]
+            # Validity-only masking, impl-independent: q_position = T makes
+            # the causal test (kv slot/pos <= q_pos) pass for every slot on
+            # both the Pallas kernel (which compares buffer indices) and the
+            # XLA path (which compares the zero kv_positions) — attn_valid
+            # alone decides, which is exactly ring-decode causality.
+            # Measured on v5e (28L int8, T~2.2k): the XLA path wins decode
+            # (71 vs 56 tok/s bs=1) — at S=1 the flash kernel's block
+            # machinery has no causal tiles to skip and only adds overhead.
             hidden, cache = text_forward(
                 params["text"],
                 cfg.text,
                 embeds,
                 position_ids,
-                seq_positions=seq_pos,
+                seq_positions=jnp.full((B, 1), T, jnp.int32),
                 attn_valid=attn_valid,
                 cache={"k": ak, "v": av},
-                cache_offset=offsets,
+                cache_offset=s_col,
+                kv_positions=kv_pos_zero,
+                attn_impl=self.decode_attn_impl,
             )
             ak, av = cache["k"], cache["v"]
             logits = logits_from_hidden(params["text"], hidden[:, 0, :])
@@ -220,18 +251,17 @@ class InferenceEngine:
             emitted = emitted + live.astype(jnp.int32)
             remaining = remaining - live.astype(jnp.int32)
             done = done | (nxt == eos) | (remaining <= 0)
-            offsets = jnp.where(done, offsets, offsets + 1)
             mrope_cur = jnp.where(done, mrope_cur, mrope_cur + 1)
-            return (k + 1, nxt, ak, av, seen, attn_valid, done, rng, offsets,
-                    mrope_cur, remaining, toks, lps, emitted)
+            return (k + 1, nxt, ak, av, seen, attn_valid, done, rng,
+                    cursor + 1, mrope_cur, remaining, toks, lps, emitted)
 
         st = (jnp.asarray(0), token, arena_k, arena_v, seen, attn_valid, done,
-              rng, offsets, mrope_cur, remaining, toks, lps, emitted)
+              rng, cursor, mrope_cur, remaining, toks, lps, emitted)
         st = jax.lax.while_loop(cond, body, st)
-        (_, token, arena_k, arena_v, seen, attn_valid, done, rng, offsets,
+        (_, token, arena_k, arena_v, seen, attn_valid, done, rng, cursor,
          mrope_cur, remaining, toks, lps, emitted) = st
         return (toks, lps, emitted, token, arena_k, arena_v, seen, attn_valid,
-                done, rng, offsets, mrope_cur, remaining)
+                done, rng, cursor, mrope_cur, remaining)
 
     def _frames_to_patches(self, frames: np.ndarray) -> jnp.ndarray:
         """uint8 (T, C, H, W) -> frames-as-images patches, on-device.
@@ -374,7 +404,7 @@ class InferenceEngine:
         arena = self._get_arena(B, T)
 
         token = jnp.zeros((B,), jnp.int32)
-        offsets = jnp.zeros((B,), jnp.int32)
+        cursor = jnp.asarray(0)  # ring write head, group-global
         mrope_cur = jnp.zeros((B,), jnp.int32)
         remaining = jnp.zeros((B,), jnp.int32)
         done = jnp.ones((B,), bool)
@@ -412,39 +442,41 @@ class InferenceEngine:
                 rids = idxs[qpos:qpos + n_admit]
                 qpos += n_admit
                 reqs = [requests[r] for r in rids]
-                (embeds, pos, seq_pos, attn_rows, seen_rows, next_pos) = (
-                    self._prepare_rows(reqs, L, T, vis_cache)
-                )
-                logits, ak, av = self._admit(
-                    self.params,
-                    embeds,
-                    jnp.asarray(pos),
-                    jnp.asarray(seq_pos),
-                    jnp.asarray(attn_rows),
-                    arena["k"],
-                    arena["v"],
-                    jnp.asarray(np.asarray(slots, dtype=np.int32)),
-                )
-                arena = {"k": ak, "v": av}
-                seen_rows_dev = jnp.asarray(seen_rows)
-                rng, sub = jax.random.split(rng)
-                first = sample_token(
-                    sub,
-                    logits,
-                    temperature=sampling.temperature,
-                    top_p=sampling.top_p,
-                    seen_mask=seen_rows_dev,
-                    repetition_penalty=sampling.repetition_penalty,
-                )
-                first_lp = jax.nn.log_softmax(logits, axis=-1)[
-                    jnp.arange(n_admit), first
-                ]
-                first_h = np.asarray(first)
-                first_lp_h = np.asarray(first_lp)
+                with self.timer.stage("prepare"), trace_annotation("engine.prepare"):
+                    (embeds, pos, seq_pos, attn_rows, seen_rows, next_pos) = (
+                        self._prepare_rows(reqs, L, T, vis_cache)
+                    )
+                with self.timer.stage("prefill"), trace_annotation("engine.prefill"):
+                    logits, ak, av = self._admit(
+                        self.params,
+                        embeds,
+                        jnp.asarray(pos),
+                        jnp.asarray(seq_pos),
+                        jnp.asarray(attn_rows),
+                        arena["k"],
+                        arena["v"],
+                        jnp.asarray(np.asarray(slots, dtype=np.int32)),
+                    )
+                    arena = {"k": ak, "v": av}
+                    seen_rows_dev = jnp.asarray(seen_rows)
+                    rng, sub = jax.random.split(rng)
+                    first = sample_token(
+                        sub,
+                        logits,
+                        temperature=sampling.temperature,
+                        top_p=sampling.top_p,
+                        seen_mask=seen_rows_dev,
+                        repetition_penalty=sampling.repetition_penalty,
+                    )
+                    first_lp = jax.nn.log_softmax(logits, axis=-1)[
+                        jnp.arange(n_admit), first
+                    ]
+                    # host fetch == device sync for the stage timer
+                    first_h = np.asarray(first)
+                    first_lp_h = np.asarray(first_lp)
 
                 slots_j = jnp.asarray(np.asarray(slots, dtype=np.int32))
                 token = token.at[slots_j].set(first.astype(jnp.int32))
-                offsets = offsets.at[slots_j].set(L)
                 mrope_cur = mrope_cur.at[slots_j].set(
                     jnp.asarray(next_pos.astype(np.int32))
                 )
@@ -468,29 +500,32 @@ class InferenceEngine:
                     break
                 continue
 
-            (toks, lps, emitted_n, token, ak, av, seen, attn_valid, done, rng,
-             offsets, mrope_cur, remaining) = self._segment(
-                self.params,
-                token,
-                arena["k"],
-                arena["v"],
-                seen,
-                attn_valid,
-                done,
-                rng,
-                offsets,
-                mrope_cur,
-                remaining,
-                temperature=sampling.temperature,
-                top_p=sampling.top_p,
-                repetition_penalty=sampling.repetition_penalty,
-                n_steps=min(self.decode_segment, sampling.max_tokens),
-            )
-            arena = {"k": ak, "v": av}
-            toks_h = np.asarray(toks)
-            lps_h = np.asarray(lps)
-            emitted_h = np.asarray(emitted_n)
-            done_h = np.asarray(done)
+            with self.timer.stage("decode"), trace_annotation("engine.decode"):
+                (toks, lps, emitted_n, token, ak, av, seen, attn_valid, done, rng,
+                 cursor, mrope_cur, remaining) = self._segment(
+                    self.params,
+                    token,
+                    arena["k"],
+                    arena["v"],
+                    seen,
+                    attn_valid,
+                    done,
+                    rng,
+                    cursor,
+                    mrope_cur,
+                    remaining,
+                    temperature=sampling.temperature,
+                    top_p=sampling.top_p,
+                    repetition_penalty=sampling.repetition_penalty,
+                    n_steps=min(self.decode_segment, sampling.max_tokens),
+                    prompt_len=L,
+                )
+                arena = {"k": ak, "v": av}
+                # host fetch doubles as the device sync for the stage timer
+                toks_h = np.asarray(toks)
+                lps_h = np.asarray(lps)
+                emitted_h = np.asarray(emitted_n)
+                done_h = np.asarray(done)
             for s in active:
                 rid = slot_rid[s]
                 n = int(emitted_h[s])

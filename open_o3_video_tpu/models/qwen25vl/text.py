@@ -40,6 +40,7 @@ def _attention_layer(
     layer_idx: int,
     cache_offset,
     attn_impl: Optional[str] = None,
+    kv_positions: Optional[jnp.ndarray] = None,  # (B, T) explicit key positions
 ):
     B, S, _ = x.shape
     q = (dense(x, p["q_w"]) + p["q_b"]).reshape(B, S, cfg.num_attention_heads, cfg.head_dim)
@@ -67,17 +68,27 @@ def _attention_layer(
             )
         new_cache = (k_cache, v_cache)
         T = k_cache.shape[1]
-        kv_positions = jnp.arange(T)[None, :].repeat(B, axis=0)
-        cache_valid = jnp.arange(T)[None, :] < jnp.reshape(
-            jnp.asarray(cache_offset) + S, (-1, 1)
-        )
-        full_kv_mask = cache_valid if kv_mask is None else (kv_mask & cache_valid)
+        if kv_positions is None:
+            # Default layout: buffer slot == sequence position; slots past
+            # the write head are invalid.
+            kv_positions_full = jnp.arange(T)[None, :].repeat(B, axis=0)
+            cache_valid = jnp.arange(T)[None, :] < jnp.reshape(
+                jnp.asarray(cache_offset) + S, (-1, 1)
+            )
+            full_kv_mask = cache_valid if kv_mask is None else (kv_mask & cache_valid)
+        else:
+            # Explicit positions (ring-buffer decode): kv_mask must fully
+            # describe slot validity. Passing zeros makes validity the only
+            # mask — correct for single-token decode queries, whose valid
+            # slots are by construction all earlier tokens of the same row.
+            kv_positions_full = kv_positions
+            full_kv_mask = kv_mask
         out = causal_attention(
             q,
             k_cache.astype(q.dtype),
             v_cache.astype(q.dtype),
             q_positions=seq_positions,
-            kv_positions=kv_positions,
+            kv_positions=kv_positions_full,
             kv_mask=full_kv_mask,
             impl=attn_impl,
         )
@@ -106,6 +117,7 @@ def text_forward(
     attn_valid: Optional[jnp.ndarray] = None,  # (B, total_len) validity (left padding)
     cache: Optional[dict] = None,
     cache_offset=0,
+    kv_positions: Optional[jnp.ndarray] = None,
     remat: bool = False,
     attn_impl: Optional[str] = None,
 ) -> tuple[jnp.ndarray, Optional[dict]]:
@@ -128,7 +140,7 @@ def text_forward(
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
         attn_out, layer_cache = _attention_layer(
             layer, cfg, h, cos, sin, seq_positions, attn_valid, cache,
-            layer_idx, cache_offset, attn_impl,
+            layer_idx, cache_offset, attn_impl, kv_positions,
         )
         x = x + attn_out
         h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
