@@ -321,30 +321,48 @@ class InferenceEngine:
             position_ids[:, i] = pos[:, 0]
             next_pos[i] = pos[:, 0, :].max() + 1
 
-        # Embed + scatter vision features per request. Requests sharing the
-        # same pixel data (e.g. the G rollout copies of one RL prompt) are
-        # encoded once per call via vis_cache.
+        # Embed + scatter vision features. Requests sharing the same pixel
+        # data (e.g. the G rollout copies of one RL prompt) are encoded once
+        # per call via vis_cache; DISTINCT requests' patches are concatenated
+        # into ONE vision-tower program (bigger matmuls, fewer dispatches)
+        # and split back by merged-token count.
         embeds = embed_tokens(self.params, jnp.asarray(ids))
-        for i, r in enumerate(reqs):
+        jobs: list[tuple] = []  # (vis_key, patches_dev, grid)
+        seen_keys = set()
+        for r in reqs:
             if r.pixel_patches is None and r.frames is None:
                 continue
             grid = np.asarray(r.grid_thw)
             grid_key = tuple(map(tuple, grid.tolist()))
             vis_key = (id(r.pixel_patches), id(r.frames), grid_key)
-            vis = vis_cache.get(vis_key)
-            if vis is None:
-                if r.frames is not None:
-                    patches_dev = self._frames_to_patches(r.frames)
-                else:
-                    patches_dev = jnp.asarray(r.pixel_patches)
-                # One jitted vision program per grid configuration — the
-                # eager path would issue hundreds of dispatches per request.
-                if grid_key not in self._vision_fns:
-                    self._vision_fns[grid_key] = jax.jit(
-                        lambda p, x, g=grid: encode_vision(p, self.cfg, x, g)
-                    )
-                vis = self._vision_fns[grid_key](self.params, patches_dev)
-                vis_cache[vis_key] = vis
+            if vis_key in vis_cache or vis_key in seen_keys:
+                continue
+            seen_keys.add(vis_key)
+            if r.frames is not None:
+                patches_dev = self._frames_to_patches(r.frames)
+            else:
+                patches_dev = jnp.asarray(r.pixel_patches)
+            jobs.append((vis_key, patches_dev, grid))
+        if jobs:
+            all_grid = np.concatenate([g for _, _, g in jobs], axis=0)
+            combined_key = tuple(map(tuple, all_grid.tolist()))
+            if combined_key not in self._vision_fns:
+                self._vision_fns[combined_key] = jax.jit(
+                    lambda p, x, g=all_grid: encode_vision(p, self.cfg, x, g)
+                )
+            all_vis = self._vision_fns[combined_key](
+                self.params, jnp.concatenate([pd for _, pd, _ in jobs], axis=0)
+            )
+            off = 0
+            for vis_key, patches_dev, grid in jobs:
+                n_tok = int(np.prod(grid, axis=1).sum()) // cfg.vision.merge_unit
+                vis_cache[vis_key] = all_vis[off:off + n_tok]
+                off += n_tok
+        for i, r in enumerate(reqs):
+            if r.pixel_patches is None and r.frames is None:
+                continue
+            grid_key = tuple(map(tuple, np.asarray(r.grid_thw).tolist()))
+            vis = vis_cache[(id(r.pixel_patches), id(r.frames), grid_key)]
             row = merge_vision_embeddings(
                 cfg,
                 jnp.asarray(ids[i:i + 1]),
@@ -397,7 +415,9 @@ class InferenceEngine:
 
     def _run_group(self, L, idxs, requests, sampling, return_logprobs, results):
         cfg = self.cfg
-        B = self.max_slots
+        # Slot count tracks the workload (one program per count): a single
+        # request must not pay 8 rows of KV traffic + sampling per step.
+        B = min(self.max_slots, len(idxs))
         T = L + sampling.max_tokens
         V = cfg.text.vocab_size
         eos = cfg.eos_token_id

@@ -78,6 +78,28 @@ class TestContinuous:
             assert len(o["logprobs"]) == len(o["token_ids"])
             assert all(lp <= 0 for lp in o["logprobs"])
 
+    def test_ring_wrap_stress_matches_solo(self, tiny_engine):
+        """Long completions + repeated refills force the ring write head to
+        wrap several times; every clobbered slot must belong to a finished
+        span, so outputs stay identical to solo decoding."""
+        rng = np.random.default_rng(7)
+        prompts = [rng.integers(5, 400, size=rng.integers(4, 14)).tolist()
+                   for _ in range(6)]
+        long_greedy = SamplingParams(
+            temperature=0.0, repetition_penalty=1.0, max_tokens=40
+        )
+        # 6 requests x up to 40 tokens through 2 slots with 4-step segments:
+        # ~120 group steps over a 40-slot ring -> ~3 full wraps.
+        solo = [
+            tiny_engine.generate([Request(input_ids=p)], long_greedy)[0]["token_ids"]
+            for p in prompts
+        ]
+        batched = tiny_engine.generate(
+            [Request(input_ids=p) for p in prompts], long_greedy
+        )
+        for i in range(6):
+            assert batched[i]["token_ids"] == solo[i], i
+
     def test_sampled_rows_differ(self, tiny_engine):
         """Identical prompts with temperature>0 must produce independent
         samples per row (the GSPO rollout contract)."""
