@@ -146,8 +146,15 @@ def main():
     # once (the eval-harness shape: vstar item_batch x 5 queries); each
     # request gets its own decoded video (distinct frame arrays).
     def batched_run():
-        frame_sets = [fetch_video_fast({"video": VIDEO, "nframes": 16})[0]
-                      for _ in range(N_VIDEOS)]
+        # Host decode overlaps across videos (the C++ decoder releases the
+        # GIL), mirroring the eval harness's threaded item preparation.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, N_VIDEOS)) as pool:
+            frame_sets = list(pool.map(
+                lambda _: fetch_video_fast({"video": VIDEO, "nframes": 16})[0],
+                range(N_VIDEOS),
+            ))
         reqs = [
             Request(input_ids=prompt, frames=f, grid_thw=grid_thw,
                     vision_token_id=cfg.image_token_id)

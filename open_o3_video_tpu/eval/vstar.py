@@ -403,23 +403,31 @@ def process_items_batched(
     621-693) with in-process engine batching; failed items are recorded in
     ``errors`` and skipped instead of terminating the run (the reference
     kills the whole fleet on first error, :644-674)."""
-    prepared = []
-    for data in items:
+    # Host preparation (video decode + resize) runs in a thread pool — the
+    # cv2/native decoders release the GIL, so items overlap on host cores
+    # while the previous batch occupies the chip.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def prep(data):
         vid = data.get("vid") or data.get("video_id")
         video_path = data.get("video_path") or find_video(video_folder, vid)
         if video_path is None or not os.path.exists(video_path):
-            print(f"Warning: video not found for {vid}, skipping")
-            if errors is not None:
-                errors.append({"vid": vid, "error": "video not found"})
-            continue
+            return (data, None, None, {"vid": vid, "error": "video not found"})
         try:
             inputs, frame_size = prepare_item_inputs(data, video_path, model, think_mode)
         except Exception as e:
-            print(f"Warning: failed to prepare {vid} ({e!r}), skipping")
-            if errors is not None:
-                errors.append({"vid": vid, "error": repr(e)})
-            continue
-        prepared.append((data, inputs, frame_size))
+            return (data, None, None, {"vid": vid, "error": repr(e)})
+        return (data, inputs, frame_size, None)
+
+    prepared = []
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(items)))) as pool:
+        for data, inputs, frame_size, err in pool.map(prep, items):
+            if err is not None:
+                print(f"Warning: {err['vid']}: {err['error']}, skipping")
+                if errors is not None:
+                    errors.append(err)
+                continue
+            prepared.append((data, inputs, frame_size))
 
     if not prepared:
         return []
