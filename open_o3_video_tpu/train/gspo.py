@@ -95,6 +95,38 @@ def make_logps_fn(model_cfg: Qwen25VLConfig):
     return build
 
 
+def gspo_objective(
+    per_token_logps: jnp.ndarray,  # (G, Lc) policy logps over completion tokens
+    ref_per_token_logps: jnp.ndarray,  # (G, Lc)
+    completion_mask: jnp.ndarray,  # (G, Lc)
+    advantages: jnp.ndarray,  # (G,)
+    cfg: GSPOConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The GSPO/GRPO objective on per-token logps (grpo_trainer.py:634-706).
+
+    Returns (loss, mean_kl). Factored out of the model forward so the math
+    is differentially testable against a torch transcription of the
+    reference equations (tests/test_train.py)."""
+    mask = completion_mask.astype(per_token_logps.dtype)
+    denom = jnp.clip(mask.sum(-1), 1.0, None)
+
+    x_clamped = jnp.clip(ref_per_token_logps - per_token_logps, -10, 10)
+    per_token_kl = jnp.exp(x_clamped) - x_clamped - 1
+
+    log_ratio = per_token_logps - jax.lax.stop_gradient(per_token_logps)
+    if cfg.gspo:
+        log_iw = ((log_ratio * mask).sum(-1) / denom)[:, None]
+    else:
+        log_iw = log_ratio
+    coef_1 = jnp.exp(log_iw)
+    coef_2 = jnp.clip(coef_1, 1 - cfg.epsilon_low, 1 + cfg.epsilon_high)
+    adv = advantages[:, None]
+    per_token_loss = -jnp.minimum(coef_1 * adv, coef_2 * adv) + cfg.beta * per_token_kl
+    loss = ((per_token_loss * mask).sum(-1) / denom).mean()
+    mean_kl = ((per_token_kl * mask).sum(-1) / denom).mean()
+    return loss, mean_kl
+
+
 def gspo_loss(
     params: dict,
     model_cfg: Qwen25VLConfig,
@@ -122,24 +154,9 @@ def gspo_loss(
     token_logps = jnp.take_along_axis(logp_all, input_ids[:, 1:][..., None], axis=-1)[..., 0]
     per_token_logps = token_logps[:, prompt_length - 1 :]  # (G, Lc)
 
-    mask = completion_mask.astype(per_token_logps.dtype)
-    denom = jnp.clip(mask.sum(-1), 1.0, None)
-
-    x_clamped = jnp.clip(ref_per_token_logps - per_token_logps, -10, 10)
-    per_token_kl = jnp.exp(x_clamped) - x_clamped - 1
-
-    log_ratio = per_token_logps - jax.lax.stop_gradient(per_token_logps)
-    if cfg.gspo:
-        log_iw = ((log_ratio * mask).sum(-1) / denom)[:, None]
-    else:
-        log_iw = log_ratio
-    coef_1 = jnp.exp(log_iw)
-    coef_2 = jnp.clip(coef_1, 1 - cfg.epsilon_low, 1 + cfg.epsilon_high)
-    adv = advantages[:, None]
-    per_token_loss = -jnp.minimum(coef_1 * adv, coef_2 * adv) + cfg.beta * per_token_kl
-    loss = ((per_token_loss * mask).sum(-1) / denom).mean()
-
-    mean_kl = ((per_token_kl * mask).sum(-1) / denom).mean()
+    loss, mean_kl = gspo_objective(
+        per_token_logps, ref_per_token_logps, completion_mask, advantages, cfg
+    )
     return loss, {"kl": mean_kl, "policy_logps": per_token_logps}
 
 

@@ -157,3 +157,81 @@ class TestGSPOTrainerStep:
         # With identical completions the group advantage is 0, so policy
         # gradients vanish; KL term still produces a (possibly tiny) update.
         assert "kl" in m and np.isfinite(m["kl"])
+
+
+class TestGSPOObjectiveDifferential:
+    """Gradient-level differential of the GSPO/GRPO objective against a
+    torch transcription of the reference equations
+    (grpo_trainer.py:634-706): k3 KL, sequence-level (or token-level)
+    clipped importance weights, masked means."""
+
+    @staticmethod
+    def _torch_objective(per_token_logps, ref_logps, mask, advantages,
+                         beta, eps_low, eps_high, gspo):
+        import torch
+
+        mask = mask.to(per_token_logps.dtype)
+        denom = mask.sum(-1).clamp(min=1.0)
+        x = torch.clamp(ref_logps - per_token_logps, -10, 10)
+        per_token_kl = torch.exp(x) - x - 1
+        log_ratio = per_token_logps - per_token_logps.detach()
+        if gspo:
+            log_iw = ((log_ratio * mask).sum(-1) / denom).unsqueeze(1)
+        else:
+            log_iw = log_ratio
+        coef_1 = torch.exp(log_iw)
+        coef_2 = torch.clamp(coef_1, 1 - eps_low, 1 + eps_high)
+        adv = advantages.unsqueeze(1)
+        per_token_loss = -torch.min(coef_1 * adv, coef_2 * adv) + beta * per_token_kl
+        return ((per_token_loss * mask).sum(-1) / denom).mean()
+
+    @pytest.mark.parametrize("gspo", [True, False])
+    def test_value_and_grad_match_reference_math(self, gspo):
+        torch = pytest.importorskip("torch")
+
+        rng = np.random.default_rng(11)
+        Gn, Lc = 4, 12
+        logps = rng.normal(-2.0, 1.0, (Gn, Lc))
+        refs = logps + rng.normal(0, 0.5, (Gn, Lc))
+        mask = (rng.random((Gn, Lc)) > 0.3).astype(np.float64)
+        mask[:, 0] = 1.0  # no fully-empty rows
+        adv = rng.normal(0, 1.5, (Gn,))
+
+        cfg = G.GSPOConfig(beta=0.04, epsilon_low=0.2, epsilon_high=0.2, gspo=gspo)
+
+        t_logps = torch.tensor(logps, requires_grad=True, dtype=torch.float64)
+        t_loss = self._torch_objective(
+            t_logps, torch.tensor(refs), torch.tensor(mask), torch.tensor(adv),
+            cfg.beta, cfg.epsilon_low, cfg.epsilon_high, gspo,
+        )
+        t_loss.backward()
+
+        def jax_loss(lp):
+            loss, _ = G.gspo_objective(
+                lp, jnp.asarray(refs), jnp.asarray(mask), jnp.asarray(adv), cfg
+            )
+            return loss
+
+        with jax.enable_x64(True):
+            j_loss, j_grad = jax.value_and_grad(jax_loss)(jnp.asarray(logps))
+
+        np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(j_grad), t_logps.grad.numpy(), rtol=1e-8, atol=1e-10
+        )
+
+    def test_kl_clamp_boundary(self):
+        """The k3 estimator clamps ref-pol at +-10 before exp (the clamp is
+        inside the gradient path, grpo_trainer.py:634-636)."""
+        cfg = G.GSPOConfig(beta=1.0, gspo=True)
+        logps = jnp.asarray([[-30.0]])
+        refs = jnp.asarray([[0.0]])  # ref - pol = 30 -> clamped to 10
+        mask = jnp.asarray([[1.0]])
+        adv = jnp.asarray([0.0])
+        loss, kl = G.gspo_objective(logps, refs, mask, adv, cfg)
+        expected = float(np.exp(10) - 10 - 1)
+        assert np.isclose(float(kl), expected)
+        # clamped region: d kl / d logps == 0 except the -x term... the
+        # clamp zeroes the whole branch's gradient in torch semantics too
+        g = jax.grad(lambda lp: G.gspo_objective(lp, refs, mask, adv, cfg)[0])(logps)
+        assert np.isfinite(np.asarray(g)).all()
