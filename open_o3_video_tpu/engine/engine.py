@@ -107,12 +107,31 @@ class InferenceEngine:
         # prints); read/reset via engine.timer.report() (bench.py surfaces it).
         self.timer = StageTimer()
 
+        # Multi-host SPMD mode: with a mesh spanning processes, every host
+        # runs the SAME schedule on the SAME (replicated) inputs — rollout
+        # arrays are global replicated arrays, host-read outputs stay
+        # replicated, and host control flow is deterministic, so the fleet
+        # stays in jit lockstep (the multi-host GSPO rollout story).
+        self._spmd = mesh is not None and jax.process_count() > 1
+        self._first_sample = jax.jit(
+            sample_token,
+            static_argnames=("temperature", "top_p", "repetition_penalty"),
+        )
+
         # Donation lets XLA reuse the arena/state buffers in place; the CPU
         # backend does not implement donation and would warn per call.
         donate = jax.default_backend() != "cpu"
+        out_kw = {}
+        if self._spmd:
+            # Host-read outputs (and the arena) stay fully replicated so
+            # every host can fetch its addressable copy.
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+
+            out_kw["out_shardings"] = NamedSharding(mesh, P_())
         self._admit = jax.jit(
             self._admit_impl,
             donate_argnames=("arena_k", "arena_v") if donate else (),
+            **out_kw,
         )
         self._segment = jax.jit(
             self._segment_impl,
@@ -124,6 +143,7 @@ class InferenceEngine:
                 if donate
                 else ()
             ),
+            **out_kw,
         )
 
     # ------------------------------------------------------------------ impl
@@ -284,7 +304,7 @@ class InferenceEngine:
                 out_dtype=self.cfg.dtype,
             )
 
-        return convert(jnp.asarray(frames))
+        return convert(self._put(frames))
 
     # --------------------------------------------------------------- host prep
 
@@ -326,7 +346,7 @@ class InferenceEngine:
         # per call via vis_cache; DISTINCT requests' patches are concatenated
         # into ONE vision-tower program (bigger matmuls, fewer dispatches)
         # and split back by merged-token count.
-        embeds = embed_tokens(self.params, jnp.asarray(ids))
+        embeds = embed_tokens(self.params, self._put(ids))
         jobs: list[tuple] = []  # (vis_key, patches_dev, grid)
         seen_keys = set()
         for r in reqs:
@@ -341,7 +361,7 @@ class InferenceEngine:
             if r.frames is not None:
                 patches_dev = self._frames_to_patches(r.frames)
             else:
-                patches_dev = jnp.asarray(r.pixel_patches)
+                patches_dev = self._put(r.pixel_patches)
             jobs.append((vis_key, patches_dev, grid))
         if jobs:
             all_grid = np.concatenate([g for _, _, g in jobs], axis=0)
@@ -365,7 +385,7 @@ class InferenceEngine:
             vis = vis_cache[(id(r.pixel_patches), id(r.frames), grid_key)]
             row = merge_vision_embeddings(
                 cfg,
-                jnp.asarray(ids[i:i + 1]),
+                self._put(ids[i:i + 1]),
                 embeds[i:i + 1],
                 vis,
                 r.vision_token_id or cfg.image_token_id,
@@ -382,11 +402,34 @@ class InferenceEngine:
         seq_positions = np.broadcast_to(np.arange(L, dtype=np.int64), (n, L))
         return embeds, position_ids, seq_positions, attn_rows, seen_rows, next_pos
 
+    def _put(self, x, to_i32: bool = False):
+        """Host value -> array the jitted programs accept.
+
+        Single-process: plain jnp.asarray. SPMD multi-host: a REPLICATED
+        global array (identical host values by construction), so every
+        jitted/eager op runs in fleet lockstep."""
+        x = np.asarray(x)
+        if to_i32:
+            x = x.astype(np.int32)
+        if not self._spmd:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        return jax.device_put(x, NamedSharding(self.mesh, P_()))
+
     def _get_arena(self, n_slots: int, T: int) -> dict:
         key = (n_slots, T)
         arena = self._arenas.pop(key, None)
         if arena is None:
-            arena = init_kv_cache(self.cfg.text, n_slots, T, dtype=self.cache_dtype)
+            if self._spmd:
+                from jax.sharding import NamedSharding, PartitionSpec as P_
+
+                arena = jax.jit(
+                    lambda: init_kv_cache(self.cfg.text, n_slots, T, dtype=self.cache_dtype),
+                    out_shardings=NamedSharding(self.mesh, P_()),
+                )()
+            else:
+                arena = init_kv_cache(self.cfg.text, n_slots, T, dtype=self.cache_dtype)
         return arena
 
     # ----------------------------------------------------------------- public
@@ -423,14 +466,14 @@ class InferenceEngine:
         eos = cfg.eos_token_id
         arena = self._get_arena(B, T)
 
-        token = jnp.zeros((B,), jnp.int32)
-        cursor = jnp.asarray(0)  # ring write head, group-global
-        mrope_cur = jnp.zeros((B,), jnp.int32)
-        remaining = jnp.zeros((B,), jnp.int32)
-        done = jnp.ones((B,), bool)
-        attn_valid = jnp.zeros((B, T), bool)
-        seen = jnp.zeros((B, V), bool)
-        rng = jax.random.PRNGKey(sampling.seed)
+        token = self._put(np.zeros((B,), np.int32))
+        cursor = self._put(np.asarray(0))  # ring write head, group-global
+        mrope_cur = self._put(np.zeros((B,), np.int32))
+        remaining = self._put(np.zeros((B,), np.int32))
+        done = self._put(np.ones((B,), bool))
+        attn_valid = self._put(np.zeros((B, T), bool))
+        seen = self._put(np.zeros((B, V), bool))
+        rng = self._put(np.asarray(jax.random.PRNGKey(sampling.seed)))
 
         slot_rid: list = [None] * B
         emitted: dict = {}
@@ -470,17 +513,17 @@ class InferenceEngine:
                     logits, ak, av = self._admit(
                         self.params,
                         embeds,
-                        jnp.asarray(pos),
-                        jnp.asarray(seq_pos),
-                        jnp.asarray(attn_rows),
+                        self._put(pos),
+                        self._put(seq_pos),
+                        self._put(attn_rows),
                         arena["k"],
                         arena["v"],
-                        jnp.asarray(np.asarray(slots, dtype=np.int32)),
+                        self._put(slots, to_i32=True),
                     )
                     arena = {"k": ak, "v": av}
-                    seen_rows_dev = jnp.asarray(seen_rows)
+                    seen_rows_dev = self._put(seen_rows)
                     rng, sub = jax.random.split(rng)
-                    first = sample_token(
+                    first = self._first_sample(
                         sub,
                         logits,
                         temperature=sampling.temperature,
@@ -495,15 +538,15 @@ class InferenceEngine:
                     first_h = np.asarray(first)
                     first_lp_h = np.asarray(first_lp)
 
-                slots_j = jnp.asarray(np.asarray(slots, dtype=np.int32))
+                slots_j = self._put(slots, to_i32=True)
                 token = token.at[slots_j].set(first.astype(jnp.int32))
                 mrope_cur = mrope_cur.at[slots_j].set(
-                    jnp.asarray(next_pos.astype(np.int32))
+                    self._put(next_pos, to_i32=True)
                 )
                 remaining = remaining.at[slots_j].set(sampling.max_tokens - 1)
                 row_done = (first_h == eos) | (sampling.max_tokens <= 1)
-                done = done.at[slots_j].set(jnp.asarray(row_done))
-                attn_valid = attn_valid.at[slots_j].set(jnp.asarray(attn_rows))
+                done = done.at[slots_j].set(self._put(row_done))
+                attn_valid = attn_valid.at[slots_j].set(self._put(attn_rows))
                 seen = seen.at[slots_j].set(
                     seen_rows_dev.at[jnp.arange(n_admit), first].set(True)
                 )

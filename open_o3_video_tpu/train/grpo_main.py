@@ -68,21 +68,17 @@ def main():
 
     import jax
 
-    if jax.process_count() > 1:
-        # GSPO rollouts run through the in-process engine, which packs host
-        # batches per process; the cross-host story for rollouts (per-host
-        # engines on local meshes + global update mesh) is documented in
-        # README and not wired yet. Fail loudly rather than mis-shard.
-        raise NotImplementedError(
-            "multi-host GSPO is not supported yet; run SFT multi-host or "
-            "GSPO on a single host (any number of local chips)"
-        )
+    # Multi-host GSPO runs in SPMD lockstep: every host iterates the SAME
+    # dataset cursor, prepares the SAME B prompts, and drives the engine
+    # with replicated global arrays, so all hosts execute identical jitted
+    # programs (the engine's _spmd mode); the update still shards over the
+    # hybrid mesh's data axis. Rollout host work is duplicated per host —
+    # the per-host-sharded-rollout optimization is future work.
 
     from ..data.processor import O3VideoProcessor
     from ..data.rl_dataset import load_rl_dataset, prepare_rl_sample
     from ..grounding.rewards import REWARD_REGISTRY
     from ..models.qwen25vl import params as P
-    from ..parallel import make_mesh
     from ..utils.metrics import MetricsBus
     from . import checkpoint as CKPT
     from .gspo import GSPOConfig, GSPOTrainer
@@ -110,7 +106,9 @@ def main():
 
     mesh = None
     if len(jax.devices()) > 1 or args.mesh_tensor > 1 or args.mesh_fsdp > 1:
-        mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor)
+        mesh = D.make_hybrid_mesh(
+            data=args.mesh_data, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor
+        )
 
     metrics = MetricsBus(use_wandb=args.report_to == "wandb", primary=D.is_primary())
     trainer = GSPOTrainer(

@@ -205,7 +205,9 @@ class GSPOTrainer:
             ref_params = shard_params(ref_params, mesh)
         self.params = params
         self.ref_params = ref_params
-        self.engine = InferenceEngine(params, model_cfg)
+        # The engine shares the trainer's (already sharded) params; passing
+        # the mesh turns on SPMD lockstep mode when it spans hosts.
+        self.engine = InferenceEngine(params, model_cfg, mesh=mesh)
 
         # Per-stage wall clock (rollout/reward/logps/update), SURVEY §5.1.
         self.timer = StageTimer()
@@ -497,10 +499,12 @@ class GSPOTrainer:
 
         # 8. metrics — means over ALL replicas' rows
         #    (== gather_for_metrics, grpo_trainer.py:711-738)
+        from ..parallel.distributed import scalar
+
         groups = rewards.reshape(B, G)
         metrics = {
-            "loss": float(loss),
-            "kl": float(kl),
+            "loss": scalar(loss),
+            "kl": scalar(kl),
             "reward": float(rewards.mean()),
             "reward_std": float(groups.std(axis=1, ddof=1).mean()),
             "completion_length": float(completion_mask.sum(1).mean()),

@@ -85,8 +85,52 @@ def main():
     ref_loss = float(ref_loss)
 
     assert abs(loss - ref_loss) < 1e-5, (loss, ref_loss)
+
+    # ---- multi-host GSPO: SPMD-lockstep rollout + data-sharded update.
+    # Every host feeds the SAME B prompts; the engine runs on replicated
+    # global arrays so all hosts execute identical programs.
+    from open_o3_video_tpu.train import gspo as G
+
+    params2 = P.init(cfg, seed=1)
+    ref2 = jax.tree.map(lambda x: x, params2)
+    trainer = G.GSPOTrainer(
+        params2, ref2, cfg,
+        G.GSPOConfig(num_generations=2, max_completion_length=4, max_prompt_length=64),
+        detokenize=lambda ids: "<think>x</think><answer>y</answer>",
+        mesh=mesh,
+    )
+    samp_rng = np.random.default_rng(7)  # identical stream on every host
+    gsamples = []
+    for j in range(mesh.shape["data"]):
+        if j == 0:  # one vision prompt exercises the SPMD vision path
+            gsamples.append({
+                "input_ids": [5, 6, cfg.vision_start_token_id]
+                + [cfg.image_token_id] * 4
+                + [cfg.vision_end_token_id, 7, 8],
+                "pixel_patches": samp_rng.normal(
+                    0, 1, (16, cfg.vision.patch_dim)
+                ).astype(np.float32),
+                "grid_thw": np.array([[1, 4, 4]], dtype=np.int64),
+                "vision_token_id": cfg.image_token_id,
+                "reward_kwargs": {"task": "General video QA", "answer": "y"},
+            })
+            continue
+        gsamples.append({
+            "input_ids": samp_rng.integers(5, 400, size=9).tolist(),
+            "reward_kwargs": {"task": "General video QA", "answer": "y"},
+        })
+    m = trainer.step_batch(gsamples, global_step=0, max_steps=10)
+    from jax.experimental import multihost_utils
+
+    losses = multihost_utils.process_allgather(np.asarray([m["loss"]]))
+    rewards = multihost_utils.process_allgather(np.asarray([m["reward"]]))
+    assert np.allclose(losses, losses.reshape(-1)[0]), losses
+    assert np.allclose(rewards, rewards.reshape(-1)[0]), rewards
+    assert np.isfinite(m["loss"])
+
     D.sync("done")
     print(f"proc {process_id}: OK loss={loss:.6f} ref={ref_loss:.6f} "
+          f"gspo_loss={m['loss']:.6f} gspo_reward={m['reward']:.3f} "
           f"primary={D.is_primary()}", flush=True)
 
 
