@@ -36,6 +36,8 @@ def build_model(args, bench: str):
     from .model_engine import QwenVLEngine
 
     kwargs = load_model_kwargs(args, bench)
+    if args.load_in_int8:
+        kwargs["load_in_int8"] = True
     mesh = None
     if args.mesh_tensor > 1:
         from ..parallel import make_mesh
@@ -55,6 +57,10 @@ def main():
     parser.add_argument("--asr_dir", default=None)
     parser.add_argument("--output", default=None)
     parser.add_argument("--result_file", default=None, help="for vstar-judge")
+    parser.add_argument(
+        "--load_in_int8", action="store_true",
+        help="stream decoder weights to int8 on load (full 7B on one 16 GB chip)",
+    )
     parser.add_argument("--N", type=int, default=1)
     parser.add_argument("--vote", default="majority_voting",
                         choices=["majority_voting", "confidence_voting"])
