@@ -173,33 +173,57 @@ class O3VideoProcessor:
             arr = arr[None]
         return arr
 
-    def __call__(self, text: str, images: Optional[Sequence[Any]] = None) -> ProcessedInputs:
+    def process_images(self, images: Sequence[Any]) -> ProcessedInputs:
+        """Patchify images only (no text): the expensive half of __call__.
+
+        The returned object (input_ids empty) can be fed back through
+        ``precomputed_vision=`` to share one patchify across many prompts
+        over the same frames — e.g. V-STAR's 5 queries per item."""
+        patches_list, grids = [], []
+        for img in images:
+            tchw = self._to_tchw(img)
+            p, g = patchify(
+                tchw,
+                patch_size=self.patch_size,
+                temporal_patch_size=self.temporal_patch_size,
+                merge_size=self.merge_size,
+            )
+            patches_list.append(p)
+            grids.append(g)
+        return ProcessedInputs(
+            input_ids=[],
+            pixel_patches=np.concatenate(patches_list, axis=0),
+            grid_thw=np.asarray(grids, dtype=np.int64),
+        )
+
+    def __call__(
+        self,
+        text: str,
+        images: Optional[Sequence[Any]] = None,
+        precomputed_vision: Optional[ProcessedInputs] = None,
+    ) -> ProcessedInputs:
         """Expand placeholders and tokenize.
 
         ``images`` entries may be single frames (PIL / CHW / 1xCHW) or frame
         stacks (TCHW): each becomes one <|image_pad|> expansion of
         t*h*w / merge_size^2 tokens, matching the HF processor contract the
-        reference relies on (grpo_trainer.py:540-548).
+        reference relies on (grpo_trainer.py:540-548). Passing
+        ``precomputed_vision`` (from :meth:`process_images`) skips the
+        patchify and REUSES its arrays, so downstream id()-based vision
+        caches recognize requests sharing the same frames.
         """
-        patches_list = []
-        grids = []
-        counts = []
-        if images:
-            for img in images:
-                tchw = self._to_tchw(img)
-                p, g = patchify(
-                    tchw,
-                    patch_size=self.patch_size,
-                    temporal_patch_size=self.temporal_patch_size,
-                    merge_size=self.merge_size,
-                )
-                patches_list.append(p)
-                grids.append(g)
-                counts.append(int(np.prod(g)) // (self.merge_size**2))
+        vision = precomputed_vision
+        if vision is None and images:
+            vision = self.process_images(images)
+
+        if vision is not None:
+            merge_unit = self.merge_size**2
+            grids = np.asarray(vision.grid_thw)
+            counts = [int(np.prod(g)) // merge_unit for g in grids]
             n_placeholders = text.count(IMAGE_PAD)
-            if n_placeholders != len(images):
+            if n_placeholders != len(counts):
                 raise ValueError(
-                    f"{len(images)} images but {n_placeholders} {IMAGE_PAD} placeholders"
+                    f"{len(counts)} images but {n_placeholders} {IMAGE_PAD} placeholders"
                 )
             expanded = []
             for segment_idx, segment in enumerate(text.split(IMAGE_PAD)):
@@ -211,11 +235,11 @@ class O3VideoProcessor:
         input_ids = self.tokenizer.encode(text, add_special_tokens=False) if hasattr(
             self.tokenizer, "encode"
         ) else self.tokenizer(text)["input_ids"]
-        if patches_list:
+        if vision is not None:
             return ProcessedInputs(
                 input_ids=list(input_ids),
-                pixel_patches=np.concatenate(patches_list, axis=0),
-                grid_thw=np.asarray(grids, dtype=np.int64),
+                pixel_patches=vision.pixel_patches,
+                grid_thw=vision.grid_thw,
             )
         return ProcessedInputs(input_ids=list(input_ids), pixel_patches=None, grid_thw=None)
 

@@ -363,21 +363,26 @@ class InferenceEngine:
             else:
                 patches_dev = self._put(r.pixel_patches)
             jobs.append((vis_key, patches_dev, grid))
-        if jobs:
-            all_grid = np.concatenate([g for _, _, g in jobs], axis=0)
-            combined_key = tuple(map(tuple, all_grid.tolist()))
-            if combined_key not in self._vision_fns:
-                self._vision_fns[combined_key] = jax.jit(
+        # Group jobs by IDENTICAL grid signature so program caching stays
+        # bounded: one program per (grid, group-size) instead of one per
+        # arbitrary concatenation order of heterogeneous videos.
+        by_grid: dict = {}
+        for job in jobs:
+            by_grid.setdefault(tuple(map(tuple, job[2].tolist())), []).append(job)
+        for grid_key, group in by_grid.items():
+            grid = group[0][2]
+            all_grid = np.concatenate([g for _, _, g in group], axis=0)
+            prog_key = (grid_key, len(group))
+            if prog_key not in self._vision_fns:
+                self._vision_fns[prog_key] = jax.jit(
                     lambda p, x, g=all_grid: encode_vision(p, self.cfg, x, g)
                 )
-            all_vis = self._vision_fns[combined_key](
-                self.params, jnp.concatenate([pd for _, pd, _ in jobs], axis=0)
+            all_vis = self._vision_fns[prog_key](
+                self.params, jnp.concatenate([pd for _, pd, _ in group], axis=0)
             )
-            off = 0
-            for vis_key, patches_dev, grid in jobs:
-                n_tok = int(np.prod(grid, axis=1).sum()) // cfg.vision.merge_unit
-                vis_cache[vis_key] = all_vis[off:off + n_tok]
-                off += n_tok
+            n_tok = int(np.prod(grid, axis=1).sum()) // cfg.vision.merge_unit
+            for j, (vis_key, _, _) in enumerate(group):
+                vis_cache[vis_key] = all_vis[j * n_tok:(j + 1) * n_tok]
         for i, r in enumerate(reqs):
             if r.pixel_patches is None and r.frames is None:
                 continue
@@ -556,6 +561,20 @@ class InferenceEngine:
                     lp_acc[rid] = [float(first_lp_h[j])]
                     if row_done[j]:
                         finalize(s)
+
+                # Vision embeddings are consumed at admission; keep only
+                # entries still referenced by QUEUED requests (e.g. later
+                # rollout copies of the same prompt) so a long stream of
+                # distinct videos doesn't accumulate HBM.
+                pending_keys = set()
+                for rid2 in idxs[qpos:]:
+                    r2 = requests[rid2]
+                    if r2.pixel_patches is None and r2.frames is None:
+                        continue
+                    gk = tuple(map(tuple, np.asarray(r2.grid_thw).tolist()))
+                    pending_keys.add((id(r2.pixel_patches), id(r2.frames), gk))
+                for stale in [k_ for k_ in vis_cache if k_ not in pending_keys]:
+                    del vis_cache[stale]
 
             active = [s for s in range(B) if slot_rid[s] is not None]
             if not active:

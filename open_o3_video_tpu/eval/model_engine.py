@@ -192,9 +192,18 @@ class QwenVLEngine:
             for o in outs
         ]
 
-    def _request_from_raw(self, item: dict) -> Request:
+    def _request_from_raw(self, item: dict, vis_memo: Optional[dict] = None) -> Request:
         images = item.get("multi_modal_data", {}).get("image")
-        proc = self.processor(item["prompt"], images=images)
+        pv = None
+        if images is not None and vis_memo is not None:
+            # Queries sharing one frame list (V-STAR's 5 per item) reuse ONE
+            # patchify; identical array objects then let the engine encode
+            # the vision tower once for all of them.
+            pv = vis_memo.get(id(images))
+            if pv is None:
+                pv = self.processor.process_images(images)
+                vis_memo[id(images)] = pv
+        proc = self.processor(item["prompt"], images=images, precomputed_vision=pv)
         return Request(input_ids=proc.input_ids, pixel_patches=proc.pixel_patches,
                        grid_thw=proc.grid_thw, vision_token_id=self.cfg.image_token_id)
 
@@ -207,5 +216,6 @@ class QwenVLEngine:
     def inference_wo_process_batch(self, inputs: Sequence[dict]) -> list[str]:
         """Batched variant: ALL raw inputs in one engine call (the engine
         continuous-batches across its decode slots internally)."""
-        reqs = [self._request_from_raw(item) for item in inputs]
+        vis_memo: dict = {}
+        reqs = [self._request_from_raw(item, vis_memo) for item in inputs]
         return self._generate_texts(reqs)

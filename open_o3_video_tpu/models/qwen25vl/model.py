@@ -165,18 +165,19 @@ def merge_vision_embeddings_by_index(
 
 def build_vision_row_index(
     input_ids: np.ndarray,  # (B, S) host array
-    token_id: int,
+    token_id,  # int, or a per-row sequence of ints (mixed image/video batch)
     row_offsets: Sequence[Optional[int]],  # per row: vision-table offset, or
     # None for rows whose placeholders must NOT be mapped (degraded samples
     # running text-only — their placeholder tokens keep text embeddings).
 ) -> np.ndarray:
     """Host-side (B, S) int32 map: n-th placeholder of row b -> row_offsets[b]+n."""
     B, S = input_ids.shape
+    toks = [token_id] * B if np.ndim(token_id) == 0 else list(token_id)
     idx = np.full((B, S), -1, dtype=np.int32)
     for b in range(B):
-        if row_offsets[b] is None:
+        if row_offsets[b] is None or toks[b] is None:
             continue
-        pos = np.where(input_ids[b] == token_id)[0]
+        pos = np.where(input_ids[b] == toks[b])[0]
         idx[b, pos] = row_offsets[b] + np.arange(len(pos), dtype=np.int32)
     return idx
 

@@ -49,23 +49,16 @@ def _attention_layer(
     q, k = apply_mrope(q, k, cos, sin)
 
     if cache is not None:
-        if jnp.ndim(cache_offset) == 0:
-            k_cache = jax.lax.dynamic_update_slice(
-                cache["k"][layer_idx], k.astype(cache["k"].dtype), (0, cache_offset, 0, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                cache["v"][layer_idx], v.astype(cache["v"].dtype), (0, cache_offset, 0, 0)
-            )
-        else:
-            # Per-row offsets (continuous batching: each slot decodes at its
-            # own depth). seq_positions already carries the buffer slots.
-            rows = jnp.arange(B)[:, None]
-            k_cache = cache["k"][layer_idx].at[rows, seq_positions].set(
-                k.astype(cache["k"].dtype)
-            )
-            v_cache = cache["v"][layer_idx].at[rows, seq_positions].set(
-                v.astype(cache["v"].dtype)
-            )
+        # Single-slice update at a scalar offset — the only cache-update
+        # form XLA keeps in place on TPU (a per-row scatter measured ~200x
+        # slower; the engine's ring-buffer decode exists to keep ALL rows
+        # writing at one shared column).
+        k_cache = jax.lax.dynamic_update_slice(
+            cache["k"][layer_idx], k.astype(cache["k"].dtype), (0, cache_offset, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            cache["v"][layer_idx], v.astype(cache["v"].dtype), (0, cache_offset, 0, 0)
+        )
         new_cache = (k_cache, v_cache)
         T = k_cache.shape[1]
         if kv_positions is None:

@@ -90,10 +90,13 @@ def causal_attention(
     mask = jnp.where(mask.any(axis=-1, keepdims=True), mask, self_mask)
     mask = mask[:, None, :, :]  # (B, 1, S, T)
 
-    # XLA path: f32 logits; GQA via grouped einsum so the KV heads are
-    # never materialized x(Hq/Hkv) — at decode the repeat would add
-    # ~1 GB/step of HBM traffic on the 7B (28 q / 4 kv heads).
-    if Hq != Hkv:
+    # XLA path: f32 logits. For SHORT queries (decode), GQA runs as a
+    # grouped einsum so the KV heads are never materialized x(Hq/Hkv) — the
+    # repeat would add ~1 GB/step of HBM traffic on the 7B (28 q / 4 kv
+    # heads). For long queries the einsum's explicit (B,Hkv,G,S,T) f32
+    # score tensor would dwarf the repeat cost (e.g. 60 GB at S=T=8192), so
+    # prefill keeps the fused dot_product_attention with repeated KV.
+    if Hq != Hkv and S <= 8:
         group = Hq // Hkv
         qg = q.reshape(B, S, Hkv, group, D)
         scores = jnp.einsum(
@@ -106,6 +109,10 @@ def causal_attention(
             preferred_element_type=jnp.float32,
         )
         return out.reshape(B, S, Hq, D).astype(q.dtype)
+    if Hq != Hkv:
+        group = Hq // Hkv
+        k = jnp.repeat(k, group, axis=2)
+        v = jnp.repeat(v, group, axis=2)
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
 
 

@@ -147,3 +147,29 @@ def scalar(x) -> float:
         return float(x)
     except RuntimeError:
         return float(x.addressable_data(0))
+
+
+def assert_in_sync(digest: np.ndarray, tag: str = "batch") -> None:
+    """Fail LOUDLY if hosts disagree on ``digest`` (a small int/float array).
+
+    Host-local failure absorption (degraded samples, last-good substitution)
+    can silently desynchronize an SPMD fleet — hosts would then launch
+    different programs and deadlock in a collective. Checking a digest of
+    the step's inputs turns that hang into an immediate, attributable error.
+    No-op single-process.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    digest = np.asarray(digest).reshape(-1)
+    gathered = multihost_utils.process_allgather(digest)  # (n_proc, n)
+    if not (gathered == gathered[0]).all():
+        raise RuntimeError(
+            f"SPMD divergence on '{tag}': hosts computed different inputs "
+            f"(digests: {gathered.tolist()}); a host-local failure was "
+            "absorbed inconsistently. Fix the data source or exclude the "
+            "failing item on every host."
+        )

@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import numpy as np
+
 _async_ckptr = None
 
 
@@ -97,8 +99,27 @@ def restore_checkpoint(ckpt_dir: str, step: Optional[int] = None, target: Option
 
 def export_safetensors(params: dict, cfg, out_dir: str):
     """Gather + export model weights to HF-convention safetensors
-    (== zero3_gather_16bit_weights_on_model_save, local_scripts/zero3.json:33)."""
+    (== zero3_gather_16bit_weights_on_model_save, local_scripts/zero3.json:33).
+
+    Multi-host: every process must call this (the gather is collective);
+    only process 0 writes the file."""
+    import jax
+
     from ..models.qwen25vl.params import save_safetensors
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # Leaf-wise allgather bounds host memory to one full leaf at a time
+        # plus the growing numpy tree.
+        params = jax.tree.map(
+            lambda x: np.asarray(multihost_utils.process_allgather(x, tiled=True))
+            if hasattr(x, "sharding")
+            else x,
+            params,
+        )
+        if jax.process_index() != 0:
+            return
 
     os.makedirs(out_dir, exist_ok=True)
     save_safetensors(params, cfg, os.path.join(out_dir, "model.safetensors"))

@@ -276,6 +276,20 @@ class GSPOTrainer:
             dsize = self.mesh.shape["data"]
             assert R % dsize == 0, f"B*G={R} not divisible by data axis {dsize}"
 
+        # Multi-host lockstep guard: every host must have built the SAME
+        # batch (host-local absorption could otherwise desync the fleet
+        # into a collective deadlock; fail loudly instead).
+        multi_host = jax.process_count() > 1
+        if multi_host:
+            from ..parallel.distributed import assert_in_sync
+
+            digest = np.asarray(
+                [len(samples)]
+                + [np.int64(np.sum(s2["input_ids"]) % (2**31)) for s2 in samples]
+                + [int(s2.get("grid_thw") is not None) for s2 in samples]
+            )
+            assert_in_sync(digest, tag="gspo step batch")
+
         # Degrade invalid vision BEFORE the rollout (reference absorbs vision
         # failures per step and falls back to no-vision forwards,
         # grpo_trainer.py:452-465, 611-632): a sample whose patch count
@@ -360,9 +374,10 @@ class GSPOTrainer:
         from ..models.qwen25vl import build_vision_row_index, get_rope_index
 
         vis_samples = [s for s in samples if s.get("grid_thw") is not None]
-        vis_toks = {s.get("vision_token_id") for s in vis_samples}
-        assert len(vis_toks) <= 1, "mixed vision token ids in one batch"
-        vis_tok = next(iter(vis_toks)) if vis_toks else None
+        # Image- and video-token samples can mix freely in one batch: the
+        # explicit row-index merge is token-id-agnostic, and positions are
+        # computed per modality group below.
+        vis_tok = vis_samples[0].get("vision_token_id") if vis_samples else None
 
         patches = grid = vision_row_index = None
         if vis_samples:
@@ -379,37 +394,36 @@ class GSPOTrainer:
             patches = np.concatenate(patch_list, axis=0)
             grid = np.concatenate(grid_list, axis=0)
             row_offsets = [offsets[r // G] for r in range(R)]
-            vision_row_index = build_vision_row_index(ids, vis_tok, row_offsets)
+            row_toks = [samples[r // G].get("vision_token_id") for r in range(R)]
+            vision_row_index = build_vision_row_index(ids, row_toks, row_offsets)
 
-        # Positions: vision rows consume their grids in row order; text-only
-        # (incl. degraded) rows take sequential text positions even if
-        # placeholder tokens remain — matching the reference's no-vision
-        # fallback, where HF computes rope without grid kwargs.
+        # Positions: vision rows consume their grids in row order, computed
+        # per modality group; text-only (incl. degraded) rows take
+        # sequential text positions even if placeholder tokens remain —
+        # matching the reference's no-vision fallback, where HF computes
+        # rope without grid kwargs.
         amask = attn_valid.astype(np.int64)
-        has_vis = [samples[r // G].get("grid_thw") is not None for r in range(R)]
-        if all(has_vis):
-            tiled = [np.asarray(s["grid_thw"]) for s in samples for _ in range(G)]
-            key = "video_grid_thw" if vis_tok == mcfg.video_token_id else "image_grid_thw"
-            position_ids, _ = get_rope_index(
-                mcfg, ids, attention_mask=amask, **{key: np.concatenate(tiled, axis=0)}
-            )
-        elif not any(has_vis):
-            position_ids, _ = get_rope_index(mcfg, ids, attention_mask=amask)
-        else:
-            position_ids = np.ones((3, R, total), dtype=np.int64)
-            vr = [r for r in range(R) if has_vis[r]]
-            tr_ = [r for r in range(R) if not has_vis[r]]
-            tiled = [
-                np.asarray(samples[r // G]["grid_thw"]) for r in vr
-            ]
-            key = "video_grid_thw" if vis_tok == mcfg.video_token_id else "image_grid_thw"
-            pos_v, _ = get_rope_index(
-                mcfg, ids[vr], attention_mask=amask[vr],
-                **{key: np.concatenate(tiled, axis=0)},
-            )
-            position_ids[:, vr] = pos_v
-            pos_t, _ = get_rope_index(mcfg, ids[tr_], attention_mask=amask[tr_])
-            position_ids[:, tr_] = pos_t
+        position_ids = np.ones((3, R, total), dtype=np.int64)
+        row_groups: dict = {}
+        for r in range(R):
+            s = samples[r // G]
+            if s.get("grid_thw") is None:
+                key = None
+            elif s.get("vision_token_id") == mcfg.video_token_id:
+                key = "video_grid_thw"
+            else:
+                key = "image_grid_thw"
+            row_groups.setdefault(key, []).append(r)
+        for key, rows_ in row_groups.items():
+            if key is None:
+                pos_, _ = get_rope_index(mcfg, ids[rows_], attention_mask=amask[rows_])
+            else:
+                tiled = [np.asarray(samples[r // G]["grid_thw"]) for r in rows_]
+                pos_, _ = get_rope_index(
+                    mcfg, ids[rows_], attention_mask=amask[rows_],
+                    **{key: np.concatenate(tiled, axis=0)},
+                )
+            position_ids[:, rows_] = pos_
 
         # 5. device placement — shard the batch over the data axis
         def put(x, spec):
@@ -447,6 +461,11 @@ class GSPOTrainer:
                 ref_logps.block_until_ready()
             use_vision = patches is not None
         except Exception as e:  # degraded recompute: drop vision kwargs
+            if multi_host:
+                # A host-local retry would desynchronize the fleet's
+                # program schedule; propagate instead (all hosts see the
+                # same inputs, so a deterministic failure hits every host).
+                raise
             print(f"logps with vision failed ({e}); retrying without vision")
             nv_key = (None, None, total, R)
             if ("logps", nv_key) not in self._step_fns:

@@ -188,8 +188,8 @@ def main():
         {"params": params, "opt_state": opt_state,
          "meta": {"step": np.asarray(step, np.int64)}},
     )
-    if D.is_primary():
-        CKPT.export_safetensors(params, model_cfg, args.output_dir)
+    # export gathers collectively and writes on process 0 only
+    CKPT.export_safetensors(params, model_cfg, args.output_dir)
     print(f"SFT complete: {step} steps -> {args.output_dir}")
 
 

@@ -252,3 +252,22 @@ class TestGSPODataParallel:
         samples = [self._mk_sample(cfg, rng), self._mk_sample(cfg, rng, with_vision=False)]
         m = tr.step_batch(samples, global_step=0, max_steps=10)
         assert np.isfinite(m["loss"])
+
+    def test_mixed_image_and_video_token_batch(self, tiny):
+        """Image-token and video-token prompts can share one batch (the
+        row-index merge is token-agnostic; rope groups per modality)."""
+        cfg, params = tiny
+        ref = jax.tree.map(lambda x: x.copy(), params)
+        rng = np.random.default_rng(6)
+        tr = G.GSPOTrainer(
+            params, ref, cfg,
+            G.GSPOConfig(num_generations=2, max_completion_length=4, max_prompt_length=64),
+            detokenize=lambda ids: "<think>x</think><answer>y</answer>",
+        )
+        img = self._mk_sample(cfg, rng)
+        vid = self._mk_sample(cfg, rng)
+        vid["input_ids"] = [5, 6, cfg.vision_start_token_id] \
+            + [cfg.video_token_id] * 4 + [cfg.vision_end_token_id, 7, 8]
+        vid["vision_token_id"] = cfg.video_token_id
+        m = tr.step_batch([img, vid], global_step=0, max_steps=10)
+        assert np.isfinite(m["loss"])
