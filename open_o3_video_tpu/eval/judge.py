@@ -45,14 +45,21 @@ JUDGE_TEMPLATE = "Question: {}\nGroundtruth answer: {}\nCandidate answer: {}\nYo
 class EngineJudge:
     """Text-only judge backed by the inference engine (greedy, 512 tokens)."""
 
-    def __init__(self, model_dir: str, mesh=None, max_new_tokens: int = 512):
+    def __init__(self, model_dir_or_params, mesh=None, max_new_tokens: int = 512,
+                 *, cfg=None, processor=None):
         from ..data.processor import O3VideoProcessor
         from ..engine import InferenceEngine, SamplingParams
         from ..models.qwen25vl import params as P
 
-        params, cfg = P.load_pretrained(model_dir)
+        if isinstance(model_dir_or_params, str):
+            params, cfg = P.load_pretrained(model_dir_or_params)
+            processor = processor or O3VideoProcessor.from_pretrained(model_dir_or_params)
+        else:
+            params = model_dir_or_params
+            assert cfg is not None, "cfg required when passing raw params"
+            processor = processor or O3VideoProcessor()
         self.cfg = cfg
-        self.processor = O3VideoProcessor.from_pretrained(model_dir)
+        self.processor = processor
         self.engine = InferenceEngine(params, cfg, mesh=mesh)
         self.sampling = SamplingParams(temperature=0.0, repetition_penalty=1.0,
                                        max_tokens=max_new_tokens)

@@ -125,3 +125,29 @@ class TestEngineBatchSurfaces:
         single = engine_model.run_images_scorer(msgs, [crop])
         batched = engine_model.run_images_scorer_batch([(msgs, [crop]), (msgs, [crop])])
         assert batched == [single, single]
+
+
+class TestEngineJudgeBatch:
+    def test_batch_matches_single_calls(self):
+        """judge.batch == per-call judge() on a real (tiny) engine; the
+        reference judge scores one answer per 72B forward
+        (eval_vstar.py:43-73)."""
+        from open_o3_video_tpu.data.processor import ByteTokenizer, O3VideoProcessor
+        from open_o3_video_tpu.eval.judge import EngineJudge
+        from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+
+        cfg = Qwen25VLConfig.tiny()
+        params = P.init(cfg, seed=3)
+        judge = EngineJudge(
+            params, cfg=cfg, max_new_tokens=4,
+            processor=O3VideoProcessor(tokenizer=ByteTokenizer.for_config(cfg)),
+        )
+        jobs = [
+            ("What color?", "red", "red"),
+            ("How many?", "three", "two"),
+            ("Where?", "left", "on the left side"),
+        ]
+        singles = [judge(*j) for j in jobs]
+        batched = judge.batch(jobs)
+        assert batched == singles
+        assert all(isinstance(r, int) for r in batched)
