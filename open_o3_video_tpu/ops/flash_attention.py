@@ -227,19 +227,25 @@ def _bwd_dkv_kernel(
     q_pos_ref, kv_valid_ref,
     q_ref, k_ref, v_ref, do_ref,
     lse_ref, delta_ref,
-    dk_ref, dv_ref,  # (1, 1, Bk, D) per q-head (summed over groups outside)
+    dk_ref, dv_ref,  # (1, 1, Bk, D) per KV head
     dk_scratch, dv_scratch,
     *,
     scale: float,
     block_q: int,
     block_k: int,
     num_q_blocks: int,
+    group: int,
 ):
+    # grid (B, kv-tiles, kv-heads, group, q-tiles): the GQA group reduction
+    # happens inside the kernel scratch, so dk/dv come out per KV head —
+    # (B, Hkv, T, D) f32 instead of the 7x larger per-q-head tensors an
+    # outside group-sum would require.
     b = pl.program_id(0)
-    qb = pl.program_id(3)
     kb = pl.program_id(1)
+    g = pl.program_id(3)
+    qb = pl.program_id(4)
 
-    @pl.when(qb == 0)
+    @pl.when((qb == 0) & (g == 0))
     def _init():
         dk_scratch[:] = jnp.zeros_like(dk_scratch)
         dv_scratch[:] = jnp.zeros_like(dv_scratch)
@@ -272,7 +278,7 @@ def _bwd_dkv_kernel(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    @pl.when(qb == num_q_blocks - 1)
+    @pl.when((qb == num_q_blocks - 1) & (g == group - 1))
     def _finalize():
         dk_ref[0, 0] = dk_scratch[:].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scratch[:].astype(dv_ref.dtype)
@@ -327,28 +333,29 @@ def _bwd(block_q, block_k, interpret, res, dout):
         interpret=interpret,
     )(q_positions, kv_valid, q_t, k_t, v_t, do_t, lse_p, delta_p)
 
-    # dk/dv per q-head: grid (B, kv-tiles, heads, q-tiles); group-sum outside.
+    # dk/dv per KV head: grid (B, kv-tiles, kv-heads, group, q-tiles) with
+    # the GQA group reduction accumulated in kernel scratch.
     dk_h, dv_h = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q,
-                          block_k=block_k, num_q_blocks=nq),
-        grid=(B, nk, Hq, nq),
+                          block_k=block_k, num_q_blocks=nq, group=group),
+        grid=(B, nk, Hkv, group, nq),
         in_specs=[
-            pl.BlockSpec((B, block_q), lambda b, kb, h, qb: (0, qb)),
-            pl.BlockSpec((B, block_k), lambda b, kb, h, qb: (0, kb)),
-            pl.BlockSpec((1, 1, block_q, D), lambda b, kb, h, qb: (b, h, qb, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, kb, h, qb: (b, h // group, kb, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, kb, h, qb: (b, h // group, kb, 0)),
-            pl.BlockSpec((1, 1, block_q, D), lambda b, kb, h, qb: (b, h, qb, 0)),
-            pl.BlockSpec((1, 1, block_q, 8), lambda b, kb, h, qb: (b, h, qb, 0)),
-            pl.BlockSpec((1, 1, block_q, 8), lambda b, kb, h, qb: (b, h, qb, 0)),
+            pl.BlockSpec((B, block_q), lambda b, kb, hk, g, qb: (0, qb)),
+            pl.BlockSpec((B, block_k), lambda b, kb, hk, g, qb: (0, kb)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, kb, hk, g, qb: (b, hk * group + g, qb, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, kb, hk, g, qb: (b, hk, kb, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, kb, hk, g, qb: (b, hk, kb, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, kb, hk, g, qb: (b, hk * group + g, qb, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, kb, hk, g, qb: (b, hk * group + g, qb, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, kb, hk, g, qb: (b, hk * group + g, qb, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_k, D), lambda b, kb, h, qb: (b, h, kb, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, kb, h, qb: (b, h, kb, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, kb, hk, g, qb: (b, hk, kb, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, kb, hk, g, qb: (b, hk, kb, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hq, T_p, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hq, T_p, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, T_p, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, T_p, D), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, D), jnp.float32),
@@ -358,8 +365,8 @@ def _bwd(block_q, block_k, interpret, res, dout):
     )(q_positions, kv_valid, q_t, k_t, v_t, do_t, lse_p, delta_p)
 
     dq = dq.transpose(0, 2, 1, 3)[:, :Sq]
-    dk = dk_h.reshape(B, Hkv, group, T_p, D).sum(axis=2).transpose(0, 2, 1, 3)[:, :T]
-    dv = dv_h.reshape(B, Hkv, group, T_p, D).sum(axis=2).transpose(0, 2, 1, 3)[:, :T]
+    dk = dk_h.transpose(0, 2, 1, 3)[:, :T]
+    dv = dv_h.transpose(0, 2, 1, 3)[:, :T]
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), None, None
 
 
