@@ -1,5 +1,8 @@
 """Tests for tag parsers, coordinate converters, IoU, prompts, V-STAR metrics."""
 
+import os
+
+import numpy as np
 import pytest
 
 from open_o3_video_tpu.grounding import (
@@ -176,3 +179,82 @@ class TestTTS:
         msgs = tts.build_image_scorer_msgs(["img1"], "what?")
         assert msgs[0]["role"] == "system"
         assert msgs[1]["content"][0]["text"].endswith("Question: what?")
+
+
+REF_TTS = "/root/reference/eval/tts.py"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_TTS), reason="reference repo not mounted")
+class TestTTSDifferential:
+    """Side-by-side fuzz of the TTS crop-and-score pipeline against the
+    reference implementation (eval/tts.py is pure python + cv2)."""
+
+    @pytest.fixture(scope="class")
+    def ref(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("ref_tts", REF_TTS)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_parse_patterns_fuzz(self, ref):
+        from open_o3_video_tpu.grounding.tags import parse_evidence_patterns
+
+        rng = np.random.default_rng(0)
+        cases = [
+            "<obj>cat</obj><box>[1,2,3,4]</box>at<t>2.5</t>s and more",
+            "<obj>a</obj><box>[1, 2, 3, 4]</box>at<t>1</t>s "
+            "<obj>b</obj><box>[9,9,1,1]</box>at<t>x</t>s",  # invalid box+time
+            "no patterns here",
+            "<obj>x</obj><box>[bad]</box>at<t>3</t>s",
+            "<obj>y</obj><box>[0.1,0.2,0.9,0.8]</box>at<t> 4.0 </t>s",
+        ]
+        for _ in range(60):
+            n = rng.integers(0, 4)
+            parts = []
+            for _ in range(n):
+                coords = rng.uniform(-5, 120, 4)
+                if rng.random() < 0.5:
+                    coords = np.sort(coords.reshape(2, 2), axis=0).T.reshape(-1)
+                t = round(float(rng.uniform(-1, 30)), 2) if rng.random() < 0.8 else "oops"
+                parts.append(
+                    f"<obj>o{rng.integers(0, 9)}</obj><box>[{coords[0]:.1f},{coords[1]:.1f},"
+                    f"{coords[2]:.1f},{coords[3]:.1f}]</box>at<t>{t}</t>s filler "
+                )
+            cases.append("".join(parts))
+        for text in cases:
+            assert parse_evidence_patterns(text) == ref.parse_patterns(text), text
+
+    def test_crop_and_extract_fuzz(self, ref):
+        from open_o3_video_tpu.eval import tts
+
+        rng = np.random.default_rng(1)
+        frames = [rng.integers(0, 255, (48, 64, 3), dtype=np.uint8) for _ in range(12)]
+        for _ in range(40):
+            n = rng.integers(1, 14)  # can exceed the 10-crop bail
+            info = []
+            for _ in range(n):
+                box = sorted(rng.uniform(0, 64, 2)) + sorted(rng.uniform(0, 48, 2))
+                box = [box[0], box[2], box[1], box[3]]
+                if rng.random() < 0.2:
+                    box = [60, 40, 61, 41]  # degenerate-small
+                info.append({
+                    "obj": "obj",
+                    "box_xyxy": [float(b) for b in box],
+                    "t_sec": float(rng.uniform(-2, 14)),
+                })
+            ours = tts.extract_and_crop(frames, 1.0, info)
+            theirs = ref.extract_and_crop(frames, 1.0, info)
+            assert len(ours) == len(theirs)
+            for a, b in zip(ours, theirs):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_scorer_msgs_and_mapping(self, ref):
+        from open_o3_video_tpu.eval import tts
+
+        for s in (-1, 0, 1, 2, 3, 99):
+            assert tts.relevance_mapping(s) == ref.relevance_mapping(s)
+        msgs_a = tts.build_image_scorer_msgs(["i1", "i2"], "what is it?")
+        msgs_b = ref.build_image_scorer_msgs(["i1", "i2"], "what is it?")
+        assert msgs_a == msgs_b
