@@ -599,7 +599,16 @@ class InferenceEngine:
                     temperature=sampling.temperature,
                     top_p=sampling.top_p,
                     repetition_penalty=sampling.repetition_penalty,
-                    n_steps=min(self.decode_segment, sampling.max_tokens),
+                    # Segments exist to create refill points; with an empty
+                    # queue there is nothing to admit, so run the rest of
+                    # the decode as ONE fused program (the while_loop still
+                    # exits early once every row is done) — host round
+                    # trips per segment are pure overhead then.
+                    n_steps=(
+                        min(self.decode_segment, sampling.max_tokens)
+                        if qpos < len(idxs)
+                        else sampling.max_tokens
+                    ),
                     prompt_len=L,
                 )
                 arena = {"k": ak, "v": av}
