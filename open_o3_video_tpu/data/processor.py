@@ -150,10 +150,17 @@ class O3VideoProcessor:
 
     @classmethod
     def from_pretrained(cls, model_dir: str, **kw):
-        from transformers import AutoTokenizer
+        try:
+            from transformers import AutoTokenizer
 
-        tok = AutoTokenizer.from_pretrained(model_dir)
-        tok.padding_side = "left"
+            tok = AutoTokenizer.from_pretrained(model_dir)
+            tok.padding_side = "left"
+        except Exception as e:
+            # Checkpoint dirs exported by this framework carry weights +
+            # config.json but no tokenizer files; fall back to the
+            # deterministic byte tokenizer rather than failing the load.
+            print(f"[warn] no tokenizer in {model_dir} ({e!r}); using ByteTokenizer")
+            tok = ByteTokenizer()
         return cls(tokenizer=tok, **kw)
 
     def apply_chat_template(self, messages, add_generation_prompt: bool = True) -> str:

@@ -1,7 +1,8 @@
 """Device mesh + sharding rules (data / fsdp / tensor axes) and the
 multi-host bootstrap (jax.distributed, hybrid ICI/DCN meshes)."""
 
-from .mesh import make_mesh, shard_params, param_sharding_rules, replicate
+from .mesh import (make_mesh, shard_params, param_sharding_rules, replicate,
+                   replicate_scalars)
 from . import distributed
 
 __all__ = [
@@ -9,5 +10,6 @@ __all__ = [
     "shard_params",
     "param_sharding_rules",
     "replicate",
+    "replicate_scalars",
     "distributed",
 ]

@@ -43,7 +43,11 @@ def initialize(
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
     explicit = coordinator_address is not None and num_processes is not None
-    auto_pod = os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    # Auto-init only on a REAL pod: multiple TPU worker hosts (a single
+    # entry means one host — e.g. the tunnel sets TPU_WORKER_HOSTNAMES=
+    # localhost) or a megascale coordinator.
+    workers = [w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if w]
+    auto_pod = len(workers) > 1 or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     if not explicit and not auto_pod:
         return False
     try:

@@ -133,3 +133,18 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(
         lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree
     )
+
+
+def replicate_scalars(tree, mesh: Mesh):
+    """Commit 0-d leaves (optax step counters etc.) to the mesh, replicated.
+
+    Param-shaped optimizer state inherits its sharding from the params it
+    was zeros_like'd from, but bare scalars stay single-device uncommitted;
+    after a checkpoint restore they come back committed to one device and
+    clash with mesh-sharded params inside jit."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+        if getattr(x, "ndim", None) == 0
+        else x,
+        tree,
+    )

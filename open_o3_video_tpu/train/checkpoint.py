@@ -123,3 +123,9 @@ def export_safetensors(params: dict, cfg, out_dir: str):
 
     os.makedirs(out_dir, exist_ok=True)
     save_safetensors(params, cfg, os.path.join(out_dir, "model.safetensors"))
+    # config.json makes the exported directory self-describing — a later
+    # load_pretrained(out_dir) (or HF transformers) needs no side channel.
+    import json
+
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(cfg.to_hf_dict(), f, indent=2)

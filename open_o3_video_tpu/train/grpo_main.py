@@ -90,6 +90,11 @@ def main():
     processor = O3VideoProcessor.from_pretrained(args.model_name_or_path)
 
     dataset = load_rl_dataset(args.dataset_name)
+    if not dataset:
+        raise ValueError(
+            "RL dataset is empty after the reference's multiple-of-4 train "
+            "truncation (data_loader.py:53-54) — provide >= 4 examples"
+        )
     total_steps = args.max_steps if args.max_steps > 0 else int(len(dataset) * args.num_train_epochs)
 
     reward_funcs = [REWARD_REGISTRY[name] for name in args.reward_funcs]
@@ -105,7 +110,9 @@ def main():
     )
 
     mesh = None
-    if len(jax.devices()) > 1 or args.mesh_tensor > 1 or args.mesh_fsdp > 1:
+    if args.mesh_data == 1 and args.mesh_fsdp == 1 and args.mesh_tensor == 1:
+        pass  # explicit 1x1x1 = run unsharded even on a multi-device host
+    elif len(jax.devices()) > 1 or args.mesh_tensor > 1 or args.mesh_fsdp > 1:
         mesh = D.make_hybrid_mesh(
             data=args.mesh_data, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor
         )

@@ -216,6 +216,10 @@ class GSPOTrainer:
             optax.adamw(cfg.learning_rate),
         )
         self.opt_state = self.optimizer.init(self.params)
+        if mesh is not None:
+            from ..parallel.mesh import replicate_scalars
+
+            self.opt_state = replicate_scalars(self.opt_state, mesh)
         self._step_fns: dict[Any, Callable] = {}
 
     # ---------------------------------------------------------------- public

@@ -78,7 +78,9 @@ def main():
     mesh = None
     import jax
 
-    if len(jax.devices()) > 1 or args.mesh_tensor > 1 or args.mesh_fsdp > 1:
+    if args.mesh_data == 1 and args.mesh_fsdp == 1 and args.mesh_tensor == 1:
+        pass  # explicit 1x1x1 = run unsharded even on a multi-device host
+    elif len(jax.devices()) > 1 or args.mesh_tensor > 1 or args.mesh_fsdp > 1:
         # Multi-process: the data axis grows by one DCN granule per host.
         mesh = D.make_hybrid_mesh(
             data=args.mesh_data, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor
@@ -104,6 +106,10 @@ def main():
     if mesh is not None:
         params = shard_params(params, mesh)
     opt_state = optimizer.init(params)
+    if mesh is not None:
+        from ..parallel import replicate_scalars
+
+        opt_state = replicate_scalars(opt_state, mesh)
     train_step = make_train_step(model_cfg, train_cfg, optimizer)
 
     start_step = 0
