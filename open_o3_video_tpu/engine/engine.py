@@ -87,6 +87,7 @@ class InferenceEngine:
         max_slots: int = 8,
         decode_segment: int = 64,
         decode_attn_impl: Optional[str] = "xla",
+        prefill_chunk: Optional[int] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -95,6 +96,11 @@ class InferenceEngine:
         self.max_slots = max_slots
         self.decode_segment = decode_segment
         self.decode_attn_impl = decode_attn_impl
+        # Chunked prefill (vLLM semantics): split long-prompt admissions
+        # into chunks of this many tokens and run a decode segment for the
+        # ACTIVE slots between chunks, so a 16k-token admission no longer
+        # stalls in-flight decodes for its whole prefill. None = off.
+        self.prefill_chunk = prefill_chunk
         if mesh is not None:
             from ..parallel.mesh import shard_params
 
@@ -130,6 +136,16 @@ class InferenceEngine:
             out_kw["out_shardings"] = NamedSharding(mesh, P_())
         self._admit = jax.jit(
             self._admit_impl,
+            donate_argnames=("arena_k", "arena_v") if donate else (),
+            **out_kw,
+        )
+        self._prefill_chunk_fn = jax.jit(
+            self._prefill_chunk_impl,
+            donate_argnames=("rows_k", "rows_v") if donate else (),
+            **out_kw,
+        )
+        self._scatter_rows = jax.jit(
+            self._scatter_rows_impl,
             donate_argnames=("arena_k", "arena_v") if donate else (),
             **out_kw,
         )
@@ -172,6 +188,30 @@ class InferenceEngine:
         arena_k = arena_k.at[:, slots].set(cache["k"])
         arena_v = arena_v.at[:, slots].set(cache["v"])
         return logits, arena_k, arena_v
+
+    def _prefill_chunk_impl(self, params, embeds, position_ids, seq_positions,
+                            attn_valid_rows, rows_k, rows_v, offset):
+        """One prefill chunk into a per-admission rows cache.
+
+        ``offset`` is traced, so one program serves every chunk of a
+        prompt; the returned logits are the last position's (only the final
+        chunk's are consumed)."""
+        cfg = self.cfg
+        hidden, cache = text_forward(
+            params["text"],
+            cfg.text,
+            embeds,
+            position_ids,
+            seq_positions=seq_positions,
+            attn_valid=attn_valid_rows,
+            cache={"k": rows_k, "v": rows_v},
+            cache_offset=offset,
+        )
+        logits = logits_from_hidden(params["text"], hidden[:, -1:, :])[:, 0]
+        return logits, cache["k"], cache["v"]
+
+    def _scatter_rows_impl(self, arena_k, arena_v, rows_k, rows_v, slots):
+        return arena_k.at[:, slots].set(rows_k), arena_v.at[:, slots].set(rows_v)
 
     def _segment_impl(
         self,
@@ -422,19 +462,22 @@ class InferenceEngine:
 
         return jax.device_put(x, NamedSharding(self.mesh, P_()))
 
+    def _new_cache(self, n: int, T: int) -> dict:
+        """Fresh device-side KV cache (replicated global in SPMD mode)."""
+        if self._spmd:
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+
+            return jax.jit(
+                lambda: init_kv_cache(self.cfg.text, n, T, dtype=self.cache_dtype),
+                out_shardings=NamedSharding(self.mesh, P_()),
+            )()
+        return init_kv_cache(self.cfg.text, n, T, dtype=self.cache_dtype)
+
     def _get_arena(self, n_slots: int, T: int) -> dict:
         key = (n_slots, T)
         arena = self._arenas.pop(key, None)
         if arena is None:
-            if self._spmd:
-                from jax.sharding import NamedSharding, PartitionSpec as P_
-
-                arena = jax.jit(
-                    lambda: init_kv_cache(self.cfg.text, n_slots, T, dtype=self.cache_dtype),
-                    out_shardings=NamedSharding(self.mesh, P_()),
-                )()
-            else:
-                arena = init_kv_cache(self.cfg.text, n_slots, T, dtype=self.cache_dtype)
+            arena = self._new_cache(n_slots, T)
         return arena
 
     # ----------------------------------------------------------------- public
@@ -502,6 +545,47 @@ class InferenceEngine:
             results[rid] = out
             slot_rid[s] = None
 
+        def run_segment(n_steps):
+            """One decode segment over the active slots + harvest."""
+            nonlocal token, seen, attn_valid, done, rng, cursor, mrope_cur
+            nonlocal remaining, arena
+            active = [s for s in range(B) if slot_rid[s] is not None]
+            if not active:
+                return
+            with self.timer.stage("decode"), trace_annotation("engine.decode"):
+                (toks, lps, emitted_n, token, ak, av, seen, attn_valid, done,
+                 rng, cursor, mrope_cur, remaining) = self._segment(
+                    self.params,
+                    token,
+                    arena["k"],
+                    arena["v"],
+                    seen,
+                    attn_valid,
+                    done,
+                    rng,
+                    cursor,
+                    mrope_cur,
+                    remaining,
+                    temperature=sampling.temperature,
+                    top_p=sampling.top_p,
+                    repetition_penalty=sampling.repetition_penalty,
+                    n_steps=n_steps,
+                    prompt_len=L,
+                )
+                arena = {"k": ak, "v": av}
+                # host fetch doubles as the device sync for the stage timer
+                toks_h = np.asarray(toks)
+                lps_h = np.asarray(lps)
+                emitted_h = np.asarray(emitted_n)
+                done_h = np.asarray(done)
+            for s in active:
+                rid = slot_rid[s]
+                n = int(emitted_h[s])
+                emitted[rid].extend(int(t) for t in toks_h[s, :n])
+                lp_acc[rid].extend(float(x) for x in lps_h[s, :n])
+                if done_h[s]:
+                    finalize(s)
+
         while True:
             free = [s for s in range(B) if slot_rid[s] is None]
             n_admit = min(len(free), len(idxs) - qpos)
@@ -514,17 +598,52 @@ class InferenceEngine:
                     (embeds, pos, seq_pos, attn_rows, seen_rows, next_pos) = (
                         self._prepare_rows(reqs, L, T, vis_cache)
                     )
+                chunk = self.prefill_chunk
+                chunked = (
+                    chunk is not None
+                    and L > chunk
+                    and any(slot_rid[s] is not None for s in range(B))
+                )
                 with self.timer.stage("prefill"), trace_annotation("engine.prefill"):
-                    logits, ak, av = self._admit(
-                        self.params,
-                        embeds,
-                        self._put(pos),
-                        self._put(seq_pos),
-                        self._put(attn_rows),
-                        arena["k"],
-                        arena["v"],
-                        self._put(slots, to_i32=True),
-                    )
+                    if chunked:
+                        # vLLM-style chunked prefill: fill a per-admission
+                        # rows cache chunk by chunk, running decode segments
+                        # for the ACTIVE slots in between, then scatter the
+                        # rows into arena slots.
+                        assert L % chunk == 0, "prefill_chunk must divide the bucket"
+                        rows = self._new_cache(n_admit, T)
+                        pos_d = self._put(pos)
+                        seq_pos_d = self._put(seq_pos)
+                        attn_rows_d = self._put(attn_rows)
+                        for c0 in range(0, L, chunk):
+                            logits, rk, rv = self._prefill_chunk_fn(
+                                self.params,
+                                embeds[:, c0:c0 + chunk],
+                                pos_d[:, :, c0:c0 + chunk],
+                                seq_pos_d[:, c0:c0 + chunk],
+                                attn_rows_d,
+                                rows["k"],
+                                rows["v"],
+                                self._put(np.asarray(c0, np.int32)),
+                            )
+                            rows = {"k": rk, "v": rv}
+                            if c0 + chunk < L:
+                                run_segment(min(self.decode_segment, sampling.max_tokens))
+                        ak, av = self._scatter_rows(
+                            arena["k"], arena["v"], rows["k"], rows["v"],
+                            self._put(slots, to_i32=True),
+                        )
+                    else:
+                        logits, ak, av = self._admit(
+                            self.params,
+                            embeds,
+                            self._put(pos),
+                            self._put(seq_pos),
+                            self._put(attn_rows),
+                            arena["k"],
+                            arena["v"],
+                            self._put(slots, to_i32=True),
+                        )
                     arena = {"k": ak, "v": av}
                     seen_rows_dev = self._put(seen_rows)
                     rng, sub = jax.random.split(rng)
@@ -576,53 +695,20 @@ class InferenceEngine:
                 for stale in [k_ for k_ in vis_cache if k_ not in pending_keys]:
                     del vis_cache[stale]
 
-            active = [s for s in range(B) if slot_rid[s] is not None]
-            if not active:
+            if all(slot_rid[s] is None for s in range(B)):
                 if qpos >= len(idxs):
                     break
                 continue
 
-            with self.timer.stage("decode"), trace_annotation("engine.decode"):
-                (toks, lps, emitted_n, token, ak, av, seen, attn_valid, done, rng,
-                 cursor, mrope_cur, remaining) = self._segment(
-                    self.params,
-                    token,
-                    arena["k"],
-                    arena["v"],
-                    seen,
-                    attn_valid,
-                    done,
-                    rng,
-                    cursor,
-                    mrope_cur,
-                    remaining,
-                    temperature=sampling.temperature,
-                    top_p=sampling.top_p,
-                    repetition_penalty=sampling.repetition_penalty,
-                    # Segments exist to create refill points; with an empty
-                    # queue there is nothing to admit, so run the rest of
-                    # the decode as ONE fused program (the while_loop still
-                    # exits early once every row is done) — host round
-                    # trips per segment are pure overhead then.
-                    n_steps=(
-                        min(self.decode_segment, sampling.max_tokens)
-                        if qpos < len(idxs)
-                        else sampling.max_tokens
-                    ),
-                    prompt_len=L,
-                )
-                arena = {"k": ak, "v": av}
-                # host fetch doubles as the device sync for the stage timer
-                toks_h = np.asarray(toks)
-                lps_h = np.asarray(lps)
-                emitted_h = np.asarray(emitted_n)
-                done_h = np.asarray(done)
-            for s in active:
-                rid = slot_rid[s]
-                n = int(emitted_h[s])
-                emitted[rid].extend(int(t) for t in toks_h[s, :n])
-                lp_acc[rid].extend(float(x) for x in lps_h[s, :n])
-                if done_h[s]:
-                    finalize(s)
+            # Segments exist to create refill points; with an empty queue
+            # there is nothing to admit, so run the rest of the decode as
+            # ONE fused program (the while_loop still exits early once
+            # every row is done) — host round trips per segment are pure
+            # overhead then.
+            run_segment(
+                min(self.decode_segment, sampling.max_tokens)
+                if qpos < len(idxs)
+                else sampling.max_tokens
+            )
 
         self._arenas[(B, T)] = arena  # persist for the next generate() call

@@ -111,3 +111,31 @@ class TestContinuous:
         )
         seqs = {tuple(o["token_ids"]) for o in outs}
         assert len(seqs) > 1
+
+
+class TestChunkedPrefill:
+    def test_chunked_matches_unchunked(self):
+        """prefill_chunk splits long-prompt admissions and interleaves
+        decode segments for active slots; outputs must equal the
+        unchunked engine's (greedy)."""
+        cfg = Qwen25VLConfig.tiny()
+        params = P.init(cfg, seed=0)
+        rng = np.random.default_rng(11)
+        # bucket 64, chunk 16; 3 requests through 2 slots force a chunked
+        # admission while another slot is mid-decode
+        prompts = [rng.integers(5, 400, size=rng.integers(40, 62)).tolist()
+                   for _ in range(3)]
+        samp = SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=10)
+
+        plain = InferenceEngine(
+            params, cfg, prompt_buckets=(64,), cache_dtype=jnp.float32,
+            max_slots=2, decode_segment=4,
+        )
+        chunked = InferenceEngine(
+            params, cfg, prompt_buckets=(64,), cache_dtype=jnp.float32,
+            max_slots=2, decode_segment=4, prefill_chunk=16,
+        )
+        a = plain.generate([Request(input_ids=p) for p in prompts], samp)
+        b = chunked.generate([Request(input_ids=p) for p in prompts], samp)
+        for i in range(3):
+            assert a[i]["token_ids"] == b[i]["token_ids"], i
