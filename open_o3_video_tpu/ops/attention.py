@@ -67,6 +67,17 @@ def causal_attention(
     if kv_positions is None:
         kv_positions = jnp.arange(T)[None, :].repeat(B, axis=0)
 
+    if impl.startswith("ring"):
+        # Context parallelism: q/k/v are the LOCAL sequence blocks of a
+        # shard_map region manual over the named mesh axis, and positions
+        # are global (parallel/context.py). Cacheless prefill only.
+        from .ring_attention import ring_attention
+
+        axis = impl.split(":", 1)[1] if ":" in impl else "context"
+        return ring_attention(
+            q, k, v, q_positions, kv_positions, kv_mask, axis_name=axis
+        )
+
     if _use_pallas(impl, D):
         # The Pallas kernel assumes kv buffer index == kv position (true for
         # every cache layout in this codebase).

@@ -3,7 +3,7 @@ multi-host bootstrap (jax.distributed, hybrid ICI/DCN meshes)."""
 
 from .mesh import (make_mesh, shard_params, param_sharding_rules, replicate,
                    replicate_scalars)
-from . import distributed
+from . import context, distributed
 
 __all__ = [
     "make_mesh",
@@ -11,5 +11,6 @@ __all__ = [
     "param_sharding_rules",
     "replicate",
     "replicate_scalars",
+    "context",
     "distributed",
 ]

@@ -28,18 +28,28 @@ def make_mesh(
     data: int = 1,
     fsdp: int = -1,
     tensor: int = 1,
+    context: int = 1,
     devices: Optional[list] = None,
 ) -> Mesh:
-    """Build a (data, fsdp, tensor) mesh; fsdp=-1 absorbs remaining devices."""
+    """Build a (data, fsdp[, context], tensor) mesh; fsdp=-1 absorbs the rest.
+
+    ``context`` > 1 adds a sequence/context-parallel axis (ring attention,
+    parallel/context.py) between fsdp and tensor so its ppermute ring rides
+    ICI neighbours. Params are replicated over it (no rule names it), so
+    context=1 meshes are bit-identical to the historical 3-axis layout.
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if fsdp == -1:
-        fsdp = n // (data * tensor)
-    assert data * fsdp * tensor == n, (
-        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+        fsdp = n // (data * tensor * context)
+    assert data * fsdp * context * tensor == n, (
+        f"mesh {data}x{fsdp}x{context}x{tensor} != {n} devices"
     )
-    arr = np.asarray(devices).reshape(data, fsdp, tensor)
-    return Mesh(arr, axis_names=("data", "fsdp", "tensor"))
+    if context == 1:
+        arr = np.asarray(devices).reshape(data, fsdp, tensor)
+        return Mesh(arr, axis_names=("data", "fsdp", "tensor"))
+    arr = np.asarray(devices).reshape(data, fsdp, context, tensor)
+    return Mesh(arr, axis_names=("data", "fsdp", "context", "tensor"))
 
 
 # Path-pattern -> PartitionSpec. First match wins. Conventions:
