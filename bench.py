@@ -37,7 +37,7 @@ TEXT_LAYERS = int(os.environ.get("BENCH_TEXT_LAYERS", "28"))
 VISION_LAYERS = int(os.environ.get("BENCH_VISION_LAYERS", "32"))
 QUANT = os.environ.get("BENCH_QUANT", "1") != "0"
 DECODE_TOKENS = int(os.environ.get("BENCH_DECODE_TOKENS", "128"))
-N_VIDEOS = int(os.environ.get("BENCH_VIDEOS", "4"))
+N_VIDEOS = int(os.environ.get("BENCH_VIDEOS", "8"))
 VIDEO = os.environ.get(
     "BENCH_VIDEO", "/root/reference/eval/example_video.mp4"
 )
@@ -130,7 +130,7 @@ def main():
     # ---- timed runs: single-request e2e
     runs = []
     decode_counts = []
-    for _ in range(N_VIDEOS):
+    for _ in range(min(N_VIDEOS, 4)):
         t1 = time.time()
         frames_u8, _ = fetch_video_fast({"video": VIDEO, "nframes": 16})
         out = engine.generate(
@@ -169,8 +169,9 @@ def main():
     t_batched = time.time() - t_b
     stage_report = engine.timer.report()
 
-    # decode-only throughput: bs=1 / bs=4 / bs=8 (max_slots)
-    engine_txt = InferenceEngine(params, cfg, prompt_buckets=(128,))
+    # decode-only throughput: bs=1 / 4 / 8 / 16. Decode is weight-HBM-bound,
+    # so tok/s scales near-linearly with rows until KV traffic catches up.
+    engine_txt = InferenceEngine(params, cfg, prompt_buckets=(128,), max_slots=16)
 
     def decode_tok_s(bs):
         batch = [Request(input_ids=list(range(100 + i, 164 + i))) for i in range(bs)]
@@ -182,6 +183,7 @@ def main():
     tok_s = decode_tok_s(1)
     tok_s4 = decode_tok_s(4)
     tok_s8 = decode_tok_s(8)
+    tok_s16 = decode_tok_s(16)
 
     videos_per_sec = N_VIDEOS / t_batched
     baseline = HF_BASELINE_VIDEOS_PER_SEC
@@ -201,6 +203,7 @@ def main():
             "decode_tok_per_sec_bs1": round(tok_s, 2),
             "decode_tok_per_sec_bs4": round(tok_s4, 2),
             "decode_tok_per_sec_bs8": round(tok_s8, 2),
+            "decode_tok_per_sec_bs16": round(tok_s16, 2),
             "engine_stages_batched": stage_report,
             "baseline_videos_per_sec": baseline,
             "compile_sec": round(t_compile, 1),

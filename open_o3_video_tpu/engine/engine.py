@@ -38,7 +38,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.qwen25vl import Qwen25VLConfig, get_rope_index
-from ..models.qwen25vl.model import embed_tokens, encode_vision, merge_vision_embeddings
+from ..models.qwen25vl.model import (
+    build_vision_row_index,
+    embed_tokens,
+    encode_vision,
+    merge_vision_embeddings_by_index,
+)
 from ..models.qwen25vl.text import init_kv_cache, logits_from_hidden, text_forward
 from ..ops.sampling import sample_token
 from ..utils.profiling import StageTimer, trace_annotation
@@ -88,6 +93,7 @@ class InferenceEngine:
         decode_segment: int = 64,
         decode_attn_impl: Optional[str] = "xla",
         prefill_chunk: Optional[int] = None,
+        batch_axis: Optional[str] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -101,6 +107,27 @@ class InferenceEngine:
         # ACTIVE slots between chunks, so a 16k-token admission no longer
         # stalls in-flight decodes for its whole prefill. None = off.
         self.prefill_chunk = prefill_chunk
+        # DP fleet mode: shard the slot-row dimension of every batch array
+        # over this mesh axis, so each chip decodes its own rows — the
+        # TPU-native replacement for the reference's process-per-GPU eval
+        # fleet (test_vstar_multi_images.py:621-693), composing with
+        # fsdp/tensor param sharding in the same programs. Scheduling turns
+        # wave-based (admit all slots together, decode a wave to completion)
+        # so every program keeps the full static row count.
+        self._dp = batch_axis is not None
+        self.batch_axis = batch_axis
+        if self._dp:
+            assert mesh is not None, "batch_axis requires a mesh"
+            assert batch_axis in mesh.axis_names, f"no mesh axis {batch_axis!r}"
+            assert jax.process_count() == 1, (
+                "DP fleet mode is single-controller; use the SPMD multi-host "
+                "mode for cross-process meshes"
+            )
+            assert max_slots % mesh.shape[batch_axis] == 0, (
+                f"max_slots={max_slots} must divide over "
+                f"{batch_axis}={mesh.shape[batch_axis]}"
+            )
+            assert prefill_chunk is None, "chunked prefill is per-wave already"
         if mesh is not None:
             from ..parallel.mesh import shard_params
 
@@ -119,9 +146,31 @@ class InferenceEngine:
         # replicated, and host control flow is deterministic, so the fleet
         # stays in jit lockstep (the multi-host GSPO rollout story).
         self._spmd = mesh is not None and jax.process_count() > 1
+
+        def _first_impl(rng, logits, seen_mask, *, temperature, top_p,
+                        repetition_penalty):
+            tok = sample_token(
+                rng, logits, temperature=temperature, top_p=top_p,
+                seen_mask=seen_mask, repetition_penalty=repetition_penalty,
+            )
+            lp = jax.nn.log_softmax(logits, axis=-1)[
+                jnp.arange(logits.shape[0]), tok
+            ]
+            return tok, lp
+
         self._first_sample = jax.jit(
-            sample_token,
+            _first_impl,
             static_argnames=("temperature", "top_p", "repetition_penalty"),
+        )
+        # Host-prep programs are cached ONCE per engine: a fresh jit wrapper
+        # per call would re-trace every request, and each eager op in the
+        # prep path is a full round trip on a tunneled TPU.
+        self._patchify_fn = jax.jit(self._patchify_impl)
+        self._embed_fn = jax.jit(lambda p, ids: embed_tokens(p, ids))
+        self._embed_merge_fn = jax.jit(
+            lambda p, ids, vis, row_index: merge_vision_embeddings_by_index(
+                embed_tokens(p, ids), vis, row_index
+            )
         )
 
         # Donation lets XLA reuse the arena/state buffers in place; the CPU
@@ -136,6 +185,11 @@ class InferenceEngine:
             out_kw["out_shardings"] = NamedSharding(mesh, P_())
         self._admit = jax.jit(
             self._admit_impl,
+            donate_argnames=("arena_k", "arena_v") if donate else (),
+            **out_kw,
+        )
+        self._admit_full = jax.jit(
+            self._admit_full_impl,
             donate_argnames=("arena_k", "arena_v") if donate else (),
             **out_kw,
         )
@@ -159,6 +213,20 @@ class InferenceEngine:
                 if donate
                 else ()
             ),
+            **out_kw,
+        )
+        self._bind = jax.jit(
+            self._bind_impl,
+            donate_argnames=(
+                ("token", "mrope_cur", "remaining", "done", "attn_valid", "seen")
+                if donate
+                else ()
+            ),
+            **out_kw,
+        )
+        self._bind_full = jax.jit(
+            self._bind_full_impl,
+            donate_argnames=("seen_rows",) if donate else (),
             **out_kw,
         )
 
@@ -188,6 +256,28 @@ class InferenceEngine:
         arena_k = arena_k.at[:, slots].set(cache["k"])
         arena_v = arena_v.at[:, slots].set(cache["v"])
         return logits, arena_k, arena_v
+
+    def _admit_full_impl(self, params, embeds, position_ids, seq_positions,
+                         attn_valid_rows, arena_k, arena_v):
+        """Prefill ALL slot rows at once, writing the arena directly.
+
+        The DP-fleet admission path: a full wave replaces every slot, so the
+        arena update is a plain dynamic_update_slice at offset 0 — no
+        per-slot scatter for GSPMD to sequentialize over the row-sharded
+        arena."""
+        cfg = self.cfg
+        hidden, cache = text_forward(
+            params["text"],
+            cfg.text,
+            embeds,
+            position_ids,
+            seq_positions=seq_positions,
+            attn_valid=attn_valid_rows,
+            cache={"k": arena_k, "v": arena_v},
+            cache_offset=0,
+        )
+        logits = logits_from_hidden(params["text"], hidden[:, -1:, :])[:, 0]
+        return logits, cache["k"], cache["v"]
 
     def _prefill_chunk_impl(self, params, embeds, position_ids, seq_positions,
                             attn_valid_rows, rows_k, rows_v, offset):
@@ -323,7 +413,31 @@ class InferenceEngine:
         return (toks, lps, emitted, token, arena_k, arena_v, seen, attn_valid,
                 done, rng, cursor, mrope_cur, remaining)
 
-    def _frames_to_patches(self, frames: np.ndarray) -> jnp.ndarray:
+    def _bind_impl(self, token, mrope_cur, remaining, done, attn_valid, seen,
+                   slots, first, next_pos, attn_rows, seen_rows, row_done,
+                   budget):
+        """Bind ``n`` freshly admitted rows onto their decode slots — one
+        program instead of six eager scatter dispatches per admission."""
+        n = first.shape[0]
+        token = token.at[slots].set(first.astype(jnp.int32))
+        mrope_cur = mrope_cur.at[slots].set(next_pos)
+        remaining = remaining.at[slots].set(budget)
+        done = done.at[slots].set(row_done)
+        attn_valid = attn_valid.at[slots].set(attn_rows)
+        seen = seen.at[slots].set(seen_rows.at[jnp.arange(n), first].set(True))
+        return token, mrope_cur, remaining, done, attn_valid, seen
+
+    def _bind_full_impl(self, seen_rows, first, next_pos, attn_rows, row_done,
+                        budget):
+        """Full-wave bind (DP fleet mode): every slot is replaced, so the
+        new slot state IS the admission arrays — scatter-free, which keeps
+        every array cleanly row-sharded over the batch axis."""
+        V = seen_rows.shape[1]
+        seen = seen_rows | jax.nn.one_hot(first, V, dtype=bool)
+        return (first.astype(jnp.int32), next_pos, budget, row_done,
+                attn_rows, seen)
+
+    def _patchify_impl(self, x):
         """uint8 (T, C, H, W) -> frames-as-images patches, on-device.
 
         Repeating each frame along the temporal-patch axis and patchifying
@@ -332,19 +446,17 @@ class InferenceEngine:
         from ..ops.preprocess import patchify_device
 
         tps = self.cfg.vision.temporal_patch_size
+        x = jnp.repeat(x, tps, axis=0)
+        return patchify_device(
+            x,
+            patch_size=self.cfg.vision.patch_size,
+            temporal_patch_size=tps,
+            merge_size=self.cfg.vision.spatial_merge_size,
+            out_dtype=self.cfg.dtype,
+        )
 
-        @jax.jit
-        def convert(x):
-            x = jnp.repeat(x, tps, axis=0)
-            return patchify_device(
-                x,
-                patch_size=self.cfg.vision.patch_size,
-                temporal_patch_size=tps,
-                merge_size=self.cfg.vision.spatial_merge_size,
-                out_dtype=self.cfg.dtype,
-            )
-
-        return convert(self._put(frames))
+    def _frames_to_patches(self, frames: np.ndarray) -> jnp.ndarray:
+        return self._patchify_fn(self._put(frames))
 
     # --------------------------------------------------------------- host prep
 
@@ -386,7 +498,6 @@ class InferenceEngine:
         # per call via vis_cache; DISTINCT requests' patches are concatenated
         # into ONE vision-tower program (bigger matmuls, fewer dispatches)
         # and split back by merged-token count.
-        embeds = embed_tokens(self.params, self._put(ids))
         jobs: list[tuple] = []  # (vis_key, patches_dev, grid)
         seen_keys = set()
         for r in reqs:
@@ -423,19 +534,41 @@ class InferenceEngine:
             n_tok = int(np.prod(grid, axis=1).sum()) // cfg.vision.merge_unit
             for j, (vis_key, _, _) in enumerate(group):
                 vis_cache[vis_key] = all_vis[j * n_tok:(j + 1) * n_tok]
-        for i, r in enumerate(reqs):
+        # One fused embed(+merge) program per admission shape: the per-row
+        # eager merge this replaces cost ~8 device dispatches per request —
+        # each a full round trip on a tunneled TPU.
+        ids_dev = self._put(ids, row_dim=0)
+        vis_entries: list = []  # unique vision tables, admission order
+        vis_offsets: dict = {}  # vis_key -> row offset into the concat table
+        total_vis = 0
+        row_offsets: list = []
+        row_tokens: list = []
+        for r in reqs:
             if r.pixel_patches is None and r.frames is None:
+                row_offsets.append(None)
+                row_tokens.append(None)
                 continue
             grid_key = tuple(map(tuple, np.asarray(r.grid_thw).tolist()))
-            vis = vis_cache[(id(r.pixel_patches), id(r.frames), grid_key)]
-            row = merge_vision_embeddings(
-                cfg,
-                self._put(ids[i:i + 1]),
-                embeds[i:i + 1],
-                vis,
-                r.vision_token_id or cfg.image_token_id,
+            vis_key = (id(r.pixel_patches), id(r.frames), grid_key)
+            if vis_key not in vis_offsets:
+                entry = vis_cache[vis_key]
+                vis_offsets[vis_key] = total_vis
+                vis_entries.append(entry)
+                total_vis += entry.shape[0]
+            row_offsets.append(vis_offsets[vis_key])
+            row_tokens.append(r.vision_token_id or cfg.image_token_id)
+        if total_vis:
+            vis_table = (
+                vis_entries[0]
+                if len(vis_entries) == 1
+                else jnp.concatenate(vis_entries, axis=0)
             )
-            embeds = embeds.at[i:i + 1].set(row)
+            row_index = build_vision_row_index(ids, row_tokens, row_offsets)
+            embeds = self._embed_merge_fn(
+                self.params, ids_dev, vis_table, self._put(row_index, row_dim=0)
+            )
+        else:
+            embeds = self._embed_fn(self.params, ids_dev)
 
         attn_rows = np.zeros((n, T), dtype=bool)
         attn_rows[:, :L] = mask.astype(bool)
@@ -447,29 +580,39 @@ class InferenceEngine:
         seq_positions = np.broadcast_to(np.arange(L, dtype=np.int64), (n, L))
         return embeds, position_ids, seq_positions, attn_rows, seen_rows, next_pos
 
-    def _put(self, x, to_i32: bool = False):
+    def _put(self, x, to_i32: bool = False, row_dim: Optional[int] = None):
         """Host value -> array the jitted programs accept.
 
         Single-process: plain jnp.asarray. SPMD multi-host: a REPLICATED
         global array (identical host values by construction), so every
-        jitted/eager op runs in fleet lockstep."""
+        jitted/eager op runs in fleet lockstep. DP fleet mode: arrays whose
+        ``row_dim`` carries decode-slot rows are sharded over the batch
+        axis, so each chip owns its rows end to end."""
         x = np.asarray(x)
         if to_i32:
             x = x.astype(np.int32)
-        if not self._spmd:
+        if self._dp and row_dim is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+
+            spec = [None] * x.ndim
+            spec[row_dim] = self.batch_axis
+            return jax.device_put(x, NamedSharding(self.mesh, P_(*spec)))
+        if not (self._spmd or self._dp):
             return jnp.asarray(x)
         from jax.sharding import NamedSharding, PartitionSpec as P_
 
         return jax.device_put(x, NamedSharding(self.mesh, P_()))
 
     def _new_cache(self, n: int, T: int) -> dict:
-        """Fresh device-side KV cache (replicated global in SPMD mode)."""
-        if self._spmd:
+        """Fresh device-side KV cache (replicated global in SPMD mode;
+        slot-row-sharded in DP fleet mode)."""
+        if self._spmd or self._dp:
             from jax.sharding import NamedSharding, PartitionSpec as P_
 
+            spec = P_(None, self.batch_axis) if self._dp else P_()
             return jax.jit(
                 lambda: init_kv_cache(self.cfg.text, n, T, dtype=self.cache_dtype),
-                out_shardings=NamedSharding(self.mesh, P_()),
+                out_shardings=NamedSharding(self.mesh, spec),
             )()
         return init_kv_cache(self.cfg.text, n, T, dtype=self.cache_dtype)
 
@@ -506,21 +649,33 @@ class InferenceEngine:
 
     def _run_group(self, L, idxs, requests, sampling, return_logprobs, results):
         cfg = self.cfg
-        # Slot count tracks the workload (one program per count): a single
-        # request must not pay 8 rows of KV traffic + sampling per step.
-        B = min(self.max_slots, len(idxs))
+        eos = cfg.eos_token_id
+        n_real = len(requests)
+        if self._dp:
+            # Wave scheduling: every admission fills ALL max_slots rows
+            # (static row count per chip shard), so pad the queue to a wave
+            # multiple with 1-token dummy rows, discarded on finalize.
+            B = self.max_slots
+            pad_n = (-len(idxs)) % B
+            if pad_n:
+                requests = list(requests) + [Request(input_ids=[eos])] * pad_n
+                idxs = list(idxs) + list(range(n_real, n_real + pad_n))
+        else:
+            # Slot count tracks the workload (one program per count): a
+            # single request must not pay 8 rows of KV traffic + sampling
+            # per step.
+            B = min(self.max_slots, len(idxs))
         T = L + sampling.max_tokens
         V = cfg.text.vocab_size
-        eos = cfg.eos_token_id
         arena = self._get_arena(B, T)
 
-        token = self._put(np.zeros((B,), np.int32))
+        token = self._put(np.zeros((B,), np.int32), row_dim=0)
         cursor = self._put(np.asarray(0))  # ring write head, group-global
-        mrope_cur = self._put(np.zeros((B,), np.int32))
-        remaining = self._put(np.zeros((B,), np.int32))
-        done = self._put(np.ones((B,), bool))
-        attn_valid = self._put(np.zeros((B, T), bool))
-        seen = self._put(np.zeros((B, V), bool))
+        mrope_cur = self._put(np.zeros((B,), np.int32), row_dim=0)
+        remaining = self._put(np.zeros((B,), np.int32), row_dim=0)
+        done = self._put(np.ones((B,), bool), row_dim=0)
+        attn_valid = self._put(np.zeros((B, T), bool), row_dim=0)
+        seen = self._put(np.zeros((B, V), bool), row_dim=0)
         rng = self._put(np.asarray(jax.random.PRNGKey(sampling.seed)))
 
         slot_rid: list = [None] * B
@@ -531,6 +686,9 @@ class InferenceEngine:
 
         def finalize(s):
             rid = slot_rid[s]
+            slot_rid[s] = None
+            if rid >= n_real:  # DP wave padding row
+                return
             row = emitted[rid]
             if eos in row:
                 cut = row.index(eos) + 1
@@ -543,7 +701,6 @@ class InferenceEngine:
             if return_logprobs:
                 out["logprobs"] = lp_acc[rid]
             results[rid] = out
-            slot_rid[s] = None
 
         def run_segment(n_steps):
             """One decode segment over the active slots + harvest."""
@@ -573,11 +730,11 @@ class InferenceEngine:
                     prompt_len=L,
                 )
                 arena = {"k": ak, "v": av}
-                # host fetch doubles as the device sync for the stage timer
-                toks_h = np.asarray(toks)
-                lps_h = np.asarray(lps)
-                emitted_h = np.asarray(emitted_n)
-                done_h = np.asarray(done)
+                # one batched host fetch; doubles as the device sync for the
+                # stage timer
+                toks_h, lps_h, emitted_h, done_h = jax.device_get(
+                    (toks, lps, emitted_n, done)
+                )
             for s in active:
                 rid = slot_rid[s]
                 n = int(emitted_h[s])
@@ -633,6 +790,20 @@ class InferenceEngine:
                             arena["k"], arena["v"], rows["k"], rows["v"],
                             self._put(slots, to_i32=True),
                         )
+                    elif self._dp:
+                        # Full wave: every slot row is replaced, arena
+                        # written directly (no scatter over the row-sharded
+                        # cache).
+                        attn_rows_dev = self._put(attn_rows, row_dim=0)
+                        logits, ak, av = self._admit_full(
+                            self.params,
+                            embeds,
+                            self._put(pos, row_dim=1),
+                            self._put(seq_pos, row_dim=0),
+                            attn_rows_dev,
+                            arena["k"],
+                            arena["v"],
+                        )
                     else:
                         logits, ak, av = self._admit(
                             self.params,
@@ -645,35 +816,58 @@ class InferenceEngine:
                             self._put(slots, to_i32=True),
                         )
                     arena = {"k": ak, "v": av}
-                    seen_rows_dev = self._put(seen_rows)
+                    seen_rows_dev = self._put(seen_rows, row_dim=0)
                     rng, sub = jax.random.split(rng)
-                    first = self._first_sample(
+                    first, first_lp = self._first_sample(
                         sub,
                         logits,
+                        seen_rows_dev,
                         temperature=sampling.temperature,
                         top_p=sampling.top_p,
-                        seen_mask=seen_rows_dev,
                         repetition_penalty=sampling.repetition_penalty,
                     )
-                    first_lp = jax.nn.log_softmax(logits, axis=-1)[
-                        jnp.arange(n_admit), first
-                    ]
                     # host fetch == device sync for the stage timer
-                    first_h = np.asarray(first)
-                    first_lp_h = np.asarray(first_lp)
+                    first_h, first_lp_h = jax.device_get((first, first_lp))
 
-                slots_j = self._put(slots, to_i32=True)
-                token = token.at[slots_j].set(first.astype(jnp.int32))
-                mrope_cur = mrope_cur.at[slots_j].set(
-                    self._put(next_pos, to_i32=True)
-                )
-                remaining = remaining.at[slots_j].set(sampling.max_tokens - 1)
-                row_done = (first_h == eos) | (sampling.max_tokens <= 1)
-                done = done.at[slots_j].set(self._put(row_done))
-                attn_valid = attn_valid.at[slots_j].set(self._put(attn_rows))
-                seen = seen.at[slots_j].set(
-                    seen_rows_dev.at[jnp.arange(n_admit), first].set(True)
-                )
+                row_done = np.asarray(
+                    (first_h == eos) | (sampling.max_tokens <= 1)
+                ).copy()
+                if self._dp:
+                    for j, rid in enumerate(rids):
+                        if rid >= n_real:
+                            row_done[j] = True  # padding rows end immediately
+                    budget = self._put(
+                        np.full(n_admit, sampling.max_tokens - 1, np.int32),
+                        row_dim=0,
+                    )
+                    (token, mrope_cur, remaining, done, attn_valid, seen) = (
+                        self._bind_full(
+                            seen_rows_dev,
+                            first,
+                            self._put(next_pos, to_i32=True, row_dim=0),
+                            attn_rows_dev,
+                            self._put(row_done, row_dim=0),
+                            budget,
+                        )
+                    )
+                else:
+                    (token, mrope_cur, remaining, done, attn_valid, seen) = self._bind(
+                        token,
+                        mrope_cur,
+                        remaining,
+                        done,
+                        attn_valid,
+                        seen,
+                        self._put(slots, to_i32=True),
+                        first,
+                        self._put(next_pos, to_i32=True),
+                        self._put(attn_rows),
+                        seen_rows_dev,
+                        self._put(row_done),
+                        self._put(
+                            np.full(n_admit, sampling.max_tokens - 1, np.int32)
+                        ),
+                    )
                 for j, (s, rid) in enumerate(zip(slots, rids)):
                     slot_rid[s] = rid
                     emitted[rid] = [int(first_h[j])]
@@ -706,9 +900,9 @@ class InferenceEngine:
             # every row is done) — host round trips per segment are pure
             # overhead then.
             run_segment(
-                min(self.decode_segment, sampling.max_tokens)
-                if qpos < len(idxs)
-                else sampling.max_tokens
+                sampling.max_tokens
+                if (self._dp or qpos >= len(idxs))
+                else min(self.decode_segment, sampling.max_tokens)
             )
 
         self._arenas[(B, T)] = arena  # persist for the next generate() call

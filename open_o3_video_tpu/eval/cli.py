@@ -39,10 +39,15 @@ def build_model(args, bench: str):
     if args.load_in_int8:
         kwargs["load_in_int8"] = True
     mesh = None
-    if args.mesh_tensor > 1:
+    if args.mesh_tensor > 1 or args.mesh_data > 1:
         from ..parallel import make_mesh
 
-        mesh = make_mesh(tensor=args.mesh_tensor)
+        mesh = make_mesh(data=args.mesh_data, tensor=args.mesh_tensor)
+        if args.mesh_data > 1:
+            # DP eval fleet: slot rows sharded over `data` — each chip
+            # decodes its own wave rows (== the reference's per-GPU workers).
+            kwargs["batch_axis"] = "data"
+            kwargs["max_slots"] = args.mesh_data * args.slots_per_chip
     return QwenVLEngine(args.model_path, rt_shape=True, mesh=mesh, **kwargs)
 
 
@@ -68,6 +73,12 @@ def main():
     parser.add_argument("--add_asr", type=lambda s: s.lower() != "false", default=None)
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--mesh_tensor", type=int, default=1)
+    parser.add_argument(
+        "--mesh_data", type=int, default=1,
+        help="DP eval fleet width: shard engine decode slots over this many "
+        "chips (reference: one eval worker per GPU)",
+    )
+    parser.add_argument("--slots_per_chip", type=int, default=8)
     args = parser.parse_args()
 
     if args.benchmark == "vstar":

@@ -34,6 +34,8 @@ class QwenVLEngine:
         cfg: Optional[Qwen25VLConfig] = None,
         processor: Optional[O3VideoProcessor] = None,
         mesh=None,
+        batch_axis=None,
+        max_slots: Optional[int] = None,
         **llm_args,
     ):
         temperature = llm_args.pop("temperature", 0.0)
@@ -58,7 +60,16 @@ class QwenVLEngine:
             processor = processor or O3VideoProcessor()
         self.cfg = cfg
         self.processor = processor
-        self.engine = InferenceEngine(params, cfg, mesh=mesh)
+        # batch_axis="data" turns on the DP eval fleet: slot rows sharded
+        # over the mesh data axis, one wave of requests per chip row-shard
+        # (the reference's per-GPU worker fleet, test_vstar_multi_images.py:
+        # 621-693, as ONE SPMD engine).
+        engine_kw = {}
+        if batch_axis is not None:
+            engine_kw["batch_axis"] = batch_axis
+        if max_slots is not None:
+            engine_kw["max_slots"] = max_slots
+        self.engine = InferenceEngine(params, cfg, mesh=mesh, **engine_kw)
         self.sampling = SamplingParams(
             temperature=temperature, repetition_penalty=1.05, max_tokens=max_tokens
         )
