@@ -1,12 +1,14 @@
-"""Qwen2.5-VL in JAX: windowed ViT tower, GQA decoder with M-RoPE.
+"""Qwen-VL family in JAX: ViT tower + GQA decoder with M-RoPE.
 
-Functional modules over a param pytree; architecture reference is the
-published Qwen2.5-VL model family (consumed by the reference via HF
-transformers, grpo_trainer.py:211-219). Weight import from HF safetensors
-in ``params.py``.
+Functional modules over a param pytree; covers the model families the
+reference dispatches between by name (grpo_trainer.py:211-219):
+Qwen2.5-VL (windowed ViT, RMSNorm/SwiGLU) and Qwen2-VL (full-attention ViT,
+LayerNorm/QuickGELU, unscaled temporal rope) — selected by config, since
+they share the text decoder. Weight import from HF safetensors in
+``params.py``; ``load_pretrained`` auto-detects the family from config.json.
 """
 
-from .config import Qwen25VLConfig, TextConfig, VisionConfig
+from .config import Qwen25VLConfig, TextConfig, VisionConfig, tiny_qwen2
 from .model import (
     build_vision_row_index,
     encode_vision,
@@ -20,6 +22,7 @@ __all__ = [
     "Qwen25VLConfig",
     "TextConfig",
     "VisionConfig",
+    "tiny_qwen2",
     "build_vision_row_index",
     "forward",
     "encode_vision",

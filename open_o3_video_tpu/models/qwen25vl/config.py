@@ -1,7 +1,13 @@
-"""Qwen2.5-VL configuration.
+"""Qwen-VL family configuration (Qwen2.5-VL and Qwen2-VL).
 
 Field values follow the published model family configs (e.g.
-Qwen/Qwen2.5-VL-7B-Instruct); ``from_hf_dict`` ingests an HF config.json.
+Qwen/Qwen2.5-VL-7B-Instruct); ``from_hf_dict`` ingests an HF config.json and
+dispatches on ``model_type`` — the reference selects the model class by name
+the same way (grpo_trainer.py:211-219: Qwen2-VL / Qwen2.5-VL / Aria). The
+two Qwen families share the text decoder; they differ only in the vision
+tower (Qwen2-VL: LayerNorm + QuickGELU MLP + full attention per frame;
+Qwen2.5-VL: RMSNorm + SwiGLU + windowed attention) and in M-RoPE temporal
+indexing (Qwen2-VL uses raw frame indices, no tokens_per_second scaling).
 """
 
 from __future__ import annotations
@@ -28,6 +34,11 @@ class VisionConfig:
     fullatt_block_indexes: tuple[int, ...] = (7, 15, 23, 31)
     out_hidden_size: int = 3584
     tokens_per_second: int = 2
+    # Family switches (defaults == Qwen2.5-VL; Qwen2-VL sets layernorm /
+    # quickgelu / use_windows=False, matching HF Qwen2VLVisionBlock).
+    norm_type: str = "rmsnorm"  # "rmsnorm" | "layernorm" (with bias)
+    act_type: str = "swiglu"  # "swiglu" (gate/up/down) | "quickgelu" (fc1/fc2)
+    use_windows: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -70,6 +81,9 @@ class TextConfig:
 class Qwen25VLConfig:
     vision: VisionConfig = dataclasses.field(default_factory=VisionConfig)
     text: TextConfig = dataclasses.field(default_factory=TextConfig)
+    # "qwen2_5_vl" | "qwen2_vl" — selects M-RoPE temporal indexing and the
+    # exported config.json architecture name.
+    model_type: str = "qwen2_5_vl"
     image_token_id: int = 151655
     video_token_id: int = 151656
     vision_start_token_id: int = 151652
@@ -85,6 +99,9 @@ class Qwen25VLConfig:
         # Older HF config.json files inline text fields at the top level.
         t = d.get("text_config", d)
         rope_scaling = t.get("rope_scaling") or d.get("rope_scaling") or {}
+        model_type = d.get("model_type", "qwen2_5_vl")
+        if model_type == "qwen2_vl" or v.get("embed_dim") is not None:
+            return _qwen2_from_hf_dict(d, v, t, rope_scaling, dtype)
         vision = VisionConfig(
             depth=v.get("depth", 32),
             hidden_size=v.get("hidden_size", 1280),
@@ -99,19 +116,7 @@ class Qwen25VLConfig:
             out_hidden_size=v.get("out_hidden_size", 3584),
             tokens_per_second=v.get("tokens_per_second", 2),
         )
-        text = TextConfig(
-            vocab_size=t.get("vocab_size", 152064),
-            hidden_size=t.get("hidden_size", 3584),
-            intermediate_size=t.get("intermediate_size", 18944),
-            num_hidden_layers=t.get("num_hidden_layers", 28),
-            num_attention_heads=t.get("num_attention_heads", 28),
-            num_key_value_heads=t.get("num_key_value_heads", 4),
-            rms_norm_eps=t.get("rms_norm_eps", 1e-6),
-            rope_theta=t.get("rope_theta", 1000000.0),
-            mrope_section=tuple(rope_scaling.get("mrope_section", (16, 24, 24))),
-            tie_word_embeddings=t.get("tie_word_embeddings", d.get("tie_word_embeddings", False)),
-            max_position_embeddings=t.get("max_position_embeddings", 128000),
-        )
+        text = _text_from_hf_dict(t, d, rope_scaling)
         return Qwen25VLConfig(
             vision=vision,
             text=text,
@@ -134,10 +139,22 @@ class Qwen25VLConfig:
         """HF-convention config.json payload (inverse of from_hf_dict) so an
         exported checkpoint directory is self-describing and reloadable."""
         v, t = self.vision, self.text
-        return {
-            "model_type": "qwen2_5_vl",
-            "architectures": ["Qwen2_5_VLForConditionalGeneration"],
-            "vision_config": {
+        if self.model_type == "qwen2_vl":
+            vision_dict = {
+                "depth": v.depth,
+                "embed_dim": v.hidden_size,
+                "hidden_size": v.out_hidden_size,
+                "hidden_act": "quick_gelu",
+                "mlp_ratio": v.intermediate_size / v.hidden_size,
+                "num_heads": v.num_heads,
+                "in_channels": v.in_channels,
+                "patch_size": v.patch_size,
+                "spatial_merge_size": v.spatial_merge_size,
+                "temporal_patch_size": v.temporal_patch_size,
+            }
+            arch = ["Qwen2VLForConditionalGeneration"]
+        else:
+            vision_dict = {
                 "depth": v.depth,
                 "hidden_size": v.hidden_size,
                 "intermediate_size": v.intermediate_size,
@@ -150,7 +167,12 @@ class Qwen25VLConfig:
                 "fullatt_block_indexes": list(v.fullatt_block_indexes),
                 "out_hidden_size": v.out_hidden_size,
                 "tokens_per_second": v.tokens_per_second,
-            },
+            }
+            arch = ["Qwen2_5_VLForConditionalGeneration"]
+        return {
+            "model_type": self.model_type,
+            "architectures": arch,
+            "vision_config": vision_dict,
             "text_config": {
                 "vocab_size": t.vocab_size,
                 "hidden_size": t.hidden_size,
@@ -207,6 +229,73 @@ class Qwen25VLConfig:
             pad_token_id=2,
             dtype=dtype,
         )
+
+
+def _text_from_hf_dict(t: dict[str, Any], d: dict[str, Any], rope_scaling: dict) -> TextConfig:
+    return TextConfig(
+        vocab_size=t.get("vocab_size", 152064),
+        hidden_size=t.get("hidden_size", 3584),
+        intermediate_size=t.get("intermediate_size", 18944),
+        num_hidden_layers=t.get("num_hidden_layers", 28),
+        num_attention_heads=t.get("num_attention_heads", 28),
+        num_key_value_heads=t.get("num_key_value_heads", 4),
+        rms_norm_eps=t.get("rms_norm_eps", 1e-6),
+        rope_theta=t.get("rope_theta", 1000000.0),
+        mrope_section=tuple(rope_scaling.get("mrope_section", (16, 24, 24))),
+        tie_word_embeddings=t.get("tie_word_embeddings", d.get("tie_word_embeddings", False)),
+        max_position_embeddings=t.get("max_position_embeddings", 128000),
+    )
+
+
+def _qwen2_from_hf_dict(d, v, t, rope_scaling, dtype) -> "Qwen25VLConfig":
+    """Qwen2-VL config.json: vision fields are named embed_dim / hidden_size
+    (output dim) / mlp_ratio; the text decoder is identical to Qwen2.5's."""
+    embed_dim = v.get("embed_dim", 1280)
+    vision = VisionConfig(
+        depth=v.get("depth", 32),
+        hidden_size=embed_dim,
+        intermediate_size=int(embed_dim * v.get("mlp_ratio", 4)),
+        num_heads=v.get("num_heads", 16),
+        in_channels=v.get("in_channels", v.get("in_chans", 3)),
+        patch_size=v.get("patch_size", 14),
+        spatial_merge_size=v.get("spatial_merge_size", 2),
+        temporal_patch_size=v.get("temporal_patch_size", 2),
+        fullatt_block_indexes=(),
+        out_hidden_size=v.get("hidden_size", 3584),
+        norm_type="layernorm",
+        act_type="quickgelu",
+        use_windows=False,
+    )
+    return Qwen25VLConfig(
+        vision=vision,
+        text=_text_from_hf_dict(t, d, rope_scaling),
+        model_type="qwen2_vl",
+        image_token_id=d.get("image_token_id", 151655),
+        video_token_id=d.get("video_token_id", 151656),
+        vision_start_token_id=d.get("vision_start_token_id", 151652),
+        vision_end_token_id=d.get("vision_end_token_id", 151653),
+        bos_token_id=d.get("bos_token_id", 151643),
+        eos_token_id=_first(d.get("eos_token_id", 151645)),
+        pad_token_id=d.get("pad_token_id") or 151643,
+        dtype=dtype,
+    )
+
+
+def tiny_qwen2(dtype=jnp.float32) -> "Qwen25VLConfig":
+    """Small random-init Qwen2-VL config (tests / CI parity checks)."""
+    base = Qwen25VLConfig.tiny(dtype=dtype)
+    vision = dataclasses.replace(
+        base.vision,
+        fullatt_block_indexes=(),
+        norm_type="layernorm",
+        act_type="quickgelu",
+        intermediate_size=4 * base.vision.hidden_size,
+    )
+    return dataclasses.replace(
+        base,
+        vision=dataclasses.replace(vision, use_windows=False),
+        model_type="qwen2_vl",
+    )
 
 
 def _first(x):

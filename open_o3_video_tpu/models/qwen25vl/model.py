@@ -80,15 +80,20 @@ def get_rope_index(
             st_idx = int(pos_list[-1].max()) + 1 if pos_list else 0
             pos_list.append(np.broadcast_to(np.arange(text_len)[None], (3, text_len)) + st_idx)
 
-            # HF quirk preserved: second_per_grid is cast to the *integer*
-            # dtype of the range tensor before the multiply, truncating
-            # fractional intervals (0.5 -> 0).
-            t_index = (
-                (np.arange(lt)[:, None] * int(second_per_grid) * cfg.vision.tokens_per_second)
-                .astype(np.int64)
-                .repeat(lh * lw, axis=1)
-                .flatten()
-            )
+            if cfg.model_type == "qwen2_vl":
+                # Qwen2-VL: raw frame index, no tokens_per_second scaling
+                # (HF Qwen2VLModel.get_rope_index).
+                t_index = np.arange(lt)[:, None].repeat(lh * lw, axis=1).flatten()
+            else:
+                # HF quirk preserved: second_per_grid is cast to the *integer*
+                # dtype of the range tensor before the multiply, truncating
+                # fractional intervals (0.5 -> 0).
+                t_index = (
+                    (np.arange(lt)[:, None] * int(second_per_grid) * cfg.vision.tokens_per_second)
+                    .astype(np.int64)
+                    .repeat(lh * lw, axis=1)
+                    .flatten()
+                )
             h_index = np.tile(np.arange(lh)[None, :, None], (lt, 1, lw)).flatten()
             w_index = np.tile(np.arange(lw)[None, None, :], (lt, lh, 1)).flatten()
             pos_list.append(np.stack([t_index, h_index, w_index]) + text_len + st_idx)

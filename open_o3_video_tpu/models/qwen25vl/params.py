@@ -62,32 +62,48 @@ def init(cfg: Qwen25VLConfig, seed: int = 0, quantize_text: bool = False) -> dic
     def ones(*shape):
         return jnp.ones(shape, dtype=dt)
 
+    def block():
+        b = {
+            "norm1": ones(v.hidden_size),
+            "qkv_w": w(v.hidden_size, 3 * v.hidden_size),
+            "qkv_b": zeros(3 * v.hidden_size),
+            "proj_w": w(v.hidden_size, v.hidden_size),
+            "proj_b": zeros(v.hidden_size),
+            "norm2": ones(v.hidden_size),
+        }
+        if v.act_type == "quickgelu":  # Qwen2-VL VisionMlp fc1/fc2
+            b.update(
+                fc1_w=w(v.hidden_size, v.intermediate_size),
+                fc1_b=zeros(v.intermediate_size),
+                fc2_w=w(v.intermediate_size, v.hidden_size),
+                fc2_b=zeros(v.hidden_size),
+            )
+        else:
+            b.update(
+                gate_w=w(v.hidden_size, v.intermediate_size),
+                gate_b=zeros(v.intermediate_size),
+                up_w=w(v.hidden_size, v.intermediate_size),
+                up_b=zeros(v.intermediate_size),
+                down_w=w(v.intermediate_size, v.hidden_size),
+                down_b=zeros(v.hidden_size),
+            )
+        if v.norm_type == "layernorm":  # Qwen2-VL LayerNorm biases
+            b.update(norm1_b=zeros(v.hidden_size), norm2_b=zeros(v.hidden_size))
+        return b
+
+    merger = {
+        "ln_q": ones(v.hidden_size),
+        "fc1_w": w(v.hidden_size * v.merge_unit, v.hidden_size * v.merge_unit),
+        "fc1_b": zeros(v.hidden_size * v.merge_unit),
+        "fc2_w": w(v.hidden_size * v.merge_unit, v.out_hidden_size),
+        "fc2_b": zeros(v.out_hidden_size),
+    }
+    if v.norm_type == "layernorm":
+        merger["ln_q_b"] = zeros(v.hidden_size)
     visual = {
         "patch_embed": w(v.patch_dim, v.hidden_size),
-        "blocks": [
-            {
-                "norm1": ones(v.hidden_size),
-                "qkv_w": w(v.hidden_size, 3 * v.hidden_size),
-                "qkv_b": zeros(3 * v.hidden_size),
-                "proj_w": w(v.hidden_size, v.hidden_size),
-                "proj_b": zeros(v.hidden_size),
-                "norm2": ones(v.hidden_size),
-                "gate_w": w(v.hidden_size, v.intermediate_size),
-                "gate_b": zeros(v.intermediate_size),
-                "up_w": w(v.hidden_size, v.intermediate_size),
-                "up_b": zeros(v.intermediate_size),
-                "down_w": w(v.intermediate_size, v.hidden_size),
-                "down_b": zeros(v.hidden_size),
-            }
-            for _ in range(v.depth)
-        ],
-        "merger": {
-            "ln_q": ones(v.hidden_size),
-            "fc1_w": w(v.hidden_size * v.merge_unit, v.hidden_size * v.merge_unit),
-            "fc1_b": zeros(v.hidden_size * v.merge_unit),
-            "fc2_w": w(v.hidden_size * v.merge_unit, v.out_hidden_size),
-            "fc2_b": zeros(v.out_hidden_size),
-        },
+        "blocks": [block() for _ in range(v.depth)],
+        "merger": merger,
     }
     layers = []
     for _ in range(t.num_hidden_layers):
@@ -217,6 +233,9 @@ def from_named_arrays(
             mapping = {
                 "norm1.weight": ("norm1", False),
                 "norm2.weight": ("norm2", False),
+                # Qwen2-VL LayerNorm biases (Qwen2.5-VL's RMSNorm has none)
+                "norm1.bias": ("norm1_b", False),
+                "norm2.bias": ("norm2_b", False),
                 "attn.qkv.weight": ("qkv_w", True),
                 "attn.qkv.bias": ("qkv_b", False),
                 "attn.proj.weight": ("proj_w", True),
@@ -227,12 +246,19 @@ def from_named_arrays(
                 "mlp.up_proj.bias": ("up_b", False),
                 "mlp.down_proj.weight": ("down_w", True),
                 "mlp.down_proj.bias": ("down_b", False),
+                # Qwen2-VL VisionMlp
+                "mlp.fc1.weight": ("fc1_w", True),
+                "mlp.fc1.bias": ("fc1_b", False),
+                "mlp.fc2.weight": ("fc2_w", True),
+                "mlp.fc2.bias": ("fc2_b", False),
             }
             if rest in mapping:
                 name, tr = mapping[rest]
                 put(layer + [name], arr, transpose=tr)
         elif key == "visual.merger.ln_q.weight":
             put(["visual", "merger", "ln_q"], arr)
+        elif key == "visual.merger.ln_q.bias":
+            put(["visual", "merger", "ln_q_b"], arr)
         elif key == "visual.merger.mlp.0.weight":
             put(["visual", "merger", "fc1_w"], arr, transpose=True)
         elif key == "visual.merger.mlp.0.bias":
@@ -260,16 +286,22 @@ def from_named_arrays(
 def init_empty(cfg: Qwen25VLConfig) -> dict:
     """Tree with the right structure and None leaves (filled by the loader)."""
     v, t = cfg.vision, cfg.text
+    block_keys = ["norm1", "qkv_w", "qkv_b", "proj_w", "proj_b", "norm2"]
+    if v.act_type == "quickgelu":
+        block_keys += ["fc1_w", "fc1_b", "fc2_w", "fc2_b"]
+    else:
+        block_keys += ["gate_w", "gate_b", "up_w", "up_b", "down_w", "down_b"]
+    merger_keys = ["ln_q", "fc1_w", "fc1_b", "fc2_w", "fc2_b"]
+    if v.norm_type == "layernorm":
+        block_keys += ["norm1_b", "norm2_b"]
+        merger_keys += ["ln_q_b"]
     return {
         "visual": {
             "patch_embed": None,
             "blocks": [
-                {k: None for k in (
-                    "norm1", "qkv_w", "qkv_b", "proj_w", "proj_b", "norm2",
-                    "gate_w", "gate_b", "up_w", "up_b", "down_w", "down_b")}
-                for _ in range(v.depth)
+                {k: None for k in block_keys} for _ in range(v.depth)
             ],
-            "merger": {k: None for k in ("ln_q", "fc1_w", "fc1_b", "fc2_w", "fc2_b")},
+            "merger": {k: None for k in merger_keys},
         },
         "text": {
             "embed_tokens": None,
@@ -383,18 +415,29 @@ def save_safetensors(params: dict, cfg: Qwen25VLConfig, out_path: str):
         p = f"visual.blocks.{i}."
         flat[p + "norm1.weight"] = to_np(b["norm1"])
         flat[p + "norm2.weight"] = to_np(b["norm2"])
+        if v.norm_type == "layernorm":
+            flat[p + "norm1.bias"] = to_np(b["norm1_b"])
+            flat[p + "norm2.bias"] = to_np(b["norm2_b"])
         flat[p + "attn.qkv.weight"] = to_np_t(b["qkv_w"])
         flat[p + "attn.qkv.bias"] = to_np(b["qkv_b"])
         flat[p + "attn.proj.weight"] = to_np_t(b["proj_w"])
         flat[p + "attn.proj.bias"] = to_np(b["proj_b"])
-        flat[p + "mlp.gate_proj.weight"] = to_np_t(b["gate_w"])
-        flat[p + "mlp.gate_proj.bias"] = to_np(b["gate_b"])
-        flat[p + "mlp.up_proj.weight"] = to_np_t(b["up_w"])
-        flat[p + "mlp.up_proj.bias"] = to_np(b["up_b"])
-        flat[p + "mlp.down_proj.weight"] = to_np_t(b["down_w"])
-        flat[p + "mlp.down_proj.bias"] = to_np(b["down_b"])
+        if v.act_type == "quickgelu":
+            flat[p + "mlp.fc1.weight"] = to_np_t(b["fc1_w"])
+            flat[p + "mlp.fc1.bias"] = to_np(b["fc1_b"])
+            flat[p + "mlp.fc2.weight"] = to_np_t(b["fc2_w"])
+            flat[p + "mlp.fc2.bias"] = to_np(b["fc2_b"])
+        else:
+            flat[p + "mlp.gate_proj.weight"] = to_np_t(b["gate_w"])
+            flat[p + "mlp.gate_proj.bias"] = to_np(b["gate_b"])
+            flat[p + "mlp.up_proj.weight"] = to_np_t(b["up_w"])
+            flat[p + "mlp.up_proj.bias"] = to_np(b["up_b"])
+            flat[p + "mlp.down_proj.weight"] = to_np_t(b["down_w"])
+            flat[p + "mlp.down_proj.bias"] = to_np(b["down_b"])
     m = vis["merger"]
     flat["visual.merger.ln_q.weight"] = to_np(m["ln_q"])
+    if v.norm_type == "layernorm":
+        flat["visual.merger.ln_q.bias"] = to_np(m["ln_q_b"])
     flat["visual.merger.mlp.0.weight"] = to_np_t(m["fc1_w"])
     flat["visual.merger.mlp.0.bias"] = to_np(m["fc1_b"])
     flat["visual.merger.mlp.2.weight"] = to_np_t(m["fc2_w"])

@@ -77,6 +77,25 @@ def compute_vision_spec(grid_thw: Sequence[tuple[int, int, int]], cfg: VisionCon
     """
     merge = cfg.spatial_merge_size
     unit = cfg.merge_unit
+
+    if not cfg.use_windows:
+        # Qwen2-VL: no window partition — the sequence keeps its original
+        # order and EVERY layer attends within per-frame (h*w) segments
+        # (HF cu_seqlens = repeat_interleave(h*w, t)).
+        seq_len = int(sum(t * h * w for t, h, w in grid_thw))
+        full_sizes = [int(h) * int(w) for t, h, w in grid_thw for _ in range(int(t))]
+        ident = np.arange(seq_len // unit, dtype=np.int32)
+        full_seg = _make_segment_spec(np.asarray(full_sizes, dtype=np.int64))
+        freqs = vision_pos_freqs(grid_thw, merge, cfg.head_dim)
+        return VisionSpec(
+            window_index=ident,
+            reverse_index=ident,
+            window_seg=full_seg,
+            full_seg=full_seg,
+            freqs=freqs.astype(np.float32),
+            seq_len=seq_len,
+        )
+
     win = cfg.window_patches // merge  # window side in merged positions (112/14/2 = 4)
 
     window_index = []
@@ -131,6 +150,22 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6) -> jnp.ndar
     return (x * weight.astype(jnp.float32)).astype(dtype)
 
 
+def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Qwen2-VL vision norm (HF Qwen2VLVisionBlock uses LayerNorm, eps 1e-6)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    return (x * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+def _norm(params: dict, name: str, x: jnp.ndarray, cfg: VisionConfig) -> jnp.ndarray:
+    if cfg.norm_type == "layernorm":
+        return layer_norm(x, params[name], params[name + "_b"])
+    return rms_norm(x, params[name])
+
+
 def _segmented_attention(q, k, v, spec: SegmentSpec):
     """(S, H, D) q/k/v -> segment-batched bidirectional attention -> (S, H, D)."""
     indices = jnp.asarray(spec.indices)
@@ -141,7 +176,7 @@ def _segmented_attention(q, k, v, spec: SegmentSpec):
 
 
 def _block(params: dict, x: jnp.ndarray, freqs: jnp.ndarray, spec: SegmentSpec, cfg: VisionConfig):
-    h = rms_norm(x, params["norm1"])
+    h = _norm(params, "norm1", x, cfg)
     qkv = h @ params["qkv_w"] + params["qkv_b"]
     S = x.shape[0]
     qkv = qkv.reshape(S, 3, cfg.num_heads, cfg.head_dim)
@@ -150,10 +185,16 @@ def _block(params: dict, x: jnp.ndarray, freqs: jnp.ndarray, spec: SegmentSpec, 
     attn = _segmented_attention(q, k, v, spec).reshape(S, cfg.hidden_size)
     x = x + (attn @ params["proj_w"] + params["proj_b"])
 
-    h = rms_norm(x, params["norm2"])
-    gate = jax.nn.silu(h @ params["gate_w"] + params["gate_b"])
-    up = h @ params["up_w"] + params["up_b"]
-    x = x + ((gate * up) @ params["down_w"] + params["down_b"])
+    h = _norm(params, "norm2", x, cfg)
+    if cfg.act_type == "quickgelu":
+        # Qwen2-VL VisionMlp: fc1 -> quick_gelu -> fc2.
+        a = h @ params["fc1_w"] + params["fc1_b"]
+        a = a * jax.nn.sigmoid(1.702 * a)
+        x = x + (a @ params["fc2_w"] + params["fc2_b"])
+    else:
+        gate = jax.nn.silu(h @ params["gate_w"] + params["gate_b"])
+        up = h @ params["up_w"] + params["up_b"]
+        x = x + ((gate * up) @ params["down_w"] + params["down_b"])
     return x
 
 
@@ -175,9 +216,10 @@ def vision_forward(params: dict, patches: jnp.ndarray, spec: VisionSpec, cfg: Vi
         seg = spec.full_seg if i in cfg.fullatt_block_indexes else spec.window_seg
         x = _block(params["blocks"][i], x, freqs, seg, cfg)
 
-    # Patch merger: RMSNorm then 2x2 concat -> MLP.
+    # Patch merger: norm then 2x2 concat -> MLP (RMSNorm for Qwen2.5-VL,
+    # LayerNorm for Qwen2-VL's PatchMerger.ln_q).
     m = params["merger"]
-    h = rms_norm(x, m["ln_q"]).reshape(S // unit, unit * cfg.hidden_size)
+    h = _norm(m, "ln_q", x, cfg).reshape(S // unit, unit * cfg.hidden_size)
     h = jax.nn.gelu(h @ m["fc1_w"] + m["fc1_b"], approximate=False)
     h = h @ m["fc2_w"] + m["fc2_b"]  # (S/unit, out)
     return h[jnp.asarray(spec.reverse_index)]

@@ -79,9 +79,9 @@ PARAM_RULES: list[tuple[str, P]] = [
     (r"visual/blocks/\d+/qkv_w$", P("fsdp", "tensor")),
     (r"visual/blocks/\d+/qkv_b$", P("tensor")),
     (r"visual/blocks/\d+/proj_w$", P("tensor", "fsdp")),
-    (r"visual/blocks/\d+/(gate_w|up_w)$", P("fsdp", "tensor")),
-    (r"visual/blocks/\d+/(gate_b|up_b)$", P("tensor")),
-    (r"visual/blocks/\d+/down_w$", P("tensor", "fsdp")),
+    (r"visual/blocks/\d+/(gate_w|up_w|fc1_w)$", P("fsdp", "tensor")),
+    (r"visual/blocks/\d+/(gate_b|up_b|fc1_b)$", P("tensor")),
+    (r"visual/blocks/\d+/(down_w|fc2_w)$", P("tensor", "fsdp")),
     (r"visual/patch_embed$", P(None, "fsdp")),
     (r"visual/merger/fc1_w$", P("fsdp", "tensor")),
     (r"visual/merger/fc1_b$", P("tensor")),
