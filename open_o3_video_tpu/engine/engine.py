@@ -13,6 +13,12 @@ core serving features are rebuilt XLA-first:
   tokens) with early exit, and between segments finished slots are
   harvested and refilled from the queue — a straggler no longer stalls the
   whole wave, and arbitrarily many requests stream through max_slots rows.
+- **Automatic prefix caching** (== vLLM enable_prefix_caching): requests
+  sharing identical vision arrays and a long common token prefix (V-STAR's
+  5 queries over one video, RL's G rollouts of one prompt, N TTS paths)
+  prefill the shared prefix ONCE into a cached KV block; each request then
+  admits only its suffix at a cache offset, with the prefix KV broadcast
+  into its arena row.
 
 Static-shape discipline: prompts are left-padded into length buckets (one
 XLA program per bucket), every slot decodes at its own depth via per-row
@@ -94,6 +100,9 @@ class InferenceEngine:
         decode_attn_impl: Optional[str] = "xla",
         prefill_chunk: Optional[int] = None,
         batch_axis: Optional[str] = None,
+        prefix_cache_min: int = 256,
+        suffix_buckets: Sequence[int] = (64, 128, 256, 512, 1024),
+        prefix_cache_entries: int = 4,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -133,6 +142,17 @@ class InferenceEngine:
 
             params = shard_params(params, mesh)
         self.params = params
+
+        # Automatic prefix caching: a common prefix shorter than this is not
+        # worth the extra program launch; 0/None disables detection.
+        self.prefix_cache_min = prefix_cache_min or 0
+        self.suffix_buckets = tuple(suffix_buckets)
+        self.prefix_cache_entries = prefix_cache_entries
+        # prefix key -> {"k","v" (layers,1,P_b,..), "valid" (P_b,) np,
+        # "refs" strong refs keeping id()-keys stable}. LRU-bounded.
+        from collections import OrderedDict
+
+        self._prefix_kv: "OrderedDict[tuple, dict]" = OrderedDict()
 
         self._vision_fns: dict = {}
         self._arenas: dict = {}  # (n_slots, T) -> {"k","v"} persistent cache
@@ -190,6 +210,12 @@ class InferenceEngine:
         )
         self._admit_full = jax.jit(
             self._admit_full_impl,
+            donate_argnames=("arena_k", "arena_v") if donate else (),
+            **out_kw,
+        )
+        self._prefill_prefix = jax.jit(self._prefill_prefix_impl, **out_kw)
+        self._admit_suffix = jax.jit(
+            self._admit_suffix_impl,
             donate_argnames=("arena_k", "arena_v") if donate else (),
             **out_kw,
         )
@@ -278,6 +304,63 @@ class InferenceEngine:
         )
         logits = logits_from_hidden(params["text"], hidden[:, -1:, :])[:, 0]
         return logits, cache["k"], cache["v"]
+
+    def _prefill_prefix_impl(self, params, embeds, position_ids, seq_positions,
+                             attn_valid_rows):
+        """Prefill a SHARED prompt prefix once -> its (layers, 1, P_b, ..)
+        KV block, cached and broadcast into every sharer's arena row at
+        suffix admission (vLLM automatic-prefix-caching semantics)."""
+        cfg = self.cfg
+        P_len = embeds.shape[1]
+        cache = init_kv_cache(cfg.text, embeds.shape[0], P_len, dtype=self.cache_dtype)
+        _, cache = text_forward(
+            params["text"],
+            cfg.text,
+            embeds,
+            position_ids,
+            seq_positions=seq_positions,
+            attn_valid=attn_valid_rows,
+            cache=cache,
+            cache_offset=0,
+        )
+        return cache["k"], cache["v"]
+
+    def _admit_suffix_impl(self, params, embeds, position_ids, seq_positions,
+                           attn_valid_rows, arena_k, arena_v, slots,
+                           prefix_k, prefix_v):
+        """Prefill ``n`` suffix rows on top of a shared prefix KV block.
+
+        The prefix block (layers, 1, P_len, H, D) is broadcast into a fresh
+        (n, T) rows cache at columns [0, P_len); the suffix prefills at
+        cache_offset=P_len, attending over prefix+suffix via attn_valid
+        (column index == kv position, so causality holds across the seam).
+        """
+        cfg = self.cfg
+        n = embeds.shape[0]
+        T = arena_k.shape[2]
+        P_len = prefix_k.shape[2]
+        rows = init_kv_cache(cfg.text, n, T, dtype=arena_k.dtype)
+        bshape = (prefix_k.shape[0], n) + prefix_k.shape[2:]
+        rows_k = rows["k"].at[:, :, :P_len].set(
+            jnp.broadcast_to(prefix_k, bshape).astype(rows["k"].dtype)
+        )
+        rows_v = rows["v"].at[:, :, :P_len].set(
+            jnp.broadcast_to(prefix_v, bshape).astype(rows["v"].dtype)
+        )
+        hidden, cache = text_forward(
+            params["text"],
+            cfg.text,
+            embeds,
+            position_ids,
+            seq_positions=seq_positions,
+            attn_valid=attn_valid_rows,
+            cache={"k": rows_k, "v": rows_v},
+            cache_offset=P_len,
+        )
+        logits = logits_from_hidden(params["text"], hidden[:, -1:, :])[:, 0]
+        arena_k = arena_k.at[:, slots].set(cache["k"])
+        arena_v = arena_v.at[:, slots].set(cache["v"])
+        return logits, arena_k, arena_v
 
     def _prefill_chunk_impl(self, params, embeds, position_ids, seq_positions,
                             attn_valid_rows, rows_k, rows_v, offset):
@@ -639,15 +722,160 @@ class InferenceEngine:
         "num_prompt_tokens": int, "logprobs": optional list[float]}."""
         sampling = sampling or SamplingParams()
         results: list = [None] * len(requests)
-        groups: dict[int, list[int]] = {}
+        prefix_lens = self._detect_prefixes(requests)
+        groups: dict[tuple, list[int]] = {}
         for i, r in enumerate(requests):
-            L = _bucket(len(r.input_ids), self.prompt_buckets)
-            groups.setdefault(L, []).append(i)
-        for L, idxs in groups.items():
-            self._run_group(L, idxs, requests, sampling, return_logprobs, results)
+            pl = prefix_lens[i]
+            if pl:
+                P_b = _bucket(pl, self.prompt_buckets)
+                S_b = _bucket(len(r.input_ids) - pl, self.suffix_buckets)
+                groups.setdefault((P_b + S_b, P_b), []).append(i)
+            else:
+                L = _bucket(len(r.input_ids), self.prompt_buckets)
+                groups.setdefault((L, 0), []).append(i)
+        for (L, P_b), idxs in groups.items():
+            self._run_group(L, idxs, requests, sampling, return_logprobs,
+                            results, prefix_bucket=P_b, prefix_lens=prefix_lens)
         return results
 
-    def _run_group(self, L, idxs, requests, sampling, return_logprobs, results):
+    def _detect_prefixes(self, requests: Sequence[Request]) -> list[int]:
+        """Automatic prefix caching: per-request shared-prefix length (0 =
+        run plain).
+
+        Requests sharing the SAME vision arrays (by identity — the G rollout
+        copies of one RL prompt, V-STAR's 5 queries over one video, N TTS
+        paths) are clustered; a cluster's shared prefix is the longest
+        common token prefix, used when it is at least ``prefix_cache_min``
+        tokens, leaves every member a non-empty suffix, and contains every
+        vision placeholder (suffixes run text-only)."""
+        n = len(requests)
+        if self._dp or not self.prefix_cache_min or n < 2:
+            return [0] * n
+        clusters: dict[tuple, list[int]] = {}
+        for i, r in enumerate(requests):
+            if len(r.input_ids) <= self.prefix_cache_min:
+                continue  # too short to leave a suffix behind a min prefix
+            # Head tokens in the key: two requests can only share a
+            # >= min-length prefix if their first min tokens agree, so
+            # unrelated families (e.g. the G rollout groups of SEVERAL RL
+            # prompts in one batch) cluster separately.
+            head = tuple(int(t) for t in r.input_ids[: self.prefix_cache_min])
+            clusters.setdefault(
+                (id(r.pixel_patches), id(r.frames), head), []
+            ).append(i)
+        prefix_lens = [0] * n
+        vis_ids = {self.cfg.image_token_id, self.cfg.video_token_id}
+        for members in clusters.values():
+            if len(members) < 2:
+                continue
+            seqs = [np.asarray(requests[i].input_ids) for i in members]
+            lcp = min(len(s) for s in seqs)
+            base = seqs[0]
+            for s in seqs[1:]:
+                m = min(lcp, len(s))
+                neq = np.nonzero(base[:m] != s[:m])[0]
+                lcp = int(neq[0]) if len(neq) else m
+                if lcp < self.prefix_cache_min:
+                    break
+            # Every member keeps >= 1 suffix token (identical prompts share
+            # all but their last token).
+            pl = min(lcp, min(len(s) for s in seqs) - 1)
+            if pl < self.prefix_cache_min or pl > self.prompt_buckets[-1]:
+                continue
+            # Vision placeholders must be inside the prefix: the suffix path
+            # embeds text only.
+            ok = all(
+                not np.isin(s[pl:], list(vis_ids)).any() for s in seqs
+            )
+            if not ok:
+                continue
+            if any(len(s) - pl > self.suffix_buckets[-1] for s in seqs):
+                continue
+            for i in members:
+                prefix_lens[i] = pl
+        return prefix_lens
+
+    def _ensure_prefix(self, req: Request, pl: int, P_b: int, vis_cache: dict) -> dict:
+        """Build (or fetch) the cached KV block for ``req``'s first ``pl``
+        tokens, left-padded to the P_b bucket."""
+        key = (tuple(req.input_ids[:pl]), id(req.pixel_patches), id(req.frames), P_b)
+        entry = self._prefix_kv.get(key)
+        if entry is not None:
+            self._prefix_kv.move_to_end(key)
+            return entry
+        pseudo = Request(
+            input_ids=list(req.input_ids[:pl]),
+            pixel_patches=req.pixel_patches,
+            grid_thw=req.grid_thw,
+            vision_token_id=req.vision_token_id,
+            second_per_grid_ts=req.second_per_grid_ts,
+            frames=req.frames,
+        )
+        embeds, pos, seq_pos, attn_rows, _, _ = self._prepare_rows(
+            [pseudo], P_b, P_b, vis_cache
+        )
+        k, v = self._prefill_prefix(
+            self.params, embeds, self._put(pos), self._put(seq_pos),
+            self._put(attn_rows),
+        )
+        entry = {
+            "k": k,
+            "v": v,
+            "valid": attn_rows[0],  # (P_b,) bool — real prefix tokens
+            # Strong refs pin the arrays behind the id()-based key parts.
+            "refs": (req.pixel_patches, req.frames),
+        }
+        self._prefix_kv[key] = entry
+        while len(self._prefix_kv) > self.prefix_cache_entries:
+            self._prefix_kv.popitem(last=False)
+        return entry
+
+    def _prepare_suffix_rows(self, reqs: Sequence[Request], pls: Sequence[int],
+                             P_b: int, S_b: int, T: int, prefix_valid: np.ndarray):
+        """Host prep for suffix-only admission on top of a shared prefix.
+
+        Suffix tokens are left-padded into cache columns [P_b, P_b + S_b);
+        M-RoPE positions come from the FULL sequence (so they continue the
+        prefix's), while cache/causal positions are the column indices."""
+        cfg = self.cfg
+        n = len(reqs)
+        pad_id = cfg.pad_token_id
+        ids = np.full((n, S_b), pad_id, dtype=np.int64)
+        position_ids = np.ones((3, n, S_b), dtype=np.int64)
+        next_pos = np.zeros(n, dtype=np.int64)
+        attn_rows = np.zeros((n, T), dtype=bool)
+        attn_rows[:, :P_b] = prefix_valid[None]
+        seen_rows = np.zeros((n, cfg.text.vocab_size), dtype=bool)
+        for i, (r, pl) in enumerate(zip(reqs, pls)):
+            full = np.asarray(r.input_ids)
+            sl = len(full) - pl
+            ids[i, S_b - sl:] = full[pl:]
+            kw = {}
+            if r.grid_thw is not None:
+                key = (
+                    "video_grid_thw"
+                    if r.vision_token_id == cfg.video_token_id
+                    else "image_grid_thw"
+                )
+                kw[key] = np.asarray(r.grid_thw)
+                if r.second_per_grid_ts is not None:
+                    kw["second_per_grid_ts"] = r.second_per_grid_ts
+            pos, _ = get_rope_index(cfg, full[None], **kw)
+            position_ids[:, i, S_b - sl:] = pos[:, 0, pl:]
+            next_pos[i] = pos.max() + 1
+            attn_rows[i, P_b + S_b - sl:P_b + S_b] = True
+            seen_rows[i, full] = True
+        embeds = self._embed_fn(self.params, self._put(ids))
+        seq_positions = np.broadcast_to(
+            np.arange(S_b, dtype=np.int64) + P_b, (n, S_b)
+        )
+        return embeds, position_ids, seq_positions, attn_rows, seen_rows, next_pos
+
+    def clear_prefix_cache(self):
+        self._prefix_kv.clear()
+
+    def _run_group(self, L, idxs, requests, sampling, return_logprobs, results,
+                   prefix_bucket: int = 0, prefix_lens: Optional[Sequence[int]] = None):
         cfg = self.cfg
         eos = cfg.eos_token_id
         n_real = len(requests)
@@ -743,10 +971,98 @@ class InferenceEngine:
                 if done_h[s]:
                     finalize(s)
 
+        def bind_new_rows(slots, rids, logits, seen_rows, attn_rows, next_pos):
+            """Sample first tokens for freshly prefilled rows and bind them
+            onto their decode slots (shared by the plain and shared-prefix
+            admission paths; DP-wave binding stays inline below)."""
+            nonlocal token, mrope_cur, remaining, done, attn_valid, seen, rng
+            n_new = len(slots)
+            seen_rows_dev = self._put(seen_rows)
+            rng, sub = jax.random.split(rng)
+            first, first_lp = self._first_sample(
+                sub,
+                logits,
+                seen_rows_dev,
+                temperature=sampling.temperature,
+                top_p=sampling.top_p,
+                repetition_penalty=sampling.repetition_penalty,
+            )
+            first_h, first_lp_h = jax.device_get((first, first_lp))
+            row_done = np.asarray(
+                (first_h == eos) | (sampling.max_tokens <= 1)
+            ).copy()
+            (token, mrope_cur, remaining, done, attn_valid, seen) = self._bind(
+                token,
+                mrope_cur,
+                remaining,
+                done,
+                attn_valid,
+                seen,
+                self._put(slots, to_i32=True),
+                first,
+                self._put(next_pos, to_i32=True),
+                self._put(attn_rows),
+                seen_rows_dev,
+                self._put(row_done),
+                self._put(np.full(n_new, sampling.max_tokens - 1, np.int32)),
+            )
+            for j, (s, rid) in enumerate(zip(slots, rids)):
+                slot_rid[s] = rid
+                emitted[rid] = [int(first_h[j])]
+                lp_acc[rid] = [float(first_lp_h[j])]
+                if row_done[j]:
+                    finalize(s)
+
+        def admit_with_prefix(slots, rids):
+            """Shared-prefix admission: one cached prefix prefill per unique
+            prefix, then text-only suffix rows at a cache offset."""
+            nonlocal arena
+            sub: dict = {}
+            for s, rid in zip(slots, rids):
+                r = requests[rid]
+                k_ = (tuple(r.input_ids[:prefix_lens[rid]]),
+                      id(r.pixel_patches), id(r.frames))
+                sub.setdefault(k_, []).append((s, rid))
+            S_b = L - prefix_bucket
+            for pairs in sub.values():
+                sub_slots = [s for s, _ in pairs]
+                sub_rids = [rid for _, rid in pairs]
+                sub_reqs = [requests[r] for r in sub_rids]
+                pls = [prefix_lens[r] for r in sub_rids]
+                with self.timer.stage("prefill"), trace_annotation("engine.prefill"):
+                    entry = self._ensure_prefix(
+                        sub_reqs[0], pls[0], prefix_bucket, vis_cache
+                    )
+                    (embeds, pos, seq_pos, attn_rows, seen_rows, next_pos) = (
+                        self._prepare_suffix_rows(
+                            sub_reqs, pls, prefix_bucket, S_b, T, entry["valid"]
+                        )
+                    )
+                    logits, ak, av = self._admit_suffix(
+                        self.params,
+                        embeds,
+                        self._put(pos),
+                        self._put(seq_pos),
+                        self._put(attn_rows),
+                        arena["k"],
+                        arena["v"],
+                        self._put(sub_slots, to_i32=True),
+                        entry["k"],
+                        entry["v"],
+                    )
+                    arena = {"k": ak, "v": av}
+                    bind_new_rows(sub_slots, sub_rids, logits, seen_rows,
+                                  attn_rows, next_pos)
+
         while True:
             free = [s for s in range(B) if slot_rid[s] is None]
             n_admit = min(len(free), len(idxs) - qpos)
-            if n_admit:
+            if n_admit and prefix_bucket:
+                slots = free[:n_admit]
+                rids = idxs[qpos:qpos + n_admit]
+                qpos += n_admit
+                admit_with_prefix(slots, rids)
+            elif n_admit:
                 slots = free[:n_admit]
                 rids = idxs[qpos:qpos + n_admit]
                 qpos += n_admit
@@ -816,23 +1132,27 @@ class InferenceEngine:
                             self._put(slots, to_i32=True),
                         )
                     arena = {"k": ak, "v": av}
-                    seen_rows_dev = self._put(seen_rows, row_dim=0)
-                    rng, sub = jax.random.split(rng)
-                    first, first_lp = self._first_sample(
-                        sub,
-                        logits,
-                        seen_rows_dev,
-                        temperature=sampling.temperature,
-                        top_p=sampling.top_p,
-                        repetition_penalty=sampling.repetition_penalty,
-                    )
-                    # host fetch == device sync for the stage timer
-                    first_h, first_lp_h = jax.device_get((first, first_lp))
+                    if self._dp:
+                        seen_rows_dev = self._put(seen_rows, row_dim=0)
+                        rng, sub = jax.random.split(rng)
+                        first, first_lp = self._first_sample(
+                            sub,
+                            logits,
+                            seen_rows_dev,
+                            temperature=sampling.temperature,
+                            top_p=sampling.top_p,
+                            repetition_penalty=sampling.repetition_penalty,
+                        )
+                        # host fetch == device sync for the stage timer
+                        first_h, first_lp_h = jax.device_get((first, first_lp))
+                    else:
+                        bind_new_rows(slots, rids, logits, seen_rows,
+                                      attn_rows, next_pos)
 
-                row_done = np.asarray(
-                    (first_h == eos) | (sampling.max_tokens <= 1)
-                ).copy()
                 if self._dp:
+                    row_done = np.asarray(
+                        (first_h == eos) | (sampling.max_tokens <= 1)
+                    ).copy()
                     for j, rid in enumerate(rids):
                         if rid >= n_real:
                             row_done[j] = True  # padding rows end immediately
@@ -850,31 +1170,14 @@ class InferenceEngine:
                             budget,
                         )
                     )
-                else:
-                    (token, mrope_cur, remaining, done, attn_valid, seen) = self._bind(
-                        token,
-                        mrope_cur,
-                        remaining,
-                        done,
-                        attn_valid,
-                        seen,
-                        self._put(slots, to_i32=True),
-                        first,
-                        self._put(next_pos, to_i32=True),
-                        self._put(attn_rows),
-                        seen_rows_dev,
-                        self._put(row_done),
-                        self._put(
-                            np.full(n_admit, sampling.max_tokens - 1, np.int32)
-                        ),
-                    )
-                for j, (s, rid) in enumerate(zip(slots, rids)):
-                    slot_rid[s] = rid
-                    emitted[rid] = [int(first_h[j])]
-                    lp_acc[rid] = [float(first_lp_h[j])]
-                    if row_done[j]:
-                        finalize(s)
+                    for j, (s, rid) in enumerate(zip(slots, rids)):
+                        slot_rid[s] = rid
+                        emitted[rid] = [int(first_h[j])]
+                        lp_acc[rid] = [float(first_lp_h[j])]
+                        if row_done[j]:
+                            finalize(s)
 
+            if n_admit:
                 # Vision embeddings are consumed at admission; keep only
                 # entries still referenced by QUEUED requests (e.g. later
                 # rollout copies of the same prompt) so a long stream of
