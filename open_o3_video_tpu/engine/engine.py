@@ -259,7 +259,8 @@ class InferenceEngine:
     # ------------------------------------------------------------------ impl
 
     def _admit_impl(self, params, embeds, position_ids, seq_positions,
-                    attn_valid_rows, arena_k, arena_v, slots):
+                    attn_valid_rows, arena_k, arena_v, slots,
+                    deepstack=None, ds_row_index=None):
         """Prefill ``n`` new rows and scatter their KV into arena slots.
 
         embeds (n, L, D); attn_valid_rows (n, T); slots (n,). Returns
@@ -277,6 +278,8 @@ class InferenceEngine:
             attn_valid=attn_valid_rows,
             cache=cache,
             cache_offset=0,
+            deepstack_embeds=deepstack,
+            deepstack_row_index=ds_row_index,
         )
         logits = logits_from_hidden(params["text"], hidden[:, -1:, :])[:, 0]
         arena_k = arena_k.at[:, slots].set(cache["k"])
@@ -284,7 +287,8 @@ class InferenceEngine:
         return logits, arena_k, arena_v
 
     def _admit_full_impl(self, params, embeds, position_ids, seq_positions,
-                         attn_valid_rows, arena_k, arena_v):
+                         attn_valid_rows, arena_k, arena_v,
+                         deepstack=None, ds_row_index=None):
         """Prefill ALL slot rows at once, writing the arena directly.
 
         The DP-fleet admission path: a full wave replaces every slot, so the
@@ -301,12 +305,14 @@ class InferenceEngine:
             attn_valid=attn_valid_rows,
             cache={"k": arena_k, "v": arena_v},
             cache_offset=0,
+            deepstack_embeds=deepstack,
+            deepstack_row_index=ds_row_index,
         )
         logits = logits_from_hidden(params["text"], hidden[:, -1:, :])[:, 0]
         return logits, cache["k"], cache["v"]
 
     def _prefill_prefix_impl(self, params, embeds, position_ids, seq_positions,
-                             attn_valid_rows):
+                             attn_valid_rows, deepstack=None, ds_row_index=None):
         """Prefill a SHARED prompt prefix once -> its (layers, 1, P_b, ..)
         KV block, cached and broadcast into every sharer's arena row at
         suffix admission (vLLM automatic-prefix-caching semantics)."""
@@ -322,6 +328,8 @@ class InferenceEngine:
             attn_valid=attn_valid_rows,
             cache=cache,
             cache_offset=0,
+            deepstack_embeds=deepstack,
+            deepstack_row_index=ds_row_index,
         )
         return cache["k"], cache["v"]
 
@@ -363,12 +371,14 @@ class InferenceEngine:
         return logits, arena_k, arena_v
 
     def _prefill_chunk_impl(self, params, embeds, position_ids, seq_positions,
-                            attn_valid_rows, rows_k, rows_v, offset):
+                            attn_valid_rows, rows_k, rows_v, offset,
+                            deepstack=None, ds_row_index=None):
         """One prefill chunk into a per-admission rows cache.
 
         ``offset`` is traced, so one program serves every chunk of a
         prompt; the returned logits are the last position's (only the final
-        chunk's are consumed)."""
+        chunk's are consumed). ``ds_row_index`` is pre-sliced to the chunk
+        (deepstack injection is positionwise)."""
         cfg = self.cfg
         hidden, cache = text_forward(
             params["text"],
@@ -379,6 +389,8 @@ class InferenceEngine:
             attn_valid=attn_valid_rows,
             cache={"k": rows_k, "v": rows_v},
             cache_offset=offset,
+            deepstack_embeds=deepstack,
+            deepstack_row_index=ds_row_index,
         )
         logits = logits_from_hidden(params["text"], hidden[:, -1:, :])[:, 0]
         return logits, cache["k"], cache["v"]
@@ -616,7 +628,11 @@ class InferenceEngine:
             )
             n_tok = int(np.prod(grid, axis=1).sum()) // cfg.vision.merge_unit
             for j, (vis_key, _, _) in enumerate(group):
-                vis_cache[vis_key] = all_vis[j * n_tok:(j + 1) * n_tok]
+                sl = slice(j * n_tok, (j + 1) * n_tok)
+                if isinstance(all_vis, tuple):  # Qwen3-VL: (main, deepstack)
+                    vis_cache[vis_key] = (all_vis[0][sl], [d[sl] for d in all_vis[1]])
+                else:
+                    vis_cache[vis_key] = all_vis[sl]
         # One fused embed(+merge) program per admission shape: the per-row
         # eager merge this replaces cost ~8 device dispatches per request —
         # each a full round trip on a tunneled TPU.
@@ -637,19 +653,32 @@ class InferenceEngine:
                 entry = vis_cache[vis_key]
                 vis_offsets[vis_key] = total_vis
                 vis_entries.append(entry)
-                total_vis += entry.shape[0]
+                main = entry[0] if isinstance(entry, tuple) else entry
+                total_vis += main.shape[0]
             row_offsets.append(vis_offsets[vis_key])
             row_tokens.append(r.vision_token_id or cfg.image_token_id)
+        deepstack = None  # (tables list, row_index dev) for Qwen3-VL
         if total_vis:
-            vis_table = (
-                vis_entries[0]
-                if len(vis_entries) == 1
-                else jnp.concatenate(vis_entries, axis=0)
-            )
+            mains = [
+                e[0] if isinstance(e, tuple) else e for e in vis_entries
+            ]
+            vis_table = mains[0] if len(mains) == 1 else jnp.concatenate(mains, axis=0)
             row_index = build_vision_row_index(ids, row_tokens, row_offsets)
+            row_index_dev = self._put(row_index, row_dim=0)
             embeds = self._embed_merge_fn(
-                self.params, ids_dev, vis_table, self._put(row_index, row_dim=0)
+                self.params, ids_dev, vis_table, row_index_dev
             )
+            if isinstance(vis_entries[0], tuple):
+                # Qwen3-VL deepstack: concat each tap's tables in the SAME
+                # admission order, so row_index addresses them too.
+                n_taps = len(vis_entries[0][1])
+                tables = [
+                    jnp.concatenate([e[1][t] for e in vis_entries], axis=0)
+                    if len(vis_entries) > 1
+                    else vis_entries[0][1][t]
+                    for t in range(n_taps)
+                ]
+                deepstack = (tables, row_index_dev)
         else:
             embeds = self._embed_fn(self.params, ids_dev)
 
@@ -661,7 +690,8 @@ class InferenceEngine:
             seen_rows[i, ids[i][mask[i] == 1]] = True
 
         seq_positions = np.broadcast_to(np.arange(L, dtype=np.int64), (n, L))
-        return embeds, position_ids, seq_positions, attn_rows, seen_rows, next_pos
+        return (embeds, position_ids, seq_positions, attn_rows, seen_rows,
+                next_pos, deepstack)
 
     def _put(self, x, to_i32: bool = False, row_dim: Optional[int] = None):
         """Host value -> array the jitted programs accept.
@@ -811,12 +841,13 @@ class InferenceEngine:
             second_per_grid_ts=req.second_per_grid_ts,
             frames=req.frames,
         )
-        embeds, pos, seq_pos, attn_rows, _, _ = self._prepare_rows(
+        embeds, pos, seq_pos, attn_rows, _, _, deepstack = self._prepare_rows(
             [pseudo], P_b, P_b, vis_cache
         )
+        ds_tables, ds_idx = deepstack if deepstack is not None else (None, None)
         k, v = self._prefill_prefix(
             self.params, embeds, self._put(pos), self._put(seq_pos),
-            self._put(attn_rows),
+            self._put(attn_rows), ds_tables, ds_idx,
         )
         entry = {
             "k": k,
@@ -1068,9 +1099,11 @@ class InferenceEngine:
                 qpos += n_admit
                 reqs = [requests[r] for r in rids]
                 with self.timer.stage("prepare"), trace_annotation("engine.prepare"):
-                    (embeds, pos, seq_pos, attn_rows, seen_rows, next_pos) = (
-                        self._prepare_rows(reqs, L, T, vis_cache)
-                    )
+                    (embeds, pos, seq_pos, attn_rows, seen_rows, next_pos,
+                     deepstack) = self._prepare_rows(reqs, L, T, vis_cache)
+                ds_tables, ds_idx = (
+                    deepstack if deepstack is not None else (None, None)
+                )
                 chunk = self.prefill_chunk
                 chunked = (
                     chunk is not None
@@ -1098,6 +1131,8 @@ class InferenceEngine:
                                 rows["k"],
                                 rows["v"],
                                 self._put(np.asarray(c0, np.int32)),
+                                ds_tables,
+                                None if ds_idx is None else ds_idx[:, c0:c0 + chunk],
                             )
                             rows = {"k": rk, "v": rv}
                             if c0 + chunk < L:
@@ -1119,6 +1154,8 @@ class InferenceEngine:
                             attn_rows_dev,
                             arena["k"],
                             arena["v"],
+                            ds_tables,
+                            ds_idx,
                         )
                     else:
                         logits, ak, av = self._admit(
@@ -1130,6 +1167,8 @@ class InferenceEngine:
                             arena["k"],
                             arena["v"],
                             self._put(slots, to_i32=True),
+                            ds_tables,
+                            ds_idx,
                         )
                     arena = {"k": ak, "v": av}
                     if self._dp:

@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any
+from typing import Any, Optional
 
 import jax.numpy as jnp
 
@@ -35,10 +35,20 @@ class VisionConfig:
     out_hidden_size: int = 3584
     tokens_per_second: int = 2
     # Family switches (defaults == Qwen2.5-VL; Qwen2-VL sets layernorm /
-    # quickgelu / use_windows=False, matching HF Qwen2VLVisionBlock).
+    # quickgelu / use_windows=False matching HF Qwen2VLVisionBlock;
+    # Qwen3-VL sets layernorm / gelu_tanh / no windows + learned pos embed,
+    # deepstack taps, and a biased patch embed).
     norm_type: str = "rmsnorm"  # "rmsnorm" | "layernorm" (with bias)
-    act_type: str = "swiglu"  # "swiglu" (gate/up/down) | "quickgelu" (fc1/fc2)
+    # "swiglu" (gate/up/down) | "quickgelu" | "gelu_tanh" (fc1/fc2)
+    act_type: str = "swiglu"
     use_windows: bool = True
+    # Qwen3-VL: side length² of the learned pos-embed table, bilinearly
+    # interpolated to each grid (0 = no absolute pos embed).
+    num_position_embeddings: int = 0
+    # Qwen3-VL deepstack: vision block indices whose hidden states feed
+    # extra patch mergers, injected into the first len() decoder layers.
+    deepstack_visual_indexes: tuple[int, ...] = ()
+    patch_embed_bias: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -71,9 +81,18 @@ class TextConfig:
     mrope_section: tuple[int, ...] = (16, 24, 24)
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 128000
+    # Qwen3 family switches: explicit head_dim (may exceed hidden/heads),
+    # no attention biases, per-head-dim RMSNorm on q/k before rope, and
+    # interleaved (vs chunked) M-RoPE frequency layout.
+    explicit_head_dim: Optional[int] = None
+    attention_bias: bool = True
+    use_qk_norm: bool = False
+    mrope_interleaved: bool = False
 
     @property
     def head_dim(self) -> int:
+        if self.explicit_head_dim is not None:
+            return self.explicit_head_dim
         return self.hidden_size // self.num_attention_heads
 
 
@@ -100,6 +119,8 @@ class Qwen25VLConfig:
         t = d.get("text_config", d)
         rope_scaling = t.get("rope_scaling") or d.get("rope_scaling") or {}
         model_type = d.get("model_type", "qwen2_5_vl")
+        if model_type == "qwen3_vl" or v.get("deepstack_visual_indexes") is not None:
+            return _qwen3_from_hf_dict(d, v, t, rope_scaling, dtype)
         if model_type == "qwen2_vl" or v.get("embed_dim") is not None:
             return _qwen2_from_hf_dict(d, v, t, rope_scaling, dtype)
         vision = VisionConfig(
@@ -139,7 +160,23 @@ class Qwen25VLConfig:
         """HF-convention config.json payload (inverse of from_hf_dict) so an
         exported checkpoint directory is self-describing and reloadable."""
         v, t = self.vision, self.text
-        if self.model_type == "qwen2_vl":
+        if self.model_type == "qwen3_vl":
+            vision_dict = {
+                "depth": v.depth,
+                "hidden_size": v.hidden_size,
+                "hidden_act": "gelu_pytorch_tanh",
+                "intermediate_size": v.intermediate_size,
+                "num_heads": v.num_heads,
+                "in_channels": v.in_channels,
+                "patch_size": v.patch_size,
+                "spatial_merge_size": v.spatial_merge_size,
+                "temporal_patch_size": v.temporal_patch_size,
+                "out_hidden_size": v.out_hidden_size,
+                "num_position_embeddings": v.num_position_embeddings,
+                "deepstack_visual_indexes": list(v.deepstack_visual_indexes),
+            }
+            arch = ["Qwen3VLForConditionalGeneration"]
+        elif self.model_type == "qwen2_vl":
             vision_dict = {
                 "depth": v.depth,
                 "embed_dim": v.hidden_size,
@@ -169,23 +206,27 @@ class Qwen25VLConfig:
                 "tokens_per_second": v.tokens_per_second,
             }
             arch = ["Qwen2_5_VLForConditionalGeneration"]
+        text_dict = {
+            "vocab_size": t.vocab_size,
+            "hidden_size": t.hidden_size,
+            "intermediate_size": t.intermediate_size,
+            "num_hidden_layers": t.num_hidden_layers,
+            "num_attention_heads": t.num_attention_heads,
+            "num_key_value_heads": t.num_key_value_heads,
+            "rms_norm_eps": t.rms_norm_eps,
+            "rope_theta": t.rope_theta,
+            "rope_scaling": {"type": "mrope", "mrope_section": list(t.mrope_section)},
+            "tie_word_embeddings": t.tie_word_embeddings,
+            "max_position_embeddings": t.max_position_embeddings,
+        }
+        if self.model_type == "qwen3_vl":
+            text_dict["head_dim"] = t.head_dim
+            text_dict["attention_bias"] = t.attention_bias
         return {
             "model_type": self.model_type,
             "architectures": arch,
             "vision_config": vision_dict,
-            "text_config": {
-                "vocab_size": t.vocab_size,
-                "hidden_size": t.hidden_size,
-                "intermediate_size": t.intermediate_size,
-                "num_hidden_layers": t.num_hidden_layers,
-                "num_attention_heads": t.num_attention_heads,
-                "num_key_value_heads": t.num_key_value_heads,
-                "rms_norm_eps": t.rms_norm_eps,
-                "rope_theta": t.rope_theta,
-                "rope_scaling": {"type": "mrope", "mrope_section": list(t.mrope_section)},
-                "tie_word_embeddings": t.tie_word_embeddings,
-                "max_position_embeddings": t.max_position_embeddings,
-            },
+            "text_config": text_dict,
             "image_token_id": self.image_token_id,
             "video_token_id": self.video_token_id,
             "vision_start_token_id": self.vision_start_token_id,
@@ -247,6 +288,54 @@ def _text_from_hf_dict(t: dict[str, Any], d: dict[str, Any], rope_scaling: dict)
     )
 
 
+def _qwen3_from_hf_dict(d, v, t, rope_scaling, dtype) -> "Qwen25VLConfig":
+    """Qwen3-VL (the reference's 2025-11 base model, README.md:37): SigLIP-
+    style tower with interpolated learned pos embed + deepstack taps, Qwen3
+    text decoder (qk-norm, no attention bias, interleaved M-RoPE)."""
+    vision = VisionConfig(
+        depth=v.get("depth", 27),
+        hidden_size=v.get("hidden_size", 1152),
+        intermediate_size=v.get("intermediate_size", 4304),
+        num_heads=v.get("num_heads", 16),
+        in_channels=v.get("in_channels", 3),
+        patch_size=v.get("patch_size", 16),
+        spatial_merge_size=v.get("spatial_merge_size", 2),
+        temporal_patch_size=v.get("temporal_patch_size", 2),
+        fullatt_block_indexes=(),
+        out_hidden_size=v.get("out_hidden_size", 3584),
+        norm_type="layernorm",
+        act_type="gelu_tanh",
+        use_windows=False,
+        num_position_embeddings=v.get("num_position_embeddings", 2304),
+        deepstack_visual_indexes=tuple(v.get("deepstack_visual_indexes", (8, 16, 24))),
+        patch_embed_bias=True,
+    )
+    base_text = _text_from_hf_dict(t, d, rope_scaling)
+    text = dataclasses.replace(
+        base_text,
+        vocab_size=t.get("vocab_size", 151936),
+        rope_theta=t.get("rope_theta", 5000000.0),
+        mrope_section=tuple(rope_scaling.get("mrope_section", (24, 20, 20))),
+        explicit_head_dim=t.get("head_dim", 128),
+        attention_bias=t.get("attention_bias", False),
+        use_qk_norm=True,
+        mrope_interleaved=True,
+    )
+    return Qwen25VLConfig(
+        vision=vision,
+        text=text,
+        model_type="qwen3_vl",
+        image_token_id=d.get("image_token_id", 151655),
+        video_token_id=d.get("video_token_id", 151656),
+        vision_start_token_id=d.get("vision_start_token_id", 151652),
+        vision_end_token_id=d.get("vision_end_token_id", 151653),
+        bos_token_id=d.get("bos_token_id", 151643),
+        eos_token_id=_first(d.get("eos_token_id", 151645)),
+        pad_token_id=d.get("pad_token_id") or 151643,
+        dtype=dtype,
+    )
+
+
 def _qwen2_from_hf_dict(d, v, t, rope_scaling, dtype) -> "Qwen25VLConfig":
     """Qwen2-VL config.json: vision fields are named embed_dim / hidden_size
     (output dim) / mlp_ratio; the text decoder is identical to Qwen2.5's."""
@@ -278,6 +367,35 @@ def _qwen2_from_hf_dict(d, v, t, rope_scaling, dtype) -> "Qwen25VLConfig":
         eos_token_id=_first(d.get("eos_token_id", 151645)),
         pad_token_id=d.get("pad_token_id") or 151643,
         dtype=dtype,
+    )
+
+
+def tiny_qwen3(dtype=jnp.float32) -> "Qwen25VLConfig":
+    """Small random-init Qwen3-VL config (tests / CI parity checks)."""
+    base = Qwen25VLConfig.tiny(dtype=dtype)
+    vision = dataclasses.replace(
+        base.vision,
+        fullatt_block_indexes=(),
+        norm_type="layernorm",
+        act_type="gelu_tanh",
+        use_windows=False,
+        intermediate_size=2 * base.vision.hidden_size,
+        num_position_embeddings=16,  # 4x4 learned grid, interpolated
+        deepstack_visual_indexes=(0, 1),
+        patch_embed_bias=True,
+        patch_size=14,
+    )
+    text = dataclasses.replace(
+        base.text,
+        explicit_head_dim=16,
+        attention_bias=False,
+        use_qk_norm=True,
+        mrope_section=(4, 2, 2),  # interleaved layout sums to head_dim // 2
+        mrope_interleaved=True,
+        rope_theta=5000000.0,
+    )
+    return dataclasses.replace(
+        base, vision=vision, text=text, model_type="qwen3_vl"
     )
 
 

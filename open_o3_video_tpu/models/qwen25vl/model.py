@@ -33,6 +33,14 @@ def get_rope_index(
     """
     merge = cfg.vision.spatial_merge_size
     B, S = input_ids.shape
+    if cfg.model_type == "qwen3_vl" and video_grid_thw is not None:
+        # Qwen3-VL separates frames with timestamp TEXT tokens
+        # (<t1><vision_start><frame1><vision_end>...), so each video grid
+        # splits into per-frame grids with t=1 (HF Qwen3VLModel.get_rope_index).
+        video_grid_thw = np.asarray(video_grid_thw)
+        video_grid_thw = np.repeat(video_grid_thw, video_grid_thw[:, 0], axis=0)
+        video_grid_thw = video_grid_thw.copy()
+        video_grid_thw[:, 0] = 1
     if image_grid_thw is None and video_grid_thw is None:
         if attention_mask is not None:
             pos = np.cumsum(attention_mask, axis=-1) - 1
@@ -80,9 +88,10 @@ def get_rope_index(
             st_idx = int(pos_list[-1].max()) + 1 if pos_list else 0
             pos_list.append(np.broadcast_to(np.arange(text_len)[None], (3, text_len)) + st_idx)
 
-            if cfg.model_type == "qwen2_vl":
-                # Qwen2-VL: raw frame index, no tokens_per_second scaling
-                # (HF Qwen2VLModel.get_rope_index).
+            if cfg.model_type in ("qwen2_vl", "qwen3_vl"):
+                # Qwen2-VL / Qwen3-VL: raw frame index, no tokens_per_second
+                # scaling (Qwen3-VL grids are pre-split to t=1, so its
+                # temporal index is always 0 — time lives in text tokens).
                 t_index = np.arange(lt)[:, None].repeat(lh * lw, axis=1).flatten()
             else:
                 # HF quirk preserved: second_per_grid is cast to the *integer*
@@ -118,8 +127,11 @@ def encode_vision(
     cfg: Qwen25VLConfig,
     pixel_patches: jnp.ndarray,  # (S_patches, patch_dim)
     grid_thw: np.ndarray,  # (num, 3) — host values (static per bucket)
-) -> jnp.ndarray:
-    """Vision tower -> merged embeddings (S_patches / merge_unit, hidden)."""
+):
+    """Vision tower -> merged embeddings (S_patches / merge_unit, hidden).
+
+    Qwen3-VL additionally returns the deepstack feature tables:
+    (embeddings, [per-tap (S/unit, hidden) tables])."""
     spec = compute_vision_spec([tuple(int(v) for v in g) for g in np.asarray(grid_thw)], cfg.vision)
     return vision_forward(params["visual"], pixel_patches, spec, cfg.vision)
 
@@ -206,13 +218,25 @@ def forward(
 ) -> tuple[jnp.ndarray, Optional[dict]]:
     """Full forward -> (logits (B, S, vocab) float32, updated kv cache)."""
     embeds = embed_tokens(params, input_ids)
+    deepstack = None
+    ds_row_index = None
     if pixel_patches is not None:
         vis = encode_vision(params, cfg, pixel_patches, grid_thw)
+        if isinstance(vis, tuple):  # Qwen3-VL deepstack taps
+            vis, deepstack = vis
         if vision_row_index is not None:
             embeds = merge_vision_embeddings_by_index(embeds, vis, vision_row_index)
+            ds_row_index = vision_row_index
         else:
             tok = vision_token_id if vision_token_id is not None else cfg.image_token_id
             embeds = merge_vision_embeddings(cfg, input_ids, embeds, vis, tok)
+            if deepstack is not None:
+                # Build the position->table-row map from the placeholder
+                # mask (n-th placeholder <- n-th vision row).
+                mask = input_ids == tok
+                ds_row_index = jnp.where(
+                    mask, jnp.cumsum(mask.reshape(-1)).reshape(mask.shape) - 1, -1
+                )
     hidden, new_cache = text_forward(
         params["text"],
         cfg.text,
@@ -224,5 +248,7 @@ def forward(
         seq_positions=seq_positions,
         remat=remat,
         attn_impl=attn_impl,
+        deepstack_embeds=deepstack,
+        deepstack_row_index=ds_row_index,
     )
     return logits_from_hidden(params["text"], hidden), new_cache

@@ -71,7 +71,7 @@ def init(cfg: Qwen25VLConfig, seed: int = 0, quantize_text: bool = False) -> dic
             "proj_b": zeros(v.hidden_size),
             "norm2": ones(v.hidden_size),
         }
-        if v.act_type == "quickgelu":  # Qwen2-VL VisionMlp fc1/fc2
+        if v.act_type in ("quickgelu", "gelu_tanh"):  # Qwen2/Qwen3-VL fc1/fc2
             b.update(
                 fc1_w=w(v.hidden_size, v.intermediate_size),
                 fc1_b=zeros(v.intermediate_size),
@@ -91,38 +91,56 @@ def init(cfg: Qwen25VLConfig, seed: int = 0, quantize_text: bool = False) -> dic
             b.update(norm1_b=zeros(v.hidden_size), norm2_b=zeros(v.hidden_size))
         return b
 
-    merger = {
-        "ln_q": ones(v.hidden_size),
-        "fc1_w": w(v.hidden_size * v.merge_unit, v.hidden_size * v.merge_unit),
-        "fc1_b": zeros(v.hidden_size * v.merge_unit),
-        "fc2_w": w(v.hidden_size * v.merge_unit, v.out_hidden_size),
-        "fc2_b": zeros(v.out_hidden_size),
-    }
-    if v.norm_type == "layernorm":
-        merger["ln_q_b"] = zeros(v.hidden_size)
+    def merger(postshuffle: bool = False):
+        m = {
+            "ln_q": ones(
+                v.hidden_size * v.merge_unit if postshuffle else v.hidden_size
+            ),
+            "fc1_w": w(v.hidden_size * v.merge_unit, v.hidden_size * v.merge_unit),
+            "fc1_b": zeros(v.hidden_size * v.merge_unit),
+            "fc2_w": w(v.hidden_size * v.merge_unit, v.out_hidden_size),
+            "fc2_b": zeros(v.out_hidden_size),
+        }
+        if v.norm_type == "layernorm":
+            m["ln_q_b"] = zeros(
+                v.hidden_size * v.merge_unit if postshuffle else v.hidden_size
+            )
+        return m
+
     visual = {
         "patch_embed": w(v.patch_dim, v.hidden_size),
         "blocks": [block() for _ in range(v.depth)],
-        "merger": merger,
+        "merger": merger(),
     }
+    if v.patch_embed_bias:
+        visual["patch_embed_b"] = zeros(v.hidden_size)
+    if v.num_position_embeddings:
+        visual["pos_embed"] = w(v.num_position_embeddings, v.hidden_size)
+    if v.deepstack_visual_indexes:
+        visual["deepstack"] = [
+            merger(postshuffle=True) for _ in v.deepstack_visual_indexes
+        ]
     layers = []
     for _ in range(t.num_hidden_layers):
-        layers.append(
-            {
-                "input_norm": ones(t.hidden_size),
-                "q_w": maybe_q(w(t.hidden_size, t.num_attention_heads * t.head_dim)),
-                "q_b": zeros(t.num_attention_heads * t.head_dim),
-                "k_w": maybe_q(w(t.hidden_size, t.num_key_value_heads * t.head_dim)),
-                "k_b": zeros(t.num_key_value_heads * t.head_dim),
-                "v_w": maybe_q(w(t.hidden_size, t.num_key_value_heads * t.head_dim)),
-                "v_b": zeros(t.num_key_value_heads * t.head_dim),
-                "o_w": maybe_q(w(t.num_attention_heads * t.head_dim, t.hidden_size)),
-                "post_norm": ones(t.hidden_size),
-                "gate_w": maybe_q(w(t.hidden_size, t.intermediate_size)),
-                "up_w": maybe_q(w(t.hidden_size, t.intermediate_size)),
-                "down_w": maybe_q(w(t.intermediate_size, t.hidden_size)),
-            }
-        )
+        layer = {
+            "input_norm": ones(t.hidden_size),
+            "q_w": maybe_q(w(t.hidden_size, t.num_attention_heads * t.head_dim)),
+            "k_w": maybe_q(w(t.hidden_size, t.num_key_value_heads * t.head_dim)),
+            "v_w": maybe_q(w(t.hidden_size, t.num_key_value_heads * t.head_dim)),
+            "o_w": maybe_q(w(t.num_attention_heads * t.head_dim, t.hidden_size)),
+            "post_norm": ones(t.hidden_size),
+            "gate_w": maybe_q(w(t.hidden_size, t.intermediate_size)),
+            "up_w": maybe_q(w(t.hidden_size, t.intermediate_size)),
+            "down_w": maybe_q(w(t.intermediate_size, t.hidden_size)),
+        }
+        if t.attention_bias:
+            layer["q_b"] = zeros(t.num_attention_heads * t.head_dim)
+            layer["k_b"] = zeros(t.num_key_value_heads * t.head_dim)
+            layer["v_b"] = zeros(t.num_key_value_heads * t.head_dim)
+        if t.use_qk_norm:
+            layer["q_norm"] = ones(t.head_dim)
+            layer["k_norm"] = ones(t.head_dim)
+        layers.append(layer)
     text = {
         "embed_tokens": w(t.vocab_size, t.hidden_size),
         "layers": layers,
@@ -214,6 +232,9 @@ def from_named_arrays(
                 "self_attn.v_proj.weight": ("v_w", True),
                 "self_attn.v_proj.bias": ("v_b", False),
                 "self_attn.o_proj.weight": ("o_w", True),
+                # Qwen3: per-head-dim q/k RMSNorm
+                "self_attn.q_norm.weight": ("q_norm", False),
+                "self_attn.k_norm.weight": ("k_norm", False),
                 "mlp.gate_proj.weight": ("gate_w", True),
                 "mlp.up_proj.weight": ("up_w", True),
                 "mlp.down_proj.weight": ("down_w", True),
@@ -225,6 +246,25 @@ def from_named_arrays(
             # Conv3d (D, C, tps, psz, psz) with full-kernel stride == linear
             # over the flattened patch: reshape then transpose to (patch_dim, D).
             put(["visual", "patch_embed"], arr.reshape(arr.shape[0], -1), transpose=True)
+        elif key == "visual.patch_embed.proj.bias":
+            put(["visual", "patch_embed_b"], arr)
+        elif key == "visual.pos_embed.weight":
+            put(["visual", "pos_embed"], arr)
+        elif key.startswith("visual.deepstack_merger_list."):
+            parts = key.split(".")
+            j = int(parts[2])
+            rest = ".".join(parts[3:])
+            mapping = {
+                "norm.weight": ("ln_q", False),
+                "norm.bias": ("ln_q_b", False),
+                "linear_fc1.weight": ("fc1_w", True),
+                "linear_fc1.bias": ("fc1_b", False),
+                "linear_fc2.weight": ("fc2_w", True),
+                "linear_fc2.bias": ("fc2_b", False),
+            }
+            if rest in mapping:
+                name, tr = mapping[rest]
+                put(["visual", "deepstack", j, name], arr, transpose=tr)
         elif key.startswith("visual.blocks."):
             parts = key.split(".")
             i = int(parts[2])
@@ -251,14 +291,27 @@ def from_named_arrays(
                 "mlp.fc1.bias": ("fc1_b", False),
                 "mlp.fc2.weight": ("fc2_w", True),
                 "mlp.fc2.bias": ("fc2_b", False),
+                # Qwen3-VL VisionMLP
+                "mlp.linear_fc1.weight": ("fc1_w", True),
+                "mlp.linear_fc1.bias": ("fc1_b", False),
+                "mlp.linear_fc2.weight": ("fc2_w", True),
+                "mlp.linear_fc2.bias": ("fc2_b", False),
             }
             if rest in mapping:
                 name, tr = mapping[rest]
                 put(layer + [name], arr, transpose=tr)
-        elif key == "visual.merger.ln_q.weight":
+        elif key in ("visual.merger.ln_q.weight", "visual.merger.norm.weight"):
             put(["visual", "merger", "ln_q"], arr)
-        elif key == "visual.merger.ln_q.bias":
+        elif key in ("visual.merger.ln_q.bias", "visual.merger.norm.bias"):
             put(["visual", "merger", "ln_q_b"], arr)
+        elif key == "visual.merger.linear_fc1.weight":
+            put(["visual", "merger", "fc1_w"], arr, transpose=True)
+        elif key == "visual.merger.linear_fc1.bias":
+            put(["visual", "merger", "fc1_b"], arr)
+        elif key == "visual.merger.linear_fc2.weight":
+            put(["visual", "merger", "fc2_w"], arr, transpose=True)
+        elif key == "visual.merger.linear_fc2.bias":
+            put(["visual", "merger", "fc2_b"], arr)
         elif key == "visual.merger.mlp.0.weight":
             put(["visual", "merger", "fc1_w"], arr, transpose=True)
         elif key == "visual.merger.mlp.0.bias":
@@ -287,7 +340,7 @@ def init_empty(cfg: Qwen25VLConfig) -> dict:
     """Tree with the right structure and None leaves (filled by the loader)."""
     v, t = cfg.vision, cfg.text
     block_keys = ["norm1", "qkv_w", "qkv_b", "proj_w", "proj_b", "norm2"]
-    if v.act_type == "quickgelu":
+    if v.act_type in ("quickgelu", "gelu_tanh"):
         block_keys += ["fc1_w", "fc1_b", "fc2_w", "fc2_b"]
     else:
         block_keys += ["gate_w", "gate_b", "up_w", "up_b", "down_w", "down_b"]
@@ -295,20 +348,33 @@ def init_empty(cfg: Qwen25VLConfig) -> dict:
     if v.norm_type == "layernorm":
         block_keys += ["norm1_b", "norm2_b"]
         merger_keys += ["ln_q_b"]
+    visual = {
+        "patch_embed": None,
+        "blocks": [{k: None for k in block_keys} for _ in range(v.depth)],
+        "merger": {k: None for k in merger_keys},
+    }
+    if v.patch_embed_bias:
+        visual["patch_embed_b"] = None
+    if v.num_position_embeddings:
+        visual["pos_embed"] = None
+    if v.deepstack_visual_indexes:
+        visual["deepstack"] = [
+            {k: None for k in merger_keys} for _ in v.deepstack_visual_indexes
+        ]
+    layer_keys = [
+        "input_norm", "q_w", "k_w", "v_w", "o_w", "post_norm",
+        "gate_w", "up_w", "down_w",
+    ]
+    if t.attention_bias:
+        layer_keys += ["q_b", "k_b", "v_b"]
+    if t.use_qk_norm:
+        layer_keys += ["q_norm", "k_norm"]
     return {
-        "visual": {
-            "patch_embed": None,
-            "blocks": [
-                {k: None for k in block_keys} for _ in range(v.depth)
-            ],
-            "merger": {k: None for k in merger_keys},
-        },
+        "visual": visual,
         "text": {
             "embed_tokens": None,
             "layers": [
-                {k: None for k in (
-                    "input_norm", "q_w", "q_b", "k_w", "k_b", "v_w", "v_b",
-                    "o_w", "post_norm", "gate_w", "up_w", "down_w")}
+                {k: None for k in layer_keys}
                 for _ in range(t.num_hidden_layers)
             ],
             "final_norm": None,
@@ -394,11 +460,15 @@ def save_safetensors(params: dict, cfg: Qwen25VLConfig, out_path: str):
         flat[p + "input_layernorm.weight"] = to_np(layer["input_norm"])
         flat[p + "post_attention_layernorm.weight"] = to_np(layer["post_norm"])
         flat[p + "self_attn.q_proj.weight"] = to_np_t(layer["q_w"])
-        flat[p + "self_attn.q_proj.bias"] = to_np(layer["q_b"])
         flat[p + "self_attn.k_proj.weight"] = to_np_t(layer["k_w"])
-        flat[p + "self_attn.k_proj.bias"] = to_np(layer["k_b"])
         flat[p + "self_attn.v_proj.weight"] = to_np_t(layer["v_w"])
-        flat[p + "self_attn.v_proj.bias"] = to_np(layer["v_b"])
+        if "q_b" in layer:
+            flat[p + "self_attn.q_proj.bias"] = to_np(layer["q_b"])
+            flat[p + "self_attn.k_proj.bias"] = to_np(layer["k_b"])
+            flat[p + "self_attn.v_proj.bias"] = to_np(layer["v_b"])
+        if "q_norm" in layer:
+            flat[p + "self_attn.q_norm.weight"] = to_np(layer["q_norm"])
+            flat[p + "self_attn.k_norm.weight"] = to_np(layer["k_norm"])
         flat[p + "self_attn.o_proj.weight"] = to_np_t(layer["o_w"])
         flat[p + "mlp.gate_proj.weight"] = to_np_t(layer["gate_w"])
         flat[p + "mlp.up_proj.weight"] = to_np_t(layer["up_w"])
@@ -406,11 +476,16 @@ def save_safetensors(params: dict, cfg: Qwen25VLConfig, out_path: str):
 
     vis = params["visual"]
     v = cfg.vision
+    qwen3 = v.act_type == "gelu_tanh"
     flat["visual.patch_embed.proj.weight"] = (
         to_np_t(vis["patch_embed"]).reshape(
             v.hidden_size, v.in_channels, v.temporal_patch_size, v.patch_size, v.patch_size
         )
     )
+    if v.patch_embed_bias:
+        flat["visual.patch_embed.proj.bias"] = to_np(vis["patch_embed_b"])
+    if v.num_position_embeddings:
+        flat["visual.pos_embed.weight"] = to_np(vis["pos_embed"])
     for i, b in enumerate(vis["blocks"]):
         p = f"visual.blocks.{i}."
         flat[p + "norm1.weight"] = to_np(b["norm1"])
@@ -422,7 +497,12 @@ def save_safetensors(params: dict, cfg: Qwen25VLConfig, out_path: str):
         flat[p + "attn.qkv.bias"] = to_np(b["qkv_b"])
         flat[p + "attn.proj.weight"] = to_np_t(b["proj_w"])
         flat[p + "attn.proj.bias"] = to_np(b["proj_b"])
-        if v.act_type == "quickgelu":
+        if qwen3:
+            flat[p + "mlp.linear_fc1.weight"] = to_np_t(b["fc1_w"])
+            flat[p + "mlp.linear_fc1.bias"] = to_np(b["fc1_b"])
+            flat[p + "mlp.linear_fc2.weight"] = to_np_t(b["fc2_w"])
+            flat[p + "mlp.linear_fc2.bias"] = to_np(b["fc2_b"])
+        elif v.act_type == "quickgelu":
             flat[p + "mlp.fc1.weight"] = to_np_t(b["fc1_w"])
             flat[p + "mlp.fc1.bias"] = to_np(b["fc1_b"])
             flat[p + "mlp.fc2.weight"] = to_np_t(b["fc2_w"])
@@ -434,12 +514,25 @@ def save_safetensors(params: dict, cfg: Qwen25VLConfig, out_path: str):
             flat[p + "mlp.up_proj.bias"] = to_np(b["up_b"])
             flat[p + "mlp.down_proj.weight"] = to_np_t(b["down_w"])
             flat[p + "mlp.down_proj.bias"] = to_np(b["down_b"])
-    m = vis["merger"]
-    flat["visual.merger.ln_q.weight"] = to_np(m["ln_q"])
-    if v.norm_type == "layernorm":
-        flat["visual.merger.ln_q.bias"] = to_np(m["ln_q_b"])
-    flat["visual.merger.mlp.0.weight"] = to_np_t(m["fc1_w"])
-    flat["visual.merger.mlp.0.bias"] = to_np(m["fc1_b"])
-    flat["visual.merger.mlp.2.weight"] = to_np_t(m["fc2_w"])
-    flat["visual.merger.mlp.2.bias"] = to_np(m["fc2_b"])
+
+    def save_merger(prefix: str, m: dict):
+        if qwen3:
+            flat[prefix + "norm.weight"] = to_np(m["ln_q"])
+            flat[prefix + "norm.bias"] = to_np(m["ln_q_b"])
+            flat[prefix + "linear_fc1.weight"] = to_np_t(m["fc1_w"])
+            flat[prefix + "linear_fc1.bias"] = to_np(m["fc1_b"])
+            flat[prefix + "linear_fc2.weight"] = to_np_t(m["fc2_w"])
+            flat[prefix + "linear_fc2.bias"] = to_np(m["fc2_b"])
+        else:
+            flat[prefix + "ln_q.weight"] = to_np(m["ln_q"])
+            if v.norm_type == "layernorm":
+                flat[prefix + "ln_q.bias"] = to_np(m["ln_q_b"])
+            flat[prefix + "mlp.0.weight"] = to_np_t(m["fc1_w"])
+            flat[prefix + "mlp.0.bias"] = to_np(m["fc1_b"])
+            flat[prefix + "mlp.2.weight"] = to_np_t(m["fc2_w"])
+            flat[prefix + "mlp.2.bias"] = to_np(m["fc2_b"])
+
+    save_merger("visual.merger.", vis["merger"])
+    for j, m in enumerate(vis.get("deepstack", []) or []):
+        save_merger(f"visual.deepstack_merger_list.{j}.", m)
     save_file(flat, out_path)

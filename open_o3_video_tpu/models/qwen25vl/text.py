@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ...ops.attention import causal_attention
 from ...ops.quant import dense
-from ...ops.rope import apply_mrope, mrope_cos_sin
+from ...ops.rope import apply_mrope, mrope_cos_sin, mrope_cos_sin_interleaved
 from .config import TextConfig
 from .vision import rms_norm
 
@@ -43,9 +43,17 @@ def _attention_layer(
     kv_positions: Optional[jnp.ndarray] = None,  # (B, T) explicit key positions
 ):
     B, S, _ = x.shape
-    q = (dense(x, p["q_w"]) + p["q_b"]).reshape(B, S, cfg.num_attention_heads, cfg.head_dim)
-    k = (dense(x, p["k_w"]) + p["k_b"]).reshape(B, S, cfg.num_key_value_heads, cfg.head_dim)
-    v = (dense(x, p["v_w"]) + p["v_b"]).reshape(B, S, cfg.num_key_value_heads, cfg.head_dim)
+    q = dense(x, p["q_w"]).reshape(B, S, cfg.num_attention_heads, cfg.head_dim)
+    k = dense(x, p["k_w"]).reshape(B, S, cfg.num_key_value_heads, cfg.head_dim)
+    v = dense(x, p["v_w"]).reshape(B, S, cfg.num_key_value_heads, cfg.head_dim)
+    if cfg.attention_bias:
+        q = q + p["q_b"].reshape(cfg.num_attention_heads, cfg.head_dim)
+        k = k + p["k_b"].reshape(cfg.num_key_value_heads, cfg.head_dim)
+        v = v + p["v_b"].reshape(cfg.num_key_value_heads, cfg.head_dim)
+    if cfg.use_qk_norm:
+        # Qwen3: per-head-dim RMSNorm on q/k BEFORE rope.
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
     q, k = apply_mrope(q, k, cos, sin)
 
     if cache is not None:
@@ -113,6 +121,8 @@ def text_forward(
     kv_positions: Optional[jnp.ndarray] = None,
     remat: bool = False,
     attn_impl: Optional[str] = None,
+    deepstack_embeds: Optional[list] = None,
+    deepstack_row_index: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, Optional[dict]]:
     """Returns (hidden_states (B, S, D) after final norm, updated cache).
 
@@ -120,12 +130,17 @@ def text_forward(
     (== the reference's gradient_checkpointing, run_sft_video.sh:24).
     ``attn_impl``: None=auto (Pallas flash on TPU when head_dim is
     lane-aligned, XLA otherwise); the flash kernel has a custom VJP so
-    training paths use it too."""
+    training paths use it too.
+    ``deepstack_embeds`` (Qwen3-VL): list of (n_vis, D) feature tables
+    added into the hidden states at vision-token positions after decoder
+    layer i (i < len(list)); ``deepstack_row_index`` is the (B, S) map of
+    position -> table row (-1 = not a vision token)."""
     B, S, _ = inputs_embeds.shape
     if seq_positions is None:
         seq_positions = jnp.arange(S)[None, :].repeat(B, axis=0) + cache_offset
 
-    cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
+    rope_fn = mrope_cos_sin_interleaved if cfg.mrope_interleaved else mrope_cos_sin
+    cos, sin = rope_fn(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
     cos = cos.astype(inputs_embeds.dtype)
     sin = sin.astype(inputs_embeds.dtype)
 
@@ -147,6 +162,14 @@ def text_forward(
     new_k, new_v = [], []
     for i, layer in enumerate(params["layers"]):
         x, layer_cache = layer_fn(layer, x, i)
+        if deepstack_embeds is not None and i < len(deepstack_embeds):
+            # Qwen3-VL deepstack: add the i-th tapped vision features at
+            # vision-token positions (HF Qwen3VLTextModel._deepstack_process).
+            tbl = deepstack_embeds[i]
+            flat_idx = deepstack_row_index.reshape(-1)
+            add = tbl[jnp.clip(flat_idx, 0, tbl.shape[0] - 1)]
+            add = jnp.where((flat_idx >= 0)[:, None], add.astype(x.dtype), 0)
+            x = x + add.reshape(x.shape)
         if layer_cache is not None:
             new_k.append(layer_cache[0])
             new_v.append(layer_cache[1])

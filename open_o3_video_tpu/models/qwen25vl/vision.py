@@ -67,6 +67,54 @@ class VisionSpec:
     full_seg: SegmentSpec  # segments for global layers (over reordered seq)
     freqs: np.ndarray  # (S, head_dim//2) rotary angles, reordered
     seq_len: int
+    # Qwen3-VL learned pos embed: bilinear interpolation plan from the
+    # (side x side) table to each grid, in patch order (HF
+    # fast_pos_embed_interpolate). None for the other families.
+    pos_idx: "np.ndarray | None" = None  # (4, S) int32 table rows
+    pos_w: "np.ndarray | None" = None  # (4, S) float32 corner weights
+
+
+def _pos_interp_plan(grid_thw, side: int, merge: int):
+    """(4, S) table indices + bilinear weights, merge-block patch order."""
+    idx_all, w_all = [], []
+    for t, h, w in grid_thw:
+        t, h, w = int(t), int(h), int(w)
+        h_idxs = np.linspace(0, side - 1, h)
+        w_idxs = np.linspace(0, side - 1, w)
+        hf = h_idxs.astype(np.int64)
+        wf = w_idxs.astype(np.int64)
+        hc = np.clip(hf + 1, None, side - 1)
+        wc = np.clip(wf + 1, None, side - 1)
+        dh = h_idxs - hf
+        dw = w_idxs - wf
+        idx = np.stack(
+            [
+                (hf[:, None] * side + wf[None, :]),
+                (hf[:, None] * side + wc[None, :]),
+                (hc[:, None] * side + wf[None, :]),
+                (hc[:, None] * side + wc[None, :]),
+            ]
+        )  # (4, h, w)
+        wgt = np.stack(
+            [
+                (1 - dh)[:, None] * (1 - dw)[None, :],
+                (1 - dh)[:, None] * dw[None, :],
+                dh[:, None] * (1 - dw)[None, :],
+                dh[:, None] * dw[None, :],
+            ]
+        )
+        # Row-major (h, w) -> merge-block patch order, repeated per frame.
+        def to_patch_order(a):
+            a = a.reshape(4, h // merge, merge, w // merge, merge)
+            a = a.transpose(0, 1, 3, 2, 4).reshape(4, h * w)
+            return np.tile(a, (1, t))
+
+        idx_all.append(to_patch_order(idx))
+        w_all.append(to_patch_order(wgt))
+    return (
+        np.concatenate(idx_all, axis=1).astype(np.int32),
+        np.concatenate(w_all, axis=1).astype(np.float32),
+    )
 
 
 def compute_vision_spec(grid_thw: Sequence[tuple[int, int, int]], cfg: VisionConfig) -> VisionSpec:
@@ -79,14 +127,18 @@ def compute_vision_spec(grid_thw: Sequence[tuple[int, int, int]], cfg: VisionCon
     unit = cfg.merge_unit
 
     if not cfg.use_windows:
-        # Qwen2-VL: no window partition — the sequence keeps its original
-        # order and EVERY layer attends within per-frame (h*w) segments
-        # (HF cu_seqlens = repeat_interleave(h*w, t)).
+        # Qwen2-VL / Qwen3-VL: no window partition — the sequence keeps its
+        # original order and EVERY layer attends within per-frame (h*w)
+        # segments (HF cu_seqlens = repeat_interleave(h*w, t)).
         seq_len = int(sum(t * h * w for t, h, w in grid_thw))
         full_sizes = [int(h) * int(w) for t, h, w in grid_thw for _ in range(int(t))]
         ident = np.arange(seq_len // unit, dtype=np.int32)
         full_seg = _make_segment_spec(np.asarray(full_sizes, dtype=np.int64))
         freqs = vision_pos_freqs(grid_thw, merge, cfg.head_dim)
+        pos_idx = pos_w = None
+        if cfg.num_position_embeddings:
+            side = int(cfg.num_position_embeddings ** 0.5)
+            pos_idx, pos_w = _pos_interp_plan(grid_thw, side, merge)
         return VisionSpec(
             window_index=ident,
             reverse_index=ident,
@@ -94,6 +146,8 @@ def compute_vision_spec(grid_thw: Sequence[tuple[int, int, int]], cfg: VisionCon
             full_seg=full_seg,
             freqs=freqs.astype(np.float32),
             seq_len=seq_len,
+            pos_idx=pos_idx,
+            pos_w=pos_w,
         )
 
     win = cfg.window_patches // merge  # window side in merged positions (112/14/2 = 4)
@@ -191,6 +245,11 @@ def _block(params: dict, x: jnp.ndarray, freqs: jnp.ndarray, spec: SegmentSpec, 
         a = h @ params["fc1_w"] + params["fc1_b"]
         a = a * jax.nn.sigmoid(1.702 * a)
         x = x + (a @ params["fc2_w"] + params["fc2_b"])
+    elif cfg.act_type == "gelu_tanh":
+        # Qwen3-VL VisionMLP: linear_fc1 -> gelu_pytorch_tanh -> linear_fc2.
+        a = h @ params["fc1_w"] + params["fc1_b"]
+        a = jax.nn.gelu(a, approximate=True)
+        x = x + (a @ params["fc2_w"] + params["fc2_b"])
     else:
         gate = jax.nn.silu(h @ params["gate_w"] + params["gate_b"])
         up = h @ params["up_w"] + params["up_b"]
@@ -198,28 +257,64 @@ def _block(params: dict, x: jnp.ndarray, freqs: jnp.ndarray, spec: SegmentSpec, 
     return x
 
 
-def vision_forward(params: dict, patches: jnp.ndarray, spec: VisionSpec, cfg: VisionConfig) -> jnp.ndarray:
+def _merger(m: dict, x: jnp.ndarray, cfg: VisionConfig, postshuffle: bool) -> jnp.ndarray:
+    """Patch merger: norm -> merge_unit concat -> fc1 -> GELU -> fc2.
+
+    ``postshuffle`` (Qwen3-VL deepstack mergers) norms AFTER the merge
+    reshape (over unit*hidden), the main merger before it (over hidden)."""
+    S = x.shape[0]
+    unit = cfg.merge_unit
+    if postshuffle:
+        h = x.reshape(S // unit, unit * cfg.hidden_size)
+        h = layer_norm(h, m["ln_q"], m["ln_q_b"])
+    else:
+        h = _norm(m, "ln_q", x, cfg).reshape(S // unit, unit * cfg.hidden_size)
+    h = jax.nn.gelu(h @ m["fc1_w"] + m["fc1_b"], approximate=False)
+    return h @ m["fc2_w"] + m["fc2_b"]  # (S/unit, out)
+
+
+def vision_forward(
+    params: dict, patches: jnp.ndarray, spec: VisionSpec, cfg: VisionConfig
+) -> "jnp.ndarray | tuple[jnp.ndarray, list[jnp.ndarray]]":
     """patches (S, patch_dim) -> merged vision embeddings (S / merge_unit, out_dim).
 
     Output rows are in the original (pre-window-permutation) merged order,
-    ready to scatter into the text embedding stream.
+    ready to scatter into the text embedding stream. For Qwen3-VL (deepstack
+    indexes configured) returns (embeddings, [deepstack features]) — one
+    extra (S / merge_unit, out_dim) table per tapped block, injected into
+    the early decoder layers by the text side.
     """
     x = patches.astype(params["patch_embed"].dtype) @ params["patch_embed"]  # (S, D)
+    if cfg.patch_embed_bias:
+        x = x + params["patch_embed_b"]
     S = spec.seq_len
     unit = cfg.merge_unit
     window_index = jnp.asarray(spec.window_index)
 
+    if spec.pos_idx is not None:
+        # Qwen3-VL: bilinearly interpolated learned pos embed (the 4-corner
+        # gather plan is host-precomputed per grid).
+        pe = params["pos_embed"].astype(jnp.float32)
+        idx = jnp.asarray(spec.pos_idx)
+        wgt = jnp.asarray(spec.pos_w)
+        pos = jnp.einsum("cs,csd->sd", wgt, pe[idx])
+        x = x + pos.astype(x.dtype)
+
     x = x.reshape(S // unit, unit, -1)[window_index].reshape(S, -1)
     freqs = jnp.asarray(spec.freqs)
 
+    deepstack: list[jnp.ndarray] = []
     for i in range(cfg.depth):
         seg = spec.full_seg if i in cfg.fullatt_block_indexes else spec.window_seg
         x = _block(params["blocks"][i], x, freqs, seg, cfg)
+        if i in cfg.deepstack_visual_indexes:
+            j = cfg.deepstack_visual_indexes.index(i)
+            deepstack.append(
+                _merger(params["deepstack"][j], x, cfg, postshuffle=True)
+            )
 
-    # Patch merger: norm then 2x2 concat -> MLP (RMSNorm for Qwen2.5-VL,
-    # LayerNorm for Qwen2-VL's PatchMerger.ln_q).
-    m = params["merger"]
-    h = _norm(m, "ln_q", x, cfg).reshape(S // unit, unit * cfg.hidden_size)
-    h = jax.nn.gelu(h @ m["fc1_w"] + m["fc1_b"], approximate=False)
-    h = h @ m["fc2_w"] + m["fc2_b"]  # (S/unit, out)
-    return h[jnp.asarray(spec.reverse_index)]
+    h = _merger(params["merger"], x, cfg, postshuffle=False)
+    h = h[jnp.asarray(spec.reverse_index)]
+    if cfg.deepstack_visual_indexes:
+        return h, deepstack
+    return h

@@ -104,6 +104,32 @@ def mrope_cos_sin(
     return jnp.concatenate(cos_parts, axis=-1), jnp.concatenate(sin_parts, axis=-1)
 
 
+def mrope_cos_sin_interleaved(
+    position_ids: jnp.ndarray,  # (3, B, S) int
+    head_dim: int,
+    mrope_section: Sequence[int],
+    theta: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Qwen3-VL interleaved M-RoPE: frequency f takes the T axis by default,
+    with f in {1, 4, 7, ...} (< 3*section_h, offset 1) taking H and
+    f in {2, 5, 8, ...} (< 3*section_w, offset 2) taking W — preserving
+    low->high frequency continuity within each axis (HF
+    Qwen3VLTextRotaryEmbedding.apply_interleaved_mrope)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = position_ids.astype(jnp.float32)[..., None] * inv_freq  # (3, B, S, D/2)
+    half = head_dim // 2
+    axis_sel = np.zeros(half, dtype=np.int64)  # default: T
+    idx = np.arange(half)
+    axis_sel[(idx % 3 == 1) & (idx < 3 * int(mrope_section[1]))] = 1  # H
+    axis_sel[(idx % 3 == 2) & (idx < 3 * int(mrope_section[2]))] = 2  # W
+    sel = jnp.asarray(axis_sel)
+    merged = jnp.where(
+        sel == 0, freqs[0], jnp.where(sel == 1, freqs[1], freqs[2])
+    )  # (B, S, D/2)
+    emb = jnp.concatenate([merged, merged], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
 def apply_mrope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
     """Rotate q/k of shape (B, S, H, D) by cos/sin (B, S, D)."""
     cos = cos[:, :, None, :]

@@ -83,9 +83,10 @@ PARAM_RULES: list[tuple[str, P]] = [
     (r"visual/blocks/\d+/(gate_b|up_b|fc1_b)$", P("tensor")),
     (r"visual/blocks/\d+/(down_w|fc2_w)$", P("tensor", "fsdp")),
     (r"visual/patch_embed$", P(None, "fsdp")),
-    (r"visual/merger/fc1_w$", P("fsdp", "tensor")),
-    (r"visual/merger/fc1_b$", P("tensor")),
-    (r"visual/merger/fc2_w$", P("tensor", "fsdp")),
+    (r"visual/pos_embed$", P(None, "fsdp")),
+    (r"visual/(merger|deepstack/\d+)/fc1_w$", P("fsdp", "tensor")),
+    (r"visual/(merger|deepstack/\d+)/fc1_b$", P("tensor")),
+    (r"visual/(merger|deepstack/\d+)/fc2_w$", P("tensor", "fsdp")),
     (r".*", P()),  # norms, small biases: replicated
 ]
 
