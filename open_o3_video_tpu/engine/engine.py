@@ -77,6 +77,11 @@ class Request:
     # uint8 frames (T, C, H, W). Uploaded 8x smaller than f32 patches;
     # normalize+patchify runs on-device (ops/preprocess.patchify_device).
     frames: Optional[np.ndarray] = None
+    # Precomputed text-space vision features (n_tokens, hidden): scattered
+    # at the placeholder positions verbatim, bypassing the in-engine vision
+    # tower. The Aria path (its Idefics3 tower + projector run as their own
+    # jitted program) and any caller with externally encoded features.
+    vision_embeds: Optional[Any] = None
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -643,6 +648,18 @@ class InferenceEngine:
         row_offsets: list = []
         row_tokens: list = []
         for r in reqs:
+            if r.vision_embeds is not None:
+                # Precomputed text-space features (the Aria projector path):
+                # enter the merge table directly, no tower run.
+                vis_key = ("embeds", id(r.vision_embeds))
+                if vis_key not in vis_offsets:
+                    entry = self._put(np.asarray(r.vision_embeds))
+                    vis_offsets[vis_key] = total_vis
+                    vis_entries.append(entry)
+                    total_vis += entry.shape[0]
+                row_offsets.append(vis_offsets[vis_key])
+                row_tokens.append(r.vision_token_id or cfg.image_token_id)
+                continue
             if r.pixel_patches is None and r.frames is None:
                 row_offsets.append(None)
                 row_tokens.append(None)
@@ -668,14 +685,22 @@ class InferenceEngine:
             embeds = self._embed_merge_fn(
                 self.params, ids_dev, vis_table, row_index_dev
             )
-            if isinstance(vis_entries[0], tuple):
+            if any(isinstance(e, tuple) for e in vis_entries):
                 # Qwen3-VL deepstack: concat each tap's tables in the SAME
-                # admission order, so row_index addresses them too.
-                n_taps = len(vis_entries[0][1])
+                # admission order, so row_index addresses them too. Entries
+                # without taps (precomputed vision_embeds rows) contribute
+                # zeros — injecting zero is a no-op at those positions.
+                n_taps = len(next(e for e in vis_entries if isinstance(e, tuple))[1])
+
+                def tap(e, t):
+                    if isinstance(e, tuple):
+                        return e[1][t]
+                    return jnp.zeros_like(e)
+
                 tables = [
-                    jnp.concatenate([e[1][t] for e in vis_entries], axis=0)
+                    jnp.concatenate([tap(e, t) for e in vis_entries], axis=0)
                     if len(vis_entries) > 1
-                    else vis_entries[0][1][t]
+                    else tap(vis_entries[0], t)
                     for t in range(n_taps)
                 ]
                 deepstack = (tables, row_index_dev)
@@ -791,7 +816,8 @@ class InferenceEngine:
             # prompts in one batch) cluster separately.
             head = tuple(int(t) for t in r.input_ids[: self.prefix_cache_min])
             clusters.setdefault(
-                (id(r.pixel_patches), id(r.frames), head), []
+                (id(r.pixel_patches), id(r.frames), id(r.vision_embeds), head),
+                [],
             ).append(i)
         prefix_lens = [0] * n
         vis_ids = {self.cfg.image_token_id, self.cfg.video_token_id}
@@ -828,7 +854,8 @@ class InferenceEngine:
     def _ensure_prefix(self, req: Request, pl: int, P_b: int, vis_cache: dict) -> dict:
         """Build (or fetch) the cached KV block for ``req``'s first ``pl``
         tokens, left-padded to the P_b bucket."""
-        key = (tuple(req.input_ids[:pl]), id(req.pixel_patches), id(req.frames), P_b)
+        key = (tuple(req.input_ids[:pl]), id(req.pixel_patches),
+               id(req.frames), id(req.vision_embeds), P_b)
         entry = self._prefix_kv.get(key)
         if entry is not None:
             self._prefix_kv.move_to_end(key)
@@ -840,6 +867,7 @@ class InferenceEngine:
             vision_token_id=req.vision_token_id,
             second_per_grid_ts=req.second_per_grid_ts,
             frames=req.frames,
+            vision_embeds=req.vision_embeds,
         )
         embeds, pos, seq_pos, attn_rows, _, _, deepstack = self._prepare_rows(
             [pseudo], P_b, P_b, vis_cache
@@ -854,7 +882,7 @@ class InferenceEngine:
             "v": v,
             "valid": attn_rows[0],  # (P_b,) bool — real prefix tokens
             # Strong refs pin the arrays behind the id()-based key parts.
-            "refs": (req.pixel_patches, req.frames),
+            "refs": (req.pixel_patches, req.frames, req.vision_embeds),
         }
         self._prefix_kv[key] = entry
         while len(self._prefix_kv) > self.prefix_cache_entries:
@@ -1052,7 +1080,7 @@ class InferenceEngine:
             for s, rid in zip(slots, rids):
                 r = requests[rid]
                 k_ = (tuple(r.input_ids[:prefix_lens[rid]]),
-                      id(r.pixel_patches), id(r.frames))
+                      id(r.pixel_patches), id(r.frames), id(r.vision_embeds))
                 sub.setdefault(k_, []).append((s, rid))
             S_b = L - prefix_bucket
             for pairs in sub.values():

@@ -88,6 +88,11 @@ class TextConfig:
     attention_bias: bool = True
     use_qk_norm: bool = False
     mrope_interleaved: bool = False
+    # Aria MoE switches (moe_num_experts > 0 turns each MLP into a routed
+    # top-k mixture + always-on shared experts, HF AriaTextMoELayer).
+    moe_num_experts: int = 0
+    moe_topk: int = 0
+    moe_num_shared_experts: int = 0
 
     @property
     def head_dim(self) -> int:

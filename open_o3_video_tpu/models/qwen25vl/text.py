@@ -104,8 +104,42 @@ def _attention_layer(
     return dense(out, p["o_w"]), new_cache
 
 
-def _mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+def _mlp(p: dict, x: jnp.ndarray, cfg: Optional[TextConfig] = None) -> jnp.ndarray:
+    if "router" in p:
+        return _moe_mlp(p, cfg, x)
     return dense(jax.nn.silu(dense(x, p["gate_w"])) * dense(x, p["up_w"]), p["down_w"])
+
+
+def _moe_mlp(p: dict, cfg: TextConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Aria MoE layer: routed top-k experts + always-on shared experts
+    (HF AriaTextMoELayer).
+
+    TPU-first dispatch: instead of the reference's token permutation +
+    grouped GEMM (dynamic shapes), every expert runs as one batched einsum
+    over the (E, D, F) weight stack and a dense (N, E) combine matrix does
+    the top-k weighting — static shapes, MXU-friendly, and EXPERT PARALLEL
+    under GSPMD: the expert axis of moe_fc1/moe_fc2 is sharded over the
+    ``tensor`` mesh axis (parallel/mesh.py rules), so each chip computes
+    only its local experts and the combine contraction inserts the psum.
+    """
+    D = x.shape[-1]
+    flat = x.reshape(-1, D)
+    logits = dense(flat, p["router"]).astype(jnp.float32)  # (N, E)
+    top_logits, top_idx = jax.lax.top_k(logits, cfg.moe_topk)
+    scores = jax.nn.softmax(top_logits, axis=-1)  # softmax over the top-k only
+    combine = (
+        jax.nn.one_hot(top_idx, cfg.moe_num_experts, dtype=flat.dtype)
+        * scores.astype(flat.dtype)[..., None]
+    ).sum(axis=1)  # (N, E)
+    h = jnp.einsum("nd,edf->enf", flat, p["moe_fc1"])  # (E, N, 2F)
+    proj, gate = jnp.split(h, 2, axis=-1)
+    h = jax.nn.silu(proj) * gate
+    h = jnp.einsum("enf,efd->end", h, p["moe_fc2"])  # (E, N, D)
+    routed = jnp.einsum("ne,end->nd", combine, h)
+    shared = dense(
+        jax.nn.silu(dense(flat, p["gate_w"])) * dense(flat, p["up_w"]), p["down_w"]
+    )
+    return (routed + shared).reshape(x.shape)
 
 
 def text_forward(
@@ -152,7 +186,7 @@ def text_forward(
         )
         x = x + attn_out
         h = rms_norm(x, layer["post_norm"], cfg.rms_norm_eps)
-        x = x + _mlp(layer, h)
+        x = x + _mlp(layer, h, cfg)
         return x, layer_cache
 
     if remat:

@@ -91,6 +91,14 @@ def decode_frames_scaled(
     Fuses the model resize into decode (no intermediate full-res frames).
     swscale SWS_BICUBIC approximates the reference's PIL/torchvision bicubic.
     """
+    if width <= 0 or height <= 0:
+        # A degenerate pixel budget can floor smart_resize to 0 on one axis
+        # (the reference's PIL/torchvision resize raises there too); swscale
+        # must never see a 0 dimension — it aborts the process.
+        raise ValueError(
+            f"invalid resize target {width}x{height} (pixel budget too small "
+            f"for this aspect ratio)"
+        )
     lib = _load()
     idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
     out = np.empty((len(idx), height, width, 3), dtype=np.uint8)

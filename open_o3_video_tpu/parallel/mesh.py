@@ -71,6 +71,12 @@ PARAM_RULES: list[tuple[str, P]] = [
     # text mlp
     (r"text/layers/\d+/(gate_w|up_w)$", P("fsdp", "tensor")),
     (r"text/layers/\d+/down_w$", P("tensor", "fsdp")),
+    # Aria MoE: EXPERT PARALLELISM — the expert axis shards over `tensor`,
+    # so each chip computes only its local experts in the batched-expert
+    # einsums and the (N, E) combine contraction inserts the psum.
+    (r"text/layers/\d+/router$", P("fsdp", None)),
+    (r"text/layers/\d+/moe_fc1$", P("tensor", "fsdp", None)),
+    (r"text/layers/\d+/moe_fc2$", P("tensor", None, "fsdp")),
     (r"text/layers/\d+/(input_norm|post_norm)$", P()),
     (r"text/embed_tokens$", P("tensor", "fsdp")),
     (r"text/lm_head$", P("fsdp", "tensor")),
