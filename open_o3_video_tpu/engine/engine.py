@@ -933,6 +933,15 @@ class InferenceEngine:
     def clear_prefix_cache(self):
         self._prefix_kv.clear()
 
+    def release_memory(self):
+        """Drop persistent HBM state (KV arenas, prefix blocks, vision
+        programs' cached outputs). Call between workload phases with very
+        different shapes — each (slots, length) configuration otherwise
+        keeps its arena alive for reuse, and a 16 GB chip running a 7B
+        model has only a few GB of headroom for them."""
+        self._arenas.clear()
+        self._prefix_kv.clear()
+
     def _run_group(self, L, idxs, requests, sampling, return_logprobs, results,
                    prefix_bucket: int = 0, prefix_lens: Optional[Sequence[int]] = None):
         cfg = self.cfg

@@ -113,3 +113,36 @@ def test_dp_requires_mesh_and_divisible_slots():
     mesh = make_mesh(data=4, fsdp=2, tensor=1)
     with pytest.raises(AssertionError):
         InferenceEngine(params, cfg, mesh=mesh, batch_axis="data", max_slots=6)
+
+
+def test_dp_qwen3_deepstack_matches_plain():
+    """Deepstack tables route through the row-sharded full-wave admission."""
+    from open_o3_video_tpu.models.qwen25vl import tiny_qwen3
+
+    cfg = tiny_qwen3()
+    params = P.init(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(2, 3, 28, 56), dtype=np.uint8)
+    patches, grid = frames_as_images_patches(frames)
+    n_tok = patches.shape[0] // cfg.vision.merge_unit
+    vis_ids = (
+        [7, 8, cfg.vision_start_token_id]
+        + [cfg.image_token_id] * n_tok
+        + [cfg.vision_end_token_id, 9]
+    )
+    reqs = [
+        Request(input_ids=vis_ids, pixel_patches=patches, grid_thw=grid,
+                vision_token_id=cfg.image_token_id),
+        Request(input_ids=list(range(40, 54))),
+        Request(input_ids=vis_ids, pixel_patches=patches, grid_thw=grid,
+                vision_token_id=cfg.image_token_id),
+    ]
+    sampling = SamplingParams(temperature=0.0, max_tokens=6)
+    plain = InferenceEngine(params, cfg, prompt_buckets=(64,), cache_dtype=jnp.float32)
+    out_p = plain.generate(reqs, sampling)
+    mesh = make_mesh(data=4, fsdp=2, tensor=1)
+    dp = InferenceEngine(params, cfg, mesh=mesh, batch_axis="data", max_slots=4,
+                         prompt_buckets=(64,), cache_dtype=jnp.float32)
+    out_d = dp.generate(reqs, sampling)
+    for a, b in zip(out_p, out_d):
+        assert a["token_ids"] == b["token_ids"]
