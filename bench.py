@@ -142,6 +142,29 @@ def main():
         decode_counts.append(len(out[0]["token_ids"]))
     e2e_single = float(np.mean(runs))
 
+    if MEASURE_BASELINE:
+        # Baseline re-measurement mode (see module docstring): report the
+        # single-request e2e of whatever configuration the env knobs set up
+        # (BENCH_QUANT=0 O3V_ATTN_IMPL=xla BENCH_TEXT_LAYERS=14 = the naive
+        # same-chip configuration) and stop — no batched/prefix/decode
+        # stages, which the naive yardstick does not have.
+        print(json.dumps({
+            "metric": "naive_baseline_videos_per_sec",
+            "value": round(1.0 / e2e_single, 4),
+            "unit": (
+                f"videos/s single request ({TEXT_LAYERS}L"
+                f"{', int8' if QUANT else ', bf16'}, "
+                f"attn={os.environ.get('O3V_ATTN_IMPL', 'auto')})"
+            ),
+            "vs_baseline": 1.0,
+            "detail": {
+                "e2e_sec_per_video_single": round(e2e_single, 3),
+                "compile_sec": round(t_compile, 1),
+                "backend": jax.default_backend(),
+            },
+        }))
+        return
+
     # ---- batched e2e: N_VIDEOS requests through the continuous engine at
     # once (the eval-harness shape: vstar item_batch x 5 queries); each
     # request gets its own decoded video (distinct frame arrays).

@@ -150,16 +150,27 @@ class O3VideoProcessor:
 
     @classmethod
     def from_pretrained(cls, model_dir: str, **kw):
-        try:
+        import os
+
+        has_tokenizer = any(
+            os.path.exists(os.path.join(model_dir, f))
+            for f in ("tokenizer.json", "tokenizer_config.json", "vocab.json",
+                      "tokenizer.model")
+        )
+        if has_tokenizer:
+            # Tokenizer files exist: a failure here is a REAL problem
+            # (corrupt files, version mismatch) and must surface — byte
+            # tokenization with Qwen special ids would silently garble any
+            # non-Qwen vocabulary.
             from transformers import AutoTokenizer
 
             tok = AutoTokenizer.from_pretrained(model_dir)
             tok.padding_side = "left"
-        except Exception as e:
+        else:
             # Checkpoint dirs exported by this framework carry weights +
             # config.json but no tokenizer files; fall back to the
             # deterministic byte tokenizer rather than failing the load.
-            print(f"[warn] no tokenizer in {model_dir} ({e!r}); using ByteTokenizer")
+            print(f"[warn] no tokenizer files in {model_dir}; using ByteTokenizer")
             tok = ByteTokenizer()
         return cls(tokenizer=tok, **kw)
 

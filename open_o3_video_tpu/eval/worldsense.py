@@ -35,6 +35,7 @@ def evaluate(
         )
 
     records = []
+    errors = []
     for i, (vp, img, txt, doc) in enumerate(zip(video_paths, image_input, text_input, docs)):
         candidates = doc["candidates"]
         if isinstance(candidates, str):
@@ -48,6 +49,8 @@ def evaluate(
         except Exception as e:
             # skip-and-record instead of fleet-kill (test_videomme.py:329-335)
             print(f"[warn] item {doc.get('index')} failed ({e!r}); skipping")
+            errors.append({"index": doc.get("index"), "video": doc.get("video"),
+                           "error": repr(e)})
             continue
         rec = dict(doc)
         rec["prediction"] = out["pred"]
@@ -56,5 +59,13 @@ def evaluate(
         print(doc["video"], "GT:", doc["answer"], "Pred:", out["pred"], f"{i + 1}/{len(docs)}")
 
     rating = D.process_result(records, output_prefix)
+    if errors:
+        # Same recorded-errors contract as the other harnesses: a run with
+        # failures must be distinguishable from a clean run over fewer items.
+        import json as _json
+
+        with open(f"{output_prefix}_errors.json", "w") as f:
+            _json.dump(errors, f, indent=1)
+        rating["errors"] = errors
     print(f"WorldSense done in {time.time() - t0:.1f}s; overall {rating['overall']['overall']}")
     return rating

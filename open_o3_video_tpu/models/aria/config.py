@@ -95,7 +95,8 @@ class AriaConfig:
         )
         hidden = t.get("hidden_size", 2560)
         heads = t.get("num_attention_heads", 20)
-        head_dim = t.get("head_dim") or hidden // heads
+        explicit_hd = t.get("head_dim")
+        head_dim = explicit_hd if explicit_hd is not None else hidden // heads
         text = TextConfig(
             vocab_size=t.get("vocab_size", 100352),
             hidden_size=hidden,
@@ -107,6 +108,7 @@ class AriaConfig:
             rope_theta=t.get("rope_theta", 5000000.0),
             # Chunked M-RoPE with everything in the T section == 1-D rope.
             mrope_section=(head_dim // 2, 0, 0),
+            explicit_head_dim=explicit_hd,
             tie_word_embeddings=t.get("tie_word_embeddings", False),
             max_position_embeddings=t.get("max_position_embeddings", 65536),
             attention_bias=t.get("attention_bias", False),
@@ -122,7 +124,7 @@ class AriaConfig:
             image_token_id=d.get("image_token_id", 9),
             bos_token_id=d.get("bos_token_id", 1),
             eos_token_id=_first(d.get("eos_token_id", 2)),
-            pad_token_id=d.get("pad_token_id") or 2,
+            pad_token_id=_default(d.get("pad_token_id"), 2),
             dtype=dtype,
         )
 
@@ -149,6 +151,7 @@ class AriaConfig:
             },
             "text_config": {
                 "model_type": "aria_text",
+                **({"head_dim": t.explicit_head_dim} if t.explicit_head_dim is not None else {}),
                 "vocab_size": t.vocab_size,
                 "hidden_size": t.hidden_size,
                 "intermediate_size": t.intermediate_size,
@@ -204,6 +207,12 @@ def tiny_aria(dtype=jnp.float32) -> AriaConfig:
         pad_token_id=2,
         dtype=dtype,
     )
+
+
+def _default(value, fallback):
+    # NOT `or`: an explicit pad_token_id of 0 (llama-style configs) must
+    # survive, not fall back to the family default.
+    return fallback if value is None else value
 
 
 def _first(x):

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..qwen25vl.params import _check_complete, iter_safetensors
 from .config import AriaConfig
 
 
@@ -250,17 +251,6 @@ def from_named_arrays(named: Iterator[tuple[str, np.ndarray]], cfg: AriaConfig) 
     return params
 
 
-def _check_complete(params: Any, path: str = ""):
-    if isinstance(params, dict):
-        for k, val in params.items():
-            _check_complete(val, f"{path}.{k}")
-    elif isinstance(params, list):
-        for i, val in enumerate(params):
-            _check_complete(val, f"{path}[{i}]")
-    elif params is None:
-        raise ValueError(f"missing parameter: {path}")
-
-
 def from_torch_state_dict(state_dict, cfg: AriaConfig) -> dict:
     def gen():
         for key, tensor in state_dict.items():
@@ -270,21 +260,6 @@ def from_torch_state_dict(state_dict, cfg: AriaConfig) -> dict:
 
 
 def load_pretrained(model_dir: str, cfg: AriaConfig | None = None) -> tuple[dict, AriaConfig]:
-    from safetensors import safe_open
-
     if cfg is None:
         cfg = AriaConfig.from_pretrained(model_dir)
-    index_path = os.path.join(model_dir, "model.safetensors.index.json")
-    if os.path.exists(index_path):
-        with open(index_path) as f:
-            shards = sorted(set(json.load(f)["weight_map"].values()))
-    else:
-        shards = [f for f in os.listdir(model_dir) if f.endswith(".safetensors")]
-
-    def gen():
-        for shard in shards:
-            with safe_open(os.path.join(model_dir, shard), framework="numpy") as f:
-                for key in f.keys():
-                    yield key, f.get_tensor(key)
-
-    return from_named_arrays(gen(), cfg), cfg
+    return from_named_arrays(iter_safetensors(model_dir), cfg), cfg

@@ -152,7 +152,7 @@ class Qwen25VLConfig:
             vision_end_token_id=d.get("vision_end_token_id", 151653),
             bos_token_id=d.get("bos_token_id", 151643),
             eos_token_id=_first(d.get("eos_token_id", 151645)),
-            pad_token_id=d.get("pad_token_id") or 151643,
+            pad_token_id=_default(d.get("pad_token_id"), 151643),
             dtype=dtype,
         )
 
@@ -336,7 +336,7 @@ def _qwen3_from_hf_dict(d, v, t, rope_scaling, dtype) -> "Qwen25VLConfig":
         vision_end_token_id=d.get("vision_end_token_id", 151653),
         bos_token_id=d.get("bos_token_id", 151643),
         eos_token_id=_first(d.get("eos_token_id", 151645)),
-        pad_token_id=d.get("pad_token_id") or 151643,
+        pad_token_id=_default(d.get("pad_token_id"), 151643),
         dtype=dtype,
     )
 
@@ -370,7 +370,7 @@ def _qwen2_from_hf_dict(d, v, t, rope_scaling, dtype) -> "Qwen25VLConfig":
         vision_end_token_id=d.get("vision_end_token_id", 151653),
         bos_token_id=d.get("bos_token_id", 151643),
         eos_token_id=_first(d.get("eos_token_id", 151645)),
-        pad_token_id=d.get("pad_token_id") or 151643,
+        pad_token_id=_default(d.get("pad_token_id"), 151643),
         dtype=dtype,
     )
 
@@ -419,6 +419,12 @@ def tiny_qwen2(dtype=jnp.float32) -> "Qwen25VLConfig":
         vision=dataclasses.replace(vision, use_windows=False),
         model_type="qwen2_vl",
     )
+
+
+def _default(value, fallback):
+    # NOT `or`: an explicit pad_token_id of 0 (llama-style configs) must
+    # survive, not fall back to the family default.
+    return fallback if value is None else value
 
 
 def _first(x):

@@ -405,6 +405,24 @@ def from_torch_state_dict(state_dict, cfg: Qwen25VLConfig, quantize_text: bool =
     return from_named_arrays(gen(), cfg, quantize_text=quantize_text)
 
 
+def iter_safetensors(model_dir: str) -> Iterator[tuple[str, np.ndarray]]:
+    """Yield (name, array) across a model dir's safetensors shards
+    (index-file order when present). Shared by every family's loader."""
+    from safetensors import safe_open
+
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        shards = sorted(set(index["weight_map"].values()))
+    else:
+        shards = [f for f in os.listdir(model_dir) if f.endswith(".safetensors")]
+    for shard in shards:
+        with safe_open(os.path.join(model_dir, shard), framework="numpy") as f:
+            for key in f.keys():
+                yield key, f.get_tensor(key)
+
+
 def load_pretrained(
     model_dir: str,
     cfg: Qwen25VLConfig | None = None,
@@ -415,26 +433,9 @@ def load_pretrained(
     ``quantize_text=True`` streams each decoder matmul to int8 during the
     shard read — the full 7B loads into ~9.5 GB instead of 16.6 GB bf16
     (which would not fit a single 16 GB chip alongside a KV cache)."""
-    from safetensors import safe_open
-
     if cfg is None:
         cfg = Qwen25VLConfig.from_pretrained(model_dir)
-
-    index_path = os.path.join(model_dir, "model.safetensors.index.json")
-    if os.path.exists(index_path):
-        with open(index_path) as f:
-            index = json.load(f)
-        shards = sorted(set(index["weight_map"].values()))
-    else:
-        shards = [f for f in os.listdir(model_dir) if f.endswith(".safetensors")]
-
-    def gen():
-        for shard in shards:
-            with safe_open(os.path.join(model_dir, shard), framework="numpy") as f:
-                for key in f.keys():
-                    yield key, f.get_tensor(key)
-
-    return from_named_arrays(gen(), cfg, quantize_text=quantize_text), cfg
+    return from_named_arrays(iter_safetensors(model_dir), cfg, quantize_text=quantize_text), cfg
 
 
 def save_safetensors(params: dict, cfg: Qwen25VLConfig, out_path: str):

@@ -157,7 +157,14 @@ def main():
                 out[k] = D.put_global(local, mesh, P_("data"))
         return out
 
+    if len(prepared) < global_bs:
+        raise ValueError(
+            f"dataset has {len(prepared)} usable examples but the global "
+            f"batch is {global_bs} (mesh data axis x per-device batch); "
+            "reduce --mesh_data / --per_device_train_batch_size or add data"
+        )
     while step < total_steps:
+        made_progress = False
         for i in range(0, len(prepared) - global_bs + 1, global_bs):
             if step >= total_steps:
                 break
@@ -177,6 +184,7 @@ def main():
             params, opt_state, m = train_step(params, opt_state, batch)
             metrics.push(loss=D.scalar(m["loss"]), grad_norm=D.scalar(m["grad_norm"]))
             step += 1
+            made_progress = True
             if step % train_cfg.logging_steps == 0:
                 metrics.flush(step, extra={"epoch": epoch, "skipped": n_skipped})
             if step % train_cfg.save_steps == 0:
@@ -187,6 +195,13 @@ def main():
                     async_save=True,  # don't stall the train loop
                 )
         epoch += 1
+        if not made_progress:
+            # Every batch in the epoch failed collate: stop with a clear
+            # error instead of spinning epochs forever.
+            raise RuntimeError(
+                f"epoch {epoch - 1} made no training progress "
+                f"({n_skipped} batches skipped) — data is unusable"
+            )
 
     CKPT.wait_for_saves()
     CKPT.save_checkpoint(

@@ -139,3 +139,43 @@ class TestChunkedPrefill:
         b = chunked.generate([Request(input_ids=p) for p in prompts], samp)
         for i in range(3):
             assert a[i]["token_ids"] == b[i]["token_ids"], i
+
+    def test_chunked_with_qwen3_deepstack(self):
+        """Deepstack injection is positionwise; the per-chunk row-index
+        slices must land the vision features in the right chunks."""
+        from open_o3_video_tpu.models.qwen25vl import tiny_qwen3
+        from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
+
+        cfg = tiny_qwen3()
+        params = P.init(cfg, seed=0)
+        rng = np.random.default_rng(12)
+        frames = rng.integers(0, 255, size=(2, 3, 28, 56), dtype=np.uint8)
+        patches, grid = frames_as_images_patches(frames)
+        n_tok = patches.shape[0] // cfg.vision.merge_unit
+        vis_req = Request(
+            input_ids=[7, 8, cfg.vision_start_token_id]
+            + [cfg.image_token_id] * n_tok
+            + [cfg.vision_end_token_id]
+            + rng.integers(5, 90, size=40).tolist(),
+            pixel_patches=patches,
+            grid_thw=grid,
+            vision_token_id=cfg.image_token_id,
+        )
+        reqs = [
+            Request(input_ids=rng.integers(5, 90, size=50).tolist()),
+            vis_req,
+            Request(input_ids=rng.integers(5, 90, size=44).tolist()),
+        ]
+        samp = SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=8)
+        plain = InferenceEngine(
+            params, cfg, prompt_buckets=(64,), cache_dtype=jnp.float32,
+            max_slots=2, decode_segment=4,
+        )
+        chunked = InferenceEngine(
+            params, cfg, prompt_buckets=(64,), cache_dtype=jnp.float32,
+            max_slots=2, decode_segment=4, prefill_chunk=16,
+        )
+        a = plain.generate(reqs, samp)
+        b = chunked.generate(reqs, samp)
+        for i in range(3):
+            assert a[i]["token_ids"] == b[i]["token_ids"], i
