@@ -185,3 +185,16 @@ def test_two_text_families_one_batch(setup):
     out_c = cached.generate(reqs, sampling)
     for x, y in zip(out_p, out_c):
         assert x["token_ids"] == y["token_ids"]
+
+
+def test_identical_prompts_sample_independently(setup):
+    """GSPO rollout contract: G identical prompts through the shared-prefix
+    path must still draw independent samples per row."""
+    cfg, params, plain, cached = setup
+    ids = [(3 + 7 * i) % 90 for i in range(40)]
+    outs = cached.generate(
+        [Request(input_ids=list(ids)) for _ in range(4)],
+        SamplingParams(temperature=1.0, top_p=1.0, repetition_penalty=1.0,
+                       max_tokens=8, seed=0),
+    )
+    assert len({tuple(o["token_ids"]) for o in outs}) > 1
