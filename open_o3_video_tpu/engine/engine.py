@@ -218,9 +218,23 @@ class InferenceEngine:
             donate_argnames=("arena_k", "arena_v") if donate else (),
             **out_kw,
         )
-        self._prefill_prefix = jax.jit(self._prefill_prefix_impl, **out_kw)
+        if self._dp and not out_kw:
+            # Prefix KV blocks are gathered per ROW at wave admission, so
+            # they must come out replicated (params are fsdp/tensor-sharded
+            # and GSPMD would otherwise pick a head sharding).
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+
+            prefix_out_kw = {"out_shardings": NamedSharding(mesh, P_())}
+        else:
+            prefix_out_kw = out_kw
+        self._prefill_prefix = jax.jit(self._prefill_prefix_impl, **prefix_out_kw)
         self._admit_suffix = jax.jit(
             self._admit_suffix_impl,
+            donate_argnames=("arena_k", "arena_v") if donate else (),
+            **out_kw,
+        )
+        self._admit_suffix_full = jax.jit(
+            self._admit_suffix_full_impl,
             donate_argnames=("arena_k", "arena_v") if donate else (),
             **out_kw,
         )
@@ -374,6 +388,37 @@ class InferenceEngine:
         arena_k = arena_k.at[:, slots].set(cache["k"])
         arena_v = arena_v.at[:, slots].set(cache["v"])
         return logits, arena_k, arena_v
+
+    def _admit_suffix_full_impl(self, params, embeds, position_ids, seq_positions,
+                                attn_valid_rows, arena_k, arena_v,
+                                prefix_k_table, prefix_v_table, row_prefix_idx):
+        """DP-fleet wave admission over shared prefixes: EVERY slot row is
+        replaced, its prefix KV gathered per row from a replicated table of
+        the wave's unique prefix blocks ((n_p, layers, 1, P, H, D)), then
+        all suffixes prefill at cache_offset=P directly into the arena.
+        Rows with no prefix (wave padding) gather block 0 but mask it out
+        via attn_valid."""
+        cfg = self.cfg
+        P_len = prefix_k_table.shape[3]
+
+        def seed(arena, table):
+            pk = table[row_prefix_idx][:, :, 0]  # (B, layers, P, H, D)
+            pk = jnp.moveaxis(pk, 0, 1)  # (layers, B, P, H, D)
+            return arena.at[:, :, :P_len].set(pk.astype(arena.dtype))
+
+        hidden, cache = text_forward(
+            params["text"],
+            cfg.text,
+            embeds,
+            position_ids,
+            seq_positions=seq_positions,
+            attn_valid=attn_valid_rows,
+            cache={"k": seed(arena_k, prefix_k_table),
+                   "v": seed(arena_v, prefix_v_table)},
+            cache_offset=P_len,
+        )
+        logits = logits_from_hidden(params["text"], hidden[:, -1:, :])[:, 0]
+        return logits, cache["k"], cache["v"]
 
     def _prefill_chunk_impl(self, params, embeds, position_ids, seq_positions,
                             attn_valid_rows, rows_k, rows_v, offset,
@@ -560,8 +605,13 @@ class InferenceEngine:
 
     # --------------------------------------------------------------- host prep
 
-    def _prepare_rows(self, reqs: Sequence[Request], L: int, T: int, vis_cache: dict):
+    def _prepare_rows(self, reqs: Sequence[Request], L: int, T: int, vis_cache: dict,
+                      rows_replicated: bool = False):
         """Left-pad prompts, compute rope, embed + merge vision.
+
+        ``rows_replicated`` keeps the row dimension unsharded in DP fleet
+        mode (the single-row prefix prefill cannot split 1 row over the
+        batch axis).
 
         Returns (embeds (n,L,D) dev, position_ids (3,n,L), seq_positions
         (n,L), attn_rows (n,T) np, seen_rows (n,V) np, next_pos (n,) np)."""
@@ -641,7 +691,8 @@ class InferenceEngine:
         # One fused embed(+merge) program per admission shape: the per-row
         # eager merge this replaces cost ~8 device dispatches per request —
         # each a full round trip on a tunneled TPU.
-        ids_dev = self._put(ids, row_dim=0)
+        row_dim = None if rows_replicated else 0
+        ids_dev = self._put(ids, row_dim=row_dim)
         vis_entries: list = []  # unique vision tables, admission order
         vis_offsets: dict = {}  # vis_key -> row offset into the concat table
         total_vis = 0
@@ -681,7 +732,7 @@ class InferenceEngine:
             ]
             vis_table = mains[0] if len(mains) == 1 else jnp.concatenate(mains, axis=0)
             row_index = build_vision_row_index(ids, row_tokens, row_offsets)
-            row_index_dev = self._put(row_index, row_dim=0)
+            row_index_dev = self._put(row_index, row_dim=row_dim)
             embeds = self._embed_merge_fn(
                 self.params, ids_dev, vis_table, row_index_dev
             )
@@ -804,7 +855,7 @@ class InferenceEngine:
         tokens, leaves every member a non-empty suffix, and contains every
         vision placeholder (suffixes run text-only)."""
         n = len(requests)
-        if self._dp or not self.prefix_cache_min or n < 2:
+        if not self.prefix_cache_min or n < 2:
             return [0] * n
         clusters: dict[tuple, list[int]] = {}
         for i, r in enumerate(requests):
@@ -870,7 +921,7 @@ class InferenceEngine:
             vision_embeds=req.vision_embeds,
         )
         embeds, pos, seq_pos, attn_rows, _, _, deepstack = self._prepare_rows(
-            [pseudo], P_b, P_b, vis_cache
+            [pseudo], P_b, P_b, vis_cache, rows_replicated=True
         )
         ds_tables, ds_idx = deepstack if deepstack is not None else (None, None)
         k, v = self._prefill_prefix(
@@ -895,7 +946,9 @@ class InferenceEngine:
 
         Suffix tokens are left-padded into cache columns [P_b, P_b + S_b);
         M-RoPE positions come from the FULL sequence (so they continue the
-        prefix's), while cache/causal positions are the column indices."""
+        prefix's), while cache/causal positions are the column indices.
+        ``prefix_valid``: (P_b,) shared, or (n, P_b) per row — rows with
+        pl == 0 (DP wave padding) run prefix-less."""
         cfg = self.cfg
         n = len(reqs)
         pad_id = cfg.pad_token_id
@@ -903,7 +956,7 @@ class InferenceEngine:
         position_ids = np.ones((3, n, S_b), dtype=np.int64)
         next_pos = np.zeros(n, dtype=np.int64)
         attn_rows = np.zeros((n, T), dtype=bool)
-        attn_rows[:, :P_b] = prefix_valid[None]
+        attn_rows[:, :P_b] = np.broadcast_to(prefix_valid, (n, P_b))
         seen_rows = np.zeros((n, cfg.text.vocab_size), dtype=bool)
         for i, (r, pl) in enumerate(zip(reqs, pls)):
             full = np.asarray(r.input_ids)
@@ -924,7 +977,7 @@ class InferenceEngine:
             next_pos[i] = pos.max() + 1
             attn_rows[i, P_b + S_b - sl:P_b + S_b] = True
             seen_rows[i, full] = True
-        embeds = self._embed_fn(self.params, self._put(ids))
+        embeds = self._embed_fn(self.params, self._put(ids, row_dim=0))
         seq_positions = np.broadcast_to(
             np.arange(S_b, dtype=np.int64) + P_b, (n, S_b)
         )
@@ -1081,6 +1134,104 @@ class InferenceEngine:
                 if row_done[j]:
                     finalize(s)
 
+        def bind_wave(slots, rids, logits, seen_rows, attn_rows_dev, next_pos):
+            """Sample + bind a full DP wave (every slot row replaced);
+            padding rows are marked done immediately."""
+            nonlocal token, mrope_cur, remaining, done, attn_valid, seen, rng
+            n_new = len(slots)
+            seen_rows_dev = self._put(seen_rows, row_dim=0)
+            rng, sub = jax.random.split(rng)
+            first, first_lp = self._first_sample(
+                sub,
+                logits,
+                seen_rows_dev,
+                temperature=sampling.temperature,
+                top_p=sampling.top_p,
+                repetition_penalty=sampling.repetition_penalty,
+            )
+            first_h, first_lp_h = jax.device_get((first, first_lp))
+            row_done = np.asarray(
+                (first_h == eos) | (sampling.max_tokens <= 1)
+            ).copy()
+            for j, rid in enumerate(rids):
+                if rid >= n_real:
+                    row_done[j] = True  # padding rows end immediately
+            (token, mrope_cur, remaining, done, attn_valid, seen) = (
+                self._bind_full(
+                    seen_rows_dev,
+                    first,
+                    self._put(next_pos, to_i32=True, row_dim=0),
+                    attn_rows_dev,
+                    self._put(row_done, row_dim=0),
+                    self._put(
+                        np.full(n_new, sampling.max_tokens - 1, np.int32),
+                        row_dim=0,
+                    ),
+                )
+            )
+            for j, (s, rid) in enumerate(zip(slots, rids)):
+                slot_rid[s] = rid
+                emitted[rid] = [int(first_h[j])]
+                lp_acc[rid] = [float(first_lp_h[j])]
+                if row_done[j]:
+                    finalize(s)
+
+        def admit_with_prefix_wave(slots, rids):
+            """DP fleet + shared prefixes: one full wave, each row's prefix
+            KV gathered from a replicated table of the wave's unique prefix
+            blocks. Padding rows (rid >= n_real) run prefix-less."""
+            nonlocal arena
+            S_b = L - prefix_bucket
+            reqs_w = [requests[r] for r in rids]
+            pls = [prefix_lens[r] if r < n_real else 0 for r in rids]
+            order: list = []
+            idx_of: dict = {}
+            entries: dict = {}
+            for r, pl in zip(rids, pls):
+                if pl == 0:
+                    continue
+                req = requests[r]
+                k_ = (tuple(req.input_ids[:pl]), id(req.pixel_patches),
+                      id(req.frames), id(req.vision_embeds))
+                if k_ not in idx_of:
+                    with self.timer.stage("prefill"):
+                        entries[k_] = self._ensure_prefix(
+                            req, pl, prefix_bucket, vis_cache
+                        )
+                    idx_of[k_] = len(order)
+                    order.append(k_)
+            row_idx = np.zeros(len(rids), np.int32)
+            prefix_valid_rows = np.zeros((len(rids), prefix_bucket), bool)
+            for j, (r, pl) in enumerate(zip(rids, pls)):
+                if pl == 0:
+                    continue
+                req = requests[r]
+                k_ = (tuple(req.input_ids[:pl]), id(req.pixel_patches),
+                      id(req.frames), id(req.vision_embeds))
+                row_idx[j] = idx_of[k_]
+                prefix_valid_rows[j] = entries[k_]["valid"]
+            with self.timer.stage("prefill"), trace_annotation("engine.prefill"):
+                (embeds, pos, seq_pos, attn_rows, seen_rows, next_pos) = (
+                    self._prepare_suffix_rows(
+                        reqs_w, pls, prefix_bucket, S_b, T, prefix_valid_rows
+                    )
+                )
+                attn_rows_dev = self._put(attn_rows, row_dim=0)
+                logits, ak, av = self._admit_suffix_full(
+                    self.params,
+                    embeds,
+                    self._put(pos, row_dim=1),
+                    self._put(seq_pos, row_dim=0),
+                    attn_rows_dev,
+                    arena["k"],
+                    arena["v"],
+                    jnp.stack([entries[k_]["k"] for k_ in order]),
+                    jnp.stack([entries[k_]["v"] for k_ in order]),
+                    self._put(row_idx, row_dim=0),
+                )
+                arena = {"k": ak, "v": av}
+                bind_wave(slots, rids, logits, seen_rows, attn_rows_dev, next_pos)
+
         def admit_with_prefix(slots, rids):
             """Shared-prefix admission: one cached prefix prefill per unique
             prefix, then text-only suffix rows at a cache offset."""
@@ -1125,7 +1276,12 @@ class InferenceEngine:
         while True:
             free = [s for s in range(B) if slot_rid[s] is None]
             n_admit = min(len(free), len(idxs) - qpos)
-            if n_admit and prefix_bucket:
+            if n_admit and prefix_bucket and self._dp:
+                slots = free[:n_admit]
+                rids = idxs[qpos:qpos + n_admit]
+                qpos += n_admit
+                admit_with_prefix_wave(slots, rids)
+            elif n_admit and prefix_bucket:
                 slots = free[:n_admit]
                 rids = idxs[qpos:qpos + n_admit]
                 qpos += n_admit

@@ -146,3 +146,55 @@ def test_dp_qwen3_deepstack_matches_plain():
     out_d = dp.generate(reqs, sampling)
     for a, b in zip(out_p, out_d):
         assert a["token_ids"] == b["token_ids"]
+
+
+def test_dp_with_prefix_caching_matches_plain():
+    """DP fleet + automatic prefix caching: wave admission gathers each
+    row's prefix KV from the replicated block table; padding rows run
+    prefix-less. Pinned against the plain single-device engine."""
+    cfg = Qwen25VLConfig.tiny(dtype=jnp.float32)
+    params = P.init(cfg, seed=0)
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, size=(2, 3, 28, 56), dtype=np.uint8)
+    patches, grid = frames_as_images_patches(frames)
+    n_tok = patches.shape[0] // cfg.vision.merge_unit
+    shared_vis = (
+        [7, 8, cfg.vision_start_token_id]
+        + [cfg.image_token_id] * n_tok
+        + [cfg.vision_end_token_id]
+    )
+    # Two families: a vision item with 5 queries + a text family with 3,
+    # plus one lone request -> 9 requests over 4 slots = 3 waves (padded).
+    reqs = [
+        Request(input_ids=shared_vis + [20 + q, 30 + q, 40 + q],
+                pixel_patches=patches, grid_thw=grid,
+                vision_token_id=cfg.image_token_id)
+        for q in range(5)
+    ]
+    shared_txt = [(3 + 5 * i) % 90 for i in range(30)]
+    reqs += [Request(input_ids=shared_txt + [60 + q, 61 + q]) for q in range(3)]
+    reqs += [Request(input_ids=list(range(40, 52)))]
+    sampling = SamplingParams(temperature=0.0, max_tokens=6)
+
+    plain = InferenceEngine(
+        params, cfg, prompt_buckets=(64,), cache_dtype=jnp.float32,
+        prefix_cache_min=8, suffix_buckets=(16,),
+    )
+    out_p = plain.generate(reqs, sampling)
+
+    mesh = make_mesh(data=4, fsdp=2, tensor=1)
+    dp = InferenceEngine(
+        params, cfg, mesh=mesh, batch_axis="data", max_slots=4,
+        prompt_buckets=(64,), cache_dtype=jnp.float32,
+        prefix_cache_min=8, suffix_buckets=(16,),
+    )
+    out_d = dp.generate(reqs, sampling)
+    assert len(dp._prefix_kv) == 2  # one block per family
+    for a, b in zip(out_p, out_d):
+        assert a["token_ids"] == b["token_ids"]
+
+    # Cross-call reuse (chained eval stages) in DP mode too.
+    again = dp.generate(reqs[:5], sampling)
+    assert len(dp._prefix_kv) == 2
+    for a, b in zip(out_p[:5], again):
+        assert a["token_ids"] == b["token_ids"]
