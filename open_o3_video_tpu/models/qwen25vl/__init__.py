@@ -10,7 +10,7 @@ biases, interleaved M-RoPE) — all selected by config over shared towers. Weigh
 ``params.py``; ``load_pretrained`` auto-detects the family from config.json.
 """
 
-from .config import Qwen25VLConfig, TextConfig, VisionConfig, tiny_qwen2, tiny_qwen3
+from .config import Qwen25VLConfig, TextConfig, VisionConfig, tiny_qwen2, tiny_qwen3, tiny_qwen3_moe
 from .model import (
     build_vision_row_index,
     encode_vision,
@@ -26,6 +26,7 @@ __all__ = [
     "VisionConfig",
     "tiny_qwen2",
     "tiny_qwen3",
+    "tiny_qwen3_moe",
     "build_vision_row_index",
     "forward",
     "encode_vision",

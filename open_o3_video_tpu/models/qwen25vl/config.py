@@ -88,11 +88,16 @@ class TextConfig:
     attention_bias: bool = True
     use_qk_norm: bool = False
     mrope_interleaved: bool = False
-    # Aria MoE switches (moe_num_experts > 0 turns each MLP into a routed
-    # top-k mixture + always-on shared experts, HF AriaTextMoELayer).
+    # MoE switches (moe_num_experts > 0 turns each MLP into a routed top-k
+    # mixture). Aria (HF AriaTextMoELayer): topk -> softmax over the top-k,
+    # plus always-on shared experts. Qwen3-VL-MoE (HF
+    # Qwen3VLMoeTextSparseMoeBlock): softmax over ALL experts -> topk ->
+    # re-normalize, no shared experts.
     moe_num_experts: int = 0
     moe_topk: int = 0
     moe_num_shared_experts: int = 0
+    moe_routing: str = "topk_softmax"  # "topk_softmax" | "softmax_topk_norm"
+    moe_intermediate_size: int = 0  # 0 = intermediate_size
 
     @property
     def head_dim(self) -> int:
@@ -124,7 +129,10 @@ class Qwen25VLConfig:
         t = d.get("text_config", d)
         rope_scaling = t.get("rope_scaling") or d.get("rope_scaling") or {}
         model_type = d.get("model_type", "qwen2_5_vl")
-        if model_type == "qwen3_vl" or v.get("deepstack_visual_indexes") is not None:
+        if (
+            model_type in ("qwen3_vl", "qwen3_vl_moe")
+            or v.get("deepstack_visual_indexes") is not None
+        ):
             return _qwen3_from_hf_dict(d, v, t, rope_scaling, dtype)
         if model_type == "qwen2_vl" or v.get("embed_dim") is not None:
             return _qwen2_from_hf_dict(d, v, t, rope_scaling, dtype)
@@ -165,7 +173,7 @@ class Qwen25VLConfig:
         """HF-convention config.json payload (inverse of from_hf_dict) so an
         exported checkpoint directory is self-describing and reloadable."""
         v, t = self.vision, self.text
-        if self.model_type == "qwen3_vl":
+        if self.model_type in ("qwen3_vl", "qwen3_vl_moe"):
             vision_dict = {
                 "depth": v.depth,
                 "hidden_size": v.hidden_size,
@@ -180,7 +188,11 @@ class Qwen25VLConfig:
                 "num_position_embeddings": v.num_position_embeddings,
                 "deepstack_visual_indexes": list(v.deepstack_visual_indexes),
             }
-            arch = ["Qwen3VLForConditionalGeneration"]
+            arch = (
+                ["Qwen3VLMoeForConditionalGeneration"]
+                if self.model_type == "qwen3_vl_moe"
+                else ["Qwen3VLForConditionalGeneration"]
+            )
         elif self.model_type == "qwen2_vl":
             vision_dict = {
                 "depth": v.depth,
@@ -224,9 +236,13 @@ class Qwen25VLConfig:
             "tie_word_embeddings": t.tie_word_embeddings,
             "max_position_embeddings": t.max_position_embeddings,
         }
-        if self.model_type == "qwen3_vl":
+        if self.model_type in ("qwen3_vl", "qwen3_vl_moe"):
             text_dict["head_dim"] = t.head_dim
             text_dict["attention_bias"] = t.attention_bias
+        if self.model_type == "qwen3_vl_moe":
+            text_dict["num_experts"] = t.moe_num_experts
+            text_dict["num_experts_per_tok"] = t.moe_topk
+            text_dict["moe_intermediate_size"] = t.moe_intermediate_size
         return {
             "model_type": self.model_type,
             "architectures": arch,
@@ -316,6 +332,7 @@ def _qwen3_from_hf_dict(d, v, t, rope_scaling, dtype) -> "Qwen25VLConfig":
         patch_embed_bias=True,
     )
     base_text = _text_from_hf_dict(t, d, rope_scaling)
+    moe = d.get("model_type") == "qwen3_vl_moe" or t.get("num_experts") is not None
     text = dataclasses.replace(
         base_text,
         vocab_size=t.get("vocab_size", 151936),
@@ -325,11 +342,23 @@ def _qwen3_from_hf_dict(d, v, t, rope_scaling, dtype) -> "Qwen25VLConfig":
         attention_bias=t.get("attention_bias", False),
         use_qk_norm=True,
         mrope_interleaved=True,
+        # Qwen3-VL-MoE (e.g. the 30B-A3B release): every layer's MLP is a
+        # routed mixture with softmax->topk->renorm routing, no shared
+        # experts. mlp_only_layers/decoder_sparse_step != defaults are not
+        # supported (no released Qwen3-VL checkpoint uses them).
+        moe_num_experts=t.get("num_experts", 0) if moe else 0,
+        moe_topk=t.get("num_experts_per_tok", 0) if moe else 0,
+        moe_routing="softmax_topk_norm" if moe else "topk_softmax",
+        moe_intermediate_size=t.get("moe_intermediate_size", 0) if moe else 0,
     )
+    if moe and (t.get("mlp_only_layers") or t.get("decoder_sparse_step", 1) != 1):
+        raise NotImplementedError(
+            "qwen3_vl_moe with mlp_only_layers / decoder_sparse_step != 1"
+        )
     return Qwen25VLConfig(
         vision=vision,
         text=text,
-        model_type="qwen3_vl",
+        model_type="qwen3_vl_moe" if moe else "qwen3_vl",
         image_token_id=d.get("image_token_id", 151655),
         video_token_id=d.get("video_token_id", 151656),
         vision_start_token_id=d.get("vision_start_token_id", 151652),
@@ -402,6 +431,19 @@ def tiny_qwen3(dtype=jnp.float32) -> "Qwen25VLConfig":
     return dataclasses.replace(
         base, vision=vision, text=text, model_type="qwen3_vl"
     )
+
+
+def tiny_qwen3_moe(dtype=jnp.float32) -> "Qwen25VLConfig":
+    """Small random-init Qwen3-VL-MoE config (tests / CI parity checks)."""
+    base = tiny_qwen3(dtype=dtype)
+    text = dataclasses.replace(
+        base.text,
+        moe_num_experts=4,
+        moe_topk=2,
+        moe_routing="softmax_topk_norm",
+        moe_intermediate_size=32,
+    )
+    return dataclasses.replace(base, text=text, model_type="qwen3_vl_moe")
 
 
 def tiny_qwen2(dtype=jnp.float32) -> "Qwen25VLConfig":

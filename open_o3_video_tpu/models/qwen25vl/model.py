@@ -33,7 +33,7 @@ def get_rope_index(
     """
     merge = cfg.vision.spatial_merge_size
     B, S = input_ids.shape
-    if cfg.model_type == "qwen3_vl" and video_grid_thw is not None:
+    if cfg.model_type in ("qwen3_vl", "qwen3_vl_moe") and video_grid_thw is not None:
         # Qwen3-VL separates frames with timestamp TEXT tokens
         # (<t1><vision_start><frame1><vision_end>...), so each video grid
         # splits into per-frame grids with t=1 (HF Qwen3VLModel.get_rope_index).
@@ -88,7 +88,7 @@ def get_rope_index(
             st_idx = int(pos_list[-1].max()) + 1 if pos_list else 0
             pos_list.append(np.broadcast_to(np.arange(text_len)[None], (3, text_len)) + st_idx)
 
-            if cfg.model_type in ("qwen2_vl", "qwen3_vl"):
+            if cfg.model_type in ("qwen2_vl", "qwen3_vl", "qwen3_vl_moe"):
                 # Qwen2-VL / Qwen3-VL: raw frame index, no tokens_per_second
                 # scaling (Qwen3-VL grids are pre-split to t=1, so its
                 # temporal index is always 0 — time lives in text tokens).

@@ -120,6 +120,7 @@ def init(cfg: Qwen25VLConfig, seed: int = 0, quantize_text: bool = False) -> dic
         visual["deepstack"] = [
             merger(postshuffle=True) for _ in v.deepstack_visual_indexes
         ]
+    moe_f = t.moe_intermediate_size or t.intermediate_size
     layers = []
     for _ in range(t.num_hidden_layers):
         layer = {
@@ -129,10 +130,20 @@ def init(cfg: Qwen25VLConfig, seed: int = 0, quantize_text: bool = False) -> dic
             "v_w": maybe_q(w(t.hidden_size, t.num_key_value_heads * t.head_dim)),
             "o_w": maybe_q(w(t.num_attention_heads * t.head_dim, t.hidden_size)),
             "post_norm": ones(t.hidden_size),
-            "gate_w": maybe_q(w(t.hidden_size, t.intermediate_size)),
-            "up_w": maybe_q(w(t.hidden_size, t.intermediate_size)),
-            "down_w": maybe_q(w(t.intermediate_size, t.hidden_size)),
         }
+        if t.moe_num_experts:
+            # Qwen3-VL-MoE: routed experts only (no shared-experts SwiGLU)
+            layer.update(
+                router=w(t.hidden_size, t.moe_num_experts),
+                moe_fc1=w(t.moe_num_experts, t.hidden_size, 2 * moe_f),
+                moe_fc2=w(t.moe_num_experts, moe_f, t.hidden_size),
+            )
+        else:
+            layer.update(
+                gate_w=maybe_q(w(t.hidden_size, t.intermediate_size)),
+                up_w=maybe_q(w(t.hidden_size, t.intermediate_size)),
+                down_w=maybe_q(w(t.intermediate_size, t.hidden_size)),
+            )
         if t.attention_bias:
             layer["q_b"] = zeros(t.num_attention_heads * t.head_dim)
             layer["k_b"] = zeros(t.num_key_value_heads * t.head_dim)
@@ -238,6 +249,11 @@ def from_named_arrays(
                 "mlp.gate_proj.weight": ("gate_w", True),
                 "mlp.up_proj.weight": ("up_w", True),
                 "mlp.down_proj.weight": ("down_w", True),
+                # Qwen3-VL-MoE sparse block (experts are bare nn.Parameters;
+                # (E, D, 2F) / (E, F, D) are already input-major per expert)
+                "mlp.gate.weight": ("router", True),
+                "mlp.experts.gate_up_proj": ("moe_fc1", False),
+                "mlp.experts.down_proj": ("moe_fc2", False),
             }
             if rest in mapping:
                 name, tr = mapping[rest]
@@ -361,10 +377,11 @@ def init_empty(cfg: Qwen25VLConfig) -> dict:
         visual["deepstack"] = [
             {k: None for k in merger_keys} for _ in v.deepstack_visual_indexes
         ]
-    layer_keys = [
-        "input_norm", "q_w", "k_w", "v_w", "o_w", "post_norm",
-        "gate_w", "up_w", "down_w",
-    ]
+    layer_keys = ["input_norm", "q_w", "k_w", "v_w", "o_w", "post_norm"]
+    if t.moe_num_experts:
+        layer_keys += ["router", "moe_fc1", "moe_fc2"]
+    else:
+        layer_keys += ["gate_w", "up_w", "down_w"]
     if t.attention_bias:
         layer_keys += ["q_b", "k_b", "v_b"]
     if t.use_qk_norm:
@@ -471,9 +488,14 @@ def save_safetensors(params: dict, cfg: Qwen25VLConfig, out_path: str):
             flat[p + "self_attn.q_norm.weight"] = to_np(layer["q_norm"])
             flat[p + "self_attn.k_norm.weight"] = to_np(layer["k_norm"])
         flat[p + "self_attn.o_proj.weight"] = to_np_t(layer["o_w"])
-        flat[p + "mlp.gate_proj.weight"] = to_np_t(layer["gate_w"])
-        flat[p + "mlp.up_proj.weight"] = to_np_t(layer["up_w"])
-        flat[p + "mlp.down_proj.weight"] = to_np_t(layer["down_w"])
+        if "router" in layer:
+            flat[p + "mlp.gate.weight"] = to_np_t(layer["router"])
+            flat[p + "mlp.experts.gate_up_proj"] = to_np(layer["moe_fc1"])
+            flat[p + "mlp.experts.down_proj"] = to_np(layer["moe_fc2"])
+        else:
+            flat[p + "mlp.gate_proj.weight"] = to_np_t(layer["gate_w"])
+            flat[p + "mlp.up_proj.weight"] = to_np_t(layer["up_w"])
+            flat[p + "mlp.down_proj.weight"] = to_np_t(layer["down_w"])
 
     vis = params["visual"]
     v = cfg.vision

@@ -125,8 +125,15 @@ def _moe_mlp(p: dict, cfg: TextConfig, x: jnp.ndarray) -> jnp.ndarray:
     D = x.shape[-1]
     flat = x.reshape(-1, D)
     logits = dense(flat, p["router"]).astype(jnp.float32)  # (N, E)
-    top_logits, top_idx = jax.lax.top_k(logits, cfg.moe_topk)
-    scores = jax.nn.softmax(top_logits, axis=-1)  # softmax over the top-k only
+    if cfg.moe_routing == "softmax_topk_norm":
+        # Qwen3-VL-MoE: softmax over ALL experts, take top-k, re-normalize.
+        probs = jax.nn.softmax(logits, axis=-1)
+        scores, top_idx = jax.lax.top_k(probs, cfg.moe_topk)
+        scores = scores / scores.sum(axis=-1, keepdims=True)
+    else:
+        # Aria: top-k logits, softmax over the top-k only.
+        top_logits, top_idx = jax.lax.top_k(logits, cfg.moe_topk)
+        scores = jax.nn.softmax(top_logits, axis=-1)
     combine = (
         jax.nn.one_hot(top_idx, cfg.moe_num_experts, dtype=flat.dtype)
         * scores.astype(flat.dtype)[..., None]
@@ -136,10 +143,12 @@ def _moe_mlp(p: dict, cfg: TextConfig, x: jnp.ndarray) -> jnp.ndarray:
     h = jax.nn.silu(proj) * gate
     h = jnp.einsum("enf,efd->end", h, p["moe_fc2"])  # (E, N, D)
     routed = jnp.einsum("ne,end->nd", combine, h)
-    shared = dense(
-        jax.nn.silu(dense(flat, p["gate_w"])) * dense(flat, p["up_w"]), p["down_w"]
-    )
-    return (routed + shared).reshape(x.shape)
+    if "gate_w" in p:  # Aria's always-on shared experts
+        routed = routed + dense(
+            jax.nn.silu(dense(flat, p["gate_w"])) * dense(flat, p["up_w"]),
+            p["down_w"],
+        )
+    return routed.reshape(x.shape)
 
 
 def text_forward(

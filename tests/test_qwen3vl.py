@@ -347,3 +347,156 @@ def test_engine_prefix_cache_qwen3_vision_family(engine_pair):
     out_p = plain.generate(reqs, sampling)
     for a, b in zip(out_p, out_c):
         assert a["token_ids"] == b["token_ids"]
+
+
+class TestQwen3VLMoe:
+    """Qwen3-VL-MoE (e.g. the released 30B-A3B): Qwen3-VL vision +
+    softmax->topk->renorm routed experts, no shared experts."""
+
+    @pytest.fixture(scope="class")
+    def moe_pair(self):
+        from transformers.models.qwen3_vl_moe import (
+            Qwen3VLMoeConfig,
+            Qwen3VLMoeForConditionalGeneration,
+        )
+        from open_o3_video_tpu.models.qwen25vl import tiny_qwen3_moe
+
+        ours_cfg = tiny_qwen3_moe()
+        v, t = ours_cfg.vision, ours_cfg.text
+        hf_cfg = Qwen3VLMoeConfig(
+            vision_config=dict(
+                depth=v.depth,
+                hidden_size=v.hidden_size,
+                hidden_act="gelu_pytorch_tanh",
+                intermediate_size=v.intermediate_size,
+                num_heads=v.num_heads,
+                patch_size=v.patch_size,
+                spatial_merge_size=v.spatial_merge_size,
+                temporal_patch_size=v.temporal_patch_size,
+                out_hidden_size=v.out_hidden_size,
+                num_position_embeddings=v.num_position_embeddings,
+                deepstack_visual_indexes=list(v.deepstack_visual_indexes),
+            ),
+            text_config=dict(
+                vocab_size=t.vocab_size,
+                hidden_size=t.hidden_size,
+                intermediate_size=t.intermediate_size,
+                num_hidden_layers=t.num_hidden_layers,
+                num_attention_heads=t.num_attention_heads,
+                num_key_value_heads=t.num_key_value_heads,
+                head_dim=t.head_dim,
+                rms_norm_eps=t.rms_norm_eps,
+                rope_theta=t.rope_theta,
+                rope_scaling={"rope_type": "default", "mrope_section": list(t.mrope_section), "mrope_interleaved": True},
+                attention_bias=False,
+                num_experts=t.moe_num_experts,
+                num_experts_per_tok=t.moe_topk,
+                moe_intermediate_size=t.moe_intermediate_size,
+                tie_word_embeddings=False,
+            ),
+            image_token_id=ours_cfg.image_token_id,
+            video_token_id=ours_cfg.video_token_id,
+            vision_start_token_id=ours_cfg.vision_start_token_id,
+            vision_end_token_id=ours_cfg.vision_end_token_id,
+            tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        hf_model = Qwen3VLMoeForConditionalGeneration(hf_cfg).eval().float()
+        ours_params = P.from_torch_state_dict(hf_model.state_dict(), ours_cfg)
+        return hf_model, ours_params, ours_cfg
+
+    def test_config_roundtrip(self):
+        from open_o3_video_tpu.models.qwen25vl import tiny_qwen3_moe
+
+        cfg = tiny_qwen3_moe()
+        again = Qwen25VLConfig.from_hf_dict(cfg.to_hf_dict())
+        assert dataclasses.replace(again, dtype=cfg.dtype) == cfg
+
+    def test_text_only_moe_parity(self, moe_pair):
+        hf_model, ours_params, cfg = moe_pair
+        rng = np.random.default_rng(0)
+        input_ids = rng.integers(0, 400, size=(2, 12))
+        with torch.no_grad():
+            hf_logits = hf_model(input_ids=torch.tensor(input_ids)).logits.numpy()
+        position_ids, _ = get_rope_index(cfg, input_ids)
+        ours_logits, _ = forward(
+            ours_params, cfg, jnp.asarray(input_ids), jnp.asarray(position_ids)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours_logits), hf_logits, atol=2e-4, rtol=2e-3
+        )
+
+    def test_vision_moe_parity(self, moe_pair):
+        hf_model, ours_params, cfg = moe_pair
+        rng = np.random.default_rng(1)
+        t, h, w = 1, 4, 8
+        n_patches = t * h * w
+        n_tokens = n_patches // cfg.vision.merge_unit
+        pixel_values = rng.normal(0, 1, size=(n_patches, cfg.vision.patch_dim)).astype(np.float32)
+        grid_thw = np.array([[t, h, w]], dtype=np.int64)
+        ids = (
+            rng.integers(0, 100, size=5).tolist()
+            + [cfg.vision_start_token_id]
+            + [cfg.image_token_id] * n_tokens
+            + [cfg.vision_end_token_id]
+            + rng.integers(0, 100, size=4).tolist()
+        )
+        input_ids = np.array([ids])
+        with torch.no_grad():
+            hf_logits = hf_model(
+                input_ids=torch.tensor(input_ids),
+                pixel_values=torch.tensor(pixel_values),
+                image_grid_thw=torch.tensor(grid_thw),
+            ).logits.numpy()
+        position_ids, _ = get_rope_index(cfg, input_ids, image_grid_thw=grid_thw)
+        ours_logits, _ = forward(
+            ours_params, cfg,
+            jnp.asarray(input_ids), jnp.asarray(position_ids),
+            pixel_patches=jnp.asarray(pixel_values), grid_thw=grid_thw,
+            vision_token_id=cfg.image_token_id,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours_logits), hf_logits, atol=5e-4, rtol=5e-3
+        )
+
+    def test_engine_greedy_matches_hf(self, moe_pair):
+        from open_o3_video_tpu.engine import InferenceEngine, Request, SamplingParams
+
+        hf_model, ours_params, cfg = moe_pair
+        engine = InferenceEngine(
+            ours_params, cfg, prompt_buckets=(32,), cache_dtype=jnp.float32
+        )
+        rng = np.random.default_rng(2)
+        prompt = rng.integers(5, 400, size=11).tolist()
+        with torch.no_grad():
+            hf_out = hf_model.generate(
+                input_ids=torch.tensor([prompt]),
+                attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+                max_new_tokens=8,
+                do_sample=False,
+            )
+        out = engine.generate(
+            [Request(input_ids=prompt)],
+            SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=8),
+        )
+        assert out[0]["token_ids"] == hf_out[0, len(prompt):].tolist()
+
+    def test_expert_parallel_sharding(self, moe_pair):
+        from open_o3_video_tpu.parallel import make_mesh
+        from open_o3_video_tpu.parallel.mesh import shard_params
+
+        _, ours_params, cfg = moe_pair
+        rng = np.random.default_rng(3)
+        input_ids = rng.integers(5, 400, size=(2, 8))
+        position_ids, _ = get_rope_index(cfg, input_ids)
+        ref_logits, _ = forward(
+            ours_params, cfg, jnp.asarray(input_ids), jnp.asarray(position_ids)
+        )
+        mesh = make_mesh(data=1, fsdp=2, tensor=4)
+        sharded = shard_params(ours_params, mesh)
+        ep_logits, _ = forward(
+            sharded, cfg, jnp.asarray(input_ids), jnp.asarray(position_ids)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ep_logits), np.asarray(ref_logits), atol=1e-4, rtol=1e-4
+        )
