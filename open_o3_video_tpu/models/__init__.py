@@ -12,4 +12,29 @@
 
 from . import aria, qwen25vl
 
-__all__ = ["aria", "qwen25vl"]
+
+def load_model(model_dir: str, dtype=None, **kwargs):
+    """Family-dispatching loader — the reference's by-name model selection
+    (grpo_trainer.py:211-219) driven by config.json instead.
+
+    Returns (params, cfg, family_module); kwargs forward to the family
+    loader (e.g. quantize_text=True for the Qwen families)."""
+    import json
+    import os
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        model_type = json.load(f).get("model_type", "qwen2_5_vl")
+    if model_type == "aria":
+        cfg = aria.AriaConfig.from_pretrained(
+            model_dir, **({"dtype": dtype} if dtype is not None else {})
+        )
+        params, cfg = aria.params.load_pretrained(model_dir, cfg=cfg, **kwargs)
+        return params, cfg, aria
+    cfg = qwen25vl.Qwen25VLConfig.from_pretrained(
+        model_dir, **({"dtype": dtype} if dtype is not None else {})
+    )
+    params, cfg = qwen25vl.params.load_pretrained(model_dir, cfg=cfg, **kwargs)
+    return params, cfg, qwen25vl
+
+
+__all__ = ["aria", "qwen25vl", "load_model"]
