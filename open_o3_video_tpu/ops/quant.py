@@ -61,8 +61,52 @@ def quantize_weight(w: jnp.ndarray, compute_dtype=jnp.bfloat16) -> QuantizedLine
     return QuantizedLinear(w_q, scale.astype(compute_dtype))
 
 
+@jax.tree_util.register_pytree_with_keys_class
+class LoraLinear:
+    """Frozen base matmul + trainable low-rank delta; used via dense().
+
+    ``base`` may itself be a QuantizedLinear (QLoRA on TPU: int8 frozen
+    base + bf16 adapters — the full 7B trains on one 16 GB chip). ``scale``
+    is alpha / rank (LoRA convention); kept a leaf so the tree round-trips
+    through checkpoints and sharding.
+    """
+
+    def __init__(self, base, a: jnp.ndarray, b: jnp.ndarray, scale):
+        self.base = base
+        self.a = a
+        self.b = b
+        self.scale = scale
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+    @property
+    def ndim(self):
+        return self.base.ndim
+
+    def tree_flatten_with_keys(self):
+        return (
+            (jax.tree_util.GetAttrKey("base"), self.base),
+            (jax.tree_util.GetAttrKey("a"), self.a),
+            (jax.tree_util.GetAttrKey("b"), self.b),
+            (jax.tree_util.GetAttrKey("scale"), self.scale),
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, _aux, children):
+        return cls(*children)
+
+    def __repr__(self):
+        return f"LoraLinear(shape={tuple(self.shape)}, rank={self.a.shape[-1]})"
+
+
 def dense(x: jnp.ndarray, w) -> jnp.ndarray:
-    """x @ w for plain arrays or QuantizedLinear (cast fused into the dot)."""
+    """x @ w for plain arrays, QuantizedLinear (cast fused into the dot),
+    or LoraLinear (frozen base + low-rank delta)."""
+    if isinstance(w, LoraLinear):
+        delta = (x @ w.a.astype(x.dtype)) @ w.b.astype(x.dtype)
+        return dense(x, w.base) + delta * jnp.asarray(w.scale, x.dtype)
     if isinstance(w, QuantizedLinear):
         y = jax.lax.dot_general(
             x,

@@ -51,6 +51,12 @@ def parse_args():
     p.add_argument("--coordinator_address", default=None)
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    # PEFT / LoRA (reference: peft_config via TRL --use_peft flags, grpo.py:98)
+    p.add_argument("--use_peft", action="store_true")
+    p.add_argument("--lora_r", type=int, default=16)
+    p.add_argument("--lora_alpha", type=float, default=32.0)
+    p.add_argument("--lora_target_modules", default="q_proj,v_proj",
+                   help="comma-separated (HF names like q_proj or leaf names like q_w)")
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--report_to", default="none")
     p.add_argument("--seed", type=int, default=42)
@@ -118,6 +124,18 @@ def main():
         )
 
     metrics = MetricsBus(use_wandb=args.report_to == "wandb", primary=D.is_primary())
+    lora_cfg = None
+    if args.use_peft:
+        from .lora import LoraConfig
+
+        lora_cfg = LoraConfig(
+            rank=args.lora_r,
+            alpha=args.lora_alpha,
+            target_modules=LoraConfig.normalize_targets(
+                args.lora_target_modules.split(",")
+            ),
+            seed=args.seed,
+        )
     trainer = GSPOTrainer(
         params, ref_params, model_cfg, cfg,
         detokenize=lambda ids: processor.decode(ids, skip_special_tokens=True),
@@ -125,6 +143,7 @@ def main():
         mesh=mesh,
         metrics=metrics,
         seed=args.seed,
+        lora=lora_cfg,
     )
 
     import numpy as np
@@ -132,7 +151,9 @@ def main():
     def ckpt_state(step):
         # The rollout sampler draws seed+global_step per step, so capturing
         # (seed, step) makes resumed rollouts reproduce the original stream.
-        return {"params": trainer.params, "opt_state": trainer.opt_state,
+        # LoRA runs checkpoint the small adapter tree, not the frozen base.
+        weights = trainer.adapters if trainer.adapters is not None else trainer.params
+        return {"params": weights, "opt_state": trainer.opt_state,
                 "meta": {"step": np.asarray(step, np.int64),
                          "seed": np.asarray(trainer.seed, np.int64)}}
 
@@ -140,7 +161,11 @@ def main():
     if args.resume_from_checkpoint:
         target = ckpt_state(0)
         state, start_step = CKPT.restore_checkpoint(args.resume_from_checkpoint, target=target)
-        trainer.params, trainer.opt_state = state["params"], state["opt_state"]
+        if trainer.adapters is not None:
+            trainer.adapters = state["params"]
+        else:
+            trainer.params = state["params"]
+        trainer.opt_state = state["opt_state"]
         trainer.seed = int(state["meta"]["seed"])
         print(f"Resumed from step {start_step} (sampler seed {trainer.seed})")
 
@@ -186,7 +211,14 @@ def main():
 
     CKPT.wait_for_saves()
     CKPT.save_checkpoint(args.output_dir, step, ckpt_state(step))
-    CKPT.export_safetensors(trainer.params, model_cfg, args.output_dir)
+    if trainer.adapters is not None:
+        from .lora import merge_adapters
+
+        # PEFT merge_and_unload equivalent: export base + folded deltas.
+        merged = merge_adapters(trainer.params, trainer.adapters, lora_cfg.scale)
+        CKPT.export_safetensors(merged, model_cfg, args.output_dir)
+    else:
+        CKPT.export_safetensors(trainer.params, model_cfg, args.output_dir)
     print(f"GSPO complete: {step} steps -> {args.output_dir}")
 
 

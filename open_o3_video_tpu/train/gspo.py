@@ -188,6 +188,7 @@ class GSPOTrainer:
         mesh=None,
         metrics: Optional[MetricsBus] = None,
         seed: int = 0,
+        lora: "Optional[LoraConfig]" = None,
     ):
         from ..engine import InferenceEngine
 
@@ -198,13 +199,28 @@ class GSPOTrainer:
         self.metrics = metrics or MetricsBus()
         self.mesh = mesh
         self.seed = seed
+        self.lora = lora
+        if lora is not None:
+            # PEFT path (grpo_trainer.py:244-248): the reference model is
+            # the policy with adapters DISABLED — i.e. the frozen base —
+            # so no second weight copy exists.
+            ref_params = params
         if mesh is not None:
             from ..parallel.mesh import shard_params
 
             params = shard_params(params, mesh)
-            ref_params = shard_params(ref_params, mesh)
+            ref_params = params if lora is not None else shard_params(ref_params, mesh)
         self.params = params
         self.ref_params = ref_params
+        self.adapters = None
+        if lora is not None:
+            from .lora import init_adapters
+
+            self.adapters = init_adapters(params, lora, dtype=jnp.bfloat16)
+            if mesh is not None:
+                from ..parallel.mesh import replicate
+
+                self.adapters = replicate(self.adapters, mesh)
         # The engine shares the trainer's (already sharded) params; passing
         # the mesh turns on SPMD lockstep mode when it spans hosts.
         self.engine = InferenceEngine(params, model_cfg, mesh=mesh)
@@ -215,7 +231,9 @@ class GSPOTrainer:
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adamw(cfg.learning_rate),
         )
-        self.opt_state = self.optimizer.init(self.params)
+        self.opt_state = self.optimizer.init(
+            self.adapters if self.adapters is not None else self.params
+        )
         if mesh is not None:
             from ..parallel.mesh import replicate_scalars
 
@@ -318,7 +336,15 @@ class GSPOTrainer:
                 vision_token_id=s.get("vision_token_id"),
             )
             reqs.extend([req] * G)
-        self.engine.params = self.params  # rollouts always use latest policy
+        if self.adapters is not None:
+            from .lora import apply_adapters
+
+            # rollouts use base + CURRENT adapters (zero-copy graft)
+            self.engine.params = apply_adapters(
+                self.params, self.adapters, self.lora.scale
+            )
+        else:
+            self.engine.params = self.params  # rollouts always use latest policy
         with self.timer.stage("rollout"):
             outs = self.engine.generate(
                 reqs,
@@ -482,42 +508,69 @@ class GSPOTrainer:
             logps_key = nv_key
 
         # 7. loss + update (jitted per shape bucket)
-        upd_key = ("update", logps_key, Lp)
+        upd_key = ("update", logps_key, Lp, self.adapters is not None)
         if upd_key not in self._step_fns:
             g_ = grid if use_vision else None
             vt_ = vis_tok if use_vision else None
 
-            @jax.jit
-            def update_fn(params, opt_state, ids, position_ids, attn_valid,
-                          completion_mask, ref_logps, advantages, patches, vri):
-                (loss, aux), grads = jax.value_and_grad(
-                    lambda p: gspo_loss(
-                        p, mcfg, cfg, ids, position_ids, attn_valid,
-                        completion_mask, Lp, ref_logps, advantages,
-                        pixel_patches=patches, grid_thw=g_, vision_token_id=vt_,
-                        vision_row_index=vri,
-                    ),
-                    has_aux=True,
-                )(params)
-                updates, opt_state = self.optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return params, opt_state, loss, aux["kl"]
+            if self.adapters is not None:
+                from .lora import apply_adapters
+
+                lora_scale = self.lora.scale
+
+                @jax.jit
+                def update_fn(adapters, opt_state, base, ids, position_ids,
+                              attn_valid, completion_mask, ref_logps,
+                              advantages, patches, vri):
+                    # PEFT update: grads through the adapter tree only —
+                    # no base-sized gradient/optimizer buffers.
+                    (loss, aux), grads = jax.value_and_grad(
+                        lambda ad: gspo_loss(
+                            apply_adapters(base, ad, lora_scale), mcfg, cfg,
+                            ids, position_ids, attn_valid, completion_mask,
+                            Lp, ref_logps, advantages, pixel_patches=patches,
+                            grid_thw=g_, vision_token_id=vt_,
+                            vision_row_index=vri,
+                        ),
+                        has_aux=True,
+                    )(adapters)
+                    updates, opt_state = self.optimizer.update(grads, opt_state, adapters)
+                    adapters = optax.apply_updates(adapters, updates)
+                    return adapters, opt_state, loss, aux["kl"]
+            else:
+
+                @jax.jit
+                def update_fn(params, opt_state, ids, position_ids, attn_valid,
+                              completion_mask, ref_logps, advantages, patches, vri):
+                    (loss, aux), grads = jax.value_and_grad(
+                        lambda p: gspo_loss(
+                            p, mcfg, cfg, ids, position_ids, attn_valid,
+                            completion_mask, Lp, ref_logps, advantages,
+                            pixel_patches=patches, grid_thw=g_, vision_token_id=vt_,
+                            vision_row_index=vri,
+                        ),
+                        has_aux=True,
+                    )(params)
+                    updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return params, opt_state, loss, aux["kl"]
 
             self._step_fns[upd_key] = update_fn
 
         with self.timer.stage("update"):
-            self.params, self.opt_state, loss, kl = self._step_fns[upd_key](
-                self.params,
-                self.opt_state,
-                ids_d,
-                pos_d,
-                valid_d,
-                cmask_d,
-                ref_logps,
-                adv_d,
+            upd_args = (
+                ids_d, pos_d, valid_d, cmask_d, ref_logps, adv_d,
                 patches_d if use_vision else None,
                 vri_d if use_vision else None,
             )
+            if self.adapters is not None:
+                self.adapters, self.opt_state, loss, kl = self._step_fns[upd_key](
+                    self.adapters, self.opt_state, self.params, *upd_args
+                )
+            else:
+                self.params, self.opt_state, loss, kl = self._step_fns[upd_key](
+                    self.params, self.opt_state, *upd_args
+                )
             loss.block_until_ready()
 
         # 8. metrics — means over ALL replicas' rows

@@ -1,0 +1,125 @@
+"""LoRA adapters — the reference's PEFT path, TPU-native.
+
+Both reference entry points plumb ``peft_config=get_peft_config(model_args)``
+(grpo.py:98, sft_multi_task.py:479 — TRL's --use_peft / --lora_r /
+--lora_alpha / --lora_target_modules flags), and under PEFT the RL trainer
+scores reference logps with the ADAPTERS DISABLED instead of keeping a
+second model (grpo_trainer.py:244-248, 624-631).
+
+Here adapters live in their OWN small pytree; ``apply_adapters`` grafts
+them onto the frozen base as :class:`~...ops.quant.LoraLinear` leaves
+(zero-copy — the jitted step differentiates the adapter tree only, so no
+base-sized gradient buffers exist), and "disable adapter" is simply using
+the base tree. The base may be int8 (QLoRA: a 7B policy trains on one
+16 GB chip).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.quant import LoraLinear
+
+# TRL/PEFT module names -> our leaf names (PEFT's Qwen default targets are
+# the attention q/v projections).
+_HF_TO_LEAF = {
+    "q_proj": "q_w",
+    "k_proj": "k_w",
+    "v_proj": "v_w",
+    "o_proj": "o_w",
+    "gate_proj": "gate_w",
+    "up_proj": "up_w",
+    "down_proj": "down_w",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class LoraConfig:
+    rank: int = 16  # TRL get_peft_config default (--lora_r)
+    alpha: float = 32.0  # --lora_alpha
+    target_modules: tuple[str, ...] = ("q_w", "v_w")  # PEFT Qwen default
+    seed: int = 0
+
+    @property
+    def scale(self) -> float:
+        return self.alpha / self.rank
+
+    @staticmethod
+    def normalize_targets(names: Sequence[str]) -> tuple[str, ...]:
+        return tuple(_HF_TO_LEAF.get(n, n) for n in names)
+
+
+def _leaf_shape(leaf) -> tuple[int, int]:
+    return tuple(leaf.shape)  # plain, QuantizedLinear, both expose .shape
+
+
+def init_adapters(params: dict, cfg: LoraConfig, dtype=jnp.bfloat16) -> dict:
+    """Adapter tree mirroring the targeted text-decoder leaves.
+
+    PEFT init: A ~ N(0, 1/rank), B = 0 — the delta starts at exactly zero,
+    so step 0 reproduces the base model."""
+    key = jax.random.PRNGKey(cfg.seed)
+    layers = []
+    for i, layer in enumerate(params["text"]["layers"]):
+        entry = {}
+        for j, name in enumerate(cfg.target_modules):
+            if name not in layer:
+                raise KeyError(
+                    f"LoRA target {name!r} not in decoder layer (available: "
+                    f"{sorted(layer)})"
+                )
+            d_in, d_out = _leaf_shape(layer[name])
+            k = jax.random.fold_in(key, i * 131 + j)
+            entry[name] = {
+                "a": (jax.random.normal(k, (d_in, cfg.rank)) / cfg.rank).astype(dtype),
+                "b": jnp.zeros((cfg.rank, d_out), dtype=dtype),
+            }
+        layers.append(entry)
+    return {"layers": layers}
+
+
+def apply_adapters(params: dict, adapters: dict, scale: float) -> dict:
+    """Graft adapters onto the frozen base -> tree with LoraLinear leaves.
+
+    Zero-copy (leaves are referenced, not copied); safe to call inside a
+    jitted step or eagerly for the rollout engine."""
+    layers = []
+    for layer, ad in zip(params["text"]["layers"], adapters["layers"]):
+        new = dict(layer)
+        for name, ab in ad.items():
+            new[name] = LoraLinear(layer[name], ab["a"], ab["b"], scale)
+        layers.append(new)
+    out = dict(params)
+    out["text"] = dict(params["text"])
+    out["text"]["layers"] = layers
+    return out
+
+
+def merge_adapters(params: dict, adapters: dict, scale: float) -> dict:
+    """Fold the low-rank deltas into plain dense weights (for export).
+
+    An int8 base dequantizes first — the merged result is a standard
+    full-precision checkpoint, like PEFT's merge_and_unload."""
+    from ..ops.quant import QuantizedLinear
+
+    def dequant(leaf):
+        if isinstance(leaf, QuantizedLinear):
+            return leaf.w_q.astype(jnp.float32) * leaf.scale.astype(jnp.float32)
+        return leaf
+
+    layers = []
+    for layer, ad in zip(params["text"]["layers"], adapters["layers"]):
+        new = dict(layer)
+        for name, ab in ad.items():
+            base = dequant(layer[name]).astype(jnp.float32)
+            delta = (ab["a"].astype(jnp.float32) @ ab["b"].astype(jnp.float32)) * scale
+            new[name] = (base + delta).astype(ab["a"].dtype)
+        layers.append(new)
+    out = dict(params)
+    out["text"] = dict(params["text"])
+    out["text"]["layers"] = layers
+    return out

@@ -132,6 +132,47 @@ def make_train_step(model_cfg: Qwen25VLConfig, train_cfg: SFTConfig, optimizer):
     return train_step
 
 
+def make_lora_train_step(model_cfg: Qwen25VLConfig, train_cfg: SFTConfig,
+                         optimizer, lora_scale: float):
+    """(adapters, opt_state, batch, base_params) -> (adapters, opt_state, m).
+
+    The PEFT path (reference: peft_config plumbed in sft_multi_task.py:479):
+    gradients flow through the adapter tree ONLY — the frozen base (which
+    may be int8, QLoRA-style) is a plain argument, so no base-sized
+    gradient or optimizer buffers ever exist."""
+    from .lora import apply_adapters
+
+    jitted: dict = {}
+
+    def train_step(adapters, opt_state, batch, base_params):
+        batch = dict(batch)
+        grid = batch.pop("grid_thw", None)
+        vis_tok = batch.pop("vision_token_id", None)
+        grid_key = None if grid is None else tuple(map(tuple, np.asarray(grid).tolist()))
+        key = (grid_key, vis_tok, tuple(sorted(batch.keys())))
+        if key not in jitted:
+
+            @jax.jit
+            def fn(adapters, opt_state, batch, base, _grid=grid, _vt=vis_tok):
+                full = {**batch, "grid_thw": _grid, "vision_token_id": _vt}
+                (loss, aux), grads = jax.value_and_grad(
+                    lambda ad: sft_loss(
+                        apply_adapters(base, ad, lora_scale), model_cfg, full,
+                        remat=train_cfg.gradient_checkpointing,
+                    ),
+                    has_aux=True,
+                )(adapters)
+                updates, opt_state = optimizer.update(grads, opt_state, adapters)
+                adapters = optax.apply_updates(adapters, updates)
+                gnorm = optax.global_norm(grads)
+                return adapters, opt_state, {**aux, "grad_norm": gnorm}
+
+            jitted[key] = fn
+        return jitted[key](adapters, opt_state, batch, base_params)
+
+    return train_step
+
+
 def mask_labels(
     input_ids: np.ndarray,
     pad_token_id: int,

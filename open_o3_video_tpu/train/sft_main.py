@@ -44,6 +44,13 @@ def parse_args():
     p.add_argument("--coordinator_address", default=None)
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    # PEFT / LoRA (reference: peft_config via TRL --use_peft flags,
+    # sft_multi_task.py:479)
+    p.add_argument("--use_peft", action="store_true")
+    p.add_argument("--lora_r", type=int, default=16)
+    p.add_argument("--lora_alpha", type=float, default=32.0)
+    p.add_argument("--lora_target_modules", default="q_proj,v_proj",
+                   help="comma-separated (HF names like q_proj or leaf names like q_w)")
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--report_to", default="none")
     return p.parse_args()
@@ -105,20 +112,48 @@ def main():
 
     if mesh is not None:
         params = shard_params(params, mesh)
-    opt_state = optimizer.init(params)
+    lora_cfg = adapters = None
+    if args.use_peft:
+        from .lora import LoraConfig, init_adapters
+        from .sft import make_lora_train_step
+
+        lora_cfg = LoraConfig(
+            rank=args.lora_r,
+            alpha=args.lora_alpha,
+            target_modules=LoraConfig.normalize_targets(
+                args.lora_target_modules.split(",")
+            ),
+        )
+        adapters = init_adapters(params, lora_cfg, dtype=jnp.bfloat16)
+        if mesh is not None:
+            from ..parallel import replicate
+
+            adapters = replicate(adapters, mesh)
+        opt_state = optimizer.init(adapters)
+        lora_step = make_lora_train_step(
+            model_cfg, train_cfg, optimizer, lora_cfg.scale
+        )
+        train_step = lambda a, o, b: lora_step(a, o, b, params)
+    else:
+        opt_state = optimizer.init(params)
+        train_step = make_train_step(model_cfg, train_cfg, optimizer)
     if mesh is not None:
         from ..parallel import replicate_scalars
 
         opt_state = replicate_scalars(opt_state, mesh)
-    train_step = make_train_step(model_cfg, train_cfg, optimizer)
 
     start_step = 0
     if args.resume_from_checkpoint:
         # Restore INTO the live shardings (topology-change-safe).
-        target = {"params": params, "opt_state": opt_state,
+        target = {"params": adapters if adapters is not None else params,
+                  "opt_state": opt_state,
                   "meta": {"step": np.zeros((), np.int64)}}
         state, start_step = CKPT.restore_checkpoint(args.resume_from_checkpoint, target=target)
-        params, opt_state = state["params"], state["opt_state"]
+        if adapters is not None:
+            adapters = state["params"]
+        else:
+            params = state["params"]
+        opt_state = state["opt_state"]
         print(f"Resumed from step {start_step}")
 
     metrics = MetricsBus(use_wandb=args.report_to == "wandb", primary=D.is_primary())
@@ -181,7 +216,10 @@ def main():
                 print(f"[warn] collate failed at step {step} ({e!r}); skipping batch")
                 continue
             batch = shard_batch(batch)
-            params, opt_state, m = train_step(params, opt_state, batch)
+            if adapters is not None:
+                adapters, opt_state, m = train_step(adapters, opt_state, batch)
+            else:
+                params, opt_state, m = train_step(params, opt_state, batch)
             metrics.push(loss=D.scalar(m["loss"]), grad_norm=D.scalar(m["grad_norm"]))
             step += 1
             made_progress = True
@@ -190,7 +228,8 @@ def main():
             if step % train_cfg.save_steps == 0:
                 CKPT.save_checkpoint(
                     args.output_dir, step,
-                    {"params": params, "opt_state": opt_state,
+                    {"params": adapters if adapters is not None else params,
+                     "opt_state": opt_state,
                      "meta": {"step": np.asarray(step, np.int64)}},
                     async_save=True,  # don't stall the train loop
                 )
@@ -206,11 +245,21 @@ def main():
     CKPT.wait_for_saves()
     CKPT.save_checkpoint(
         args.output_dir, step,
-        {"params": params, "opt_state": opt_state,
+        {"params": adapters if adapters is not None else params,
+         "opt_state": opt_state,
          "meta": {"step": np.asarray(step, np.int64)}},
     )
     # export gathers collectively and writes on process 0 only
-    CKPT.export_safetensors(params, model_cfg, args.output_dir)
+    if adapters is not None:
+        from .lora import merge_adapters
+
+        # PEFT merge_and_unload equivalent: export base + folded deltas.
+        CKPT.export_safetensors(
+            merge_adapters(params, adapters, lora_cfg.scale), model_cfg,
+            args.output_dir,
+        )
+    else:
+        CKPT.export_safetensors(params, model_cfg, args.output_dir)
     print(f"SFT complete: {step} steps -> {args.output_dir}")
 
 

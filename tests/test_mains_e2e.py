@@ -156,3 +156,41 @@ class TestGRPOMainE2E:
 
         assert latest_step(out_dir) == 1
         assert os.path.exists(os.path.join(out_dir, "model.safetensors"))
+
+
+class TestLoraMainsE2E:
+    def test_sft_peft_train_and_merged_export(self, model_dir, data_root, tmp_path):
+        """--use_peft drives the reference's PEFT path end-to-end: LoRA
+        train steps, adapter checkpoints, merged safetensors export."""
+        from open_o3_video_tpu.train import sft_main
+
+        ds = [
+            {
+                "task": "temporal QA",
+                "source": "TVG_tiny",
+                "video_path": "clip.mp4",
+                "question": "When?",
+                "reasoning_process": "At <t>1.0</t>s.",
+                "answer": "From <t>1.0</t>s to <t>2.0</t>s",
+            }
+            for _ in range(2)
+        ]
+        ds_file = tmp_path / "sft.json"
+        ds_file.write_text(json.dumps(ds))
+        out_dir = str(tmp_path / "ckpt_lora")
+        _run_main(sft_main.main, [
+            "--model_name_or_path", model_dir,
+            "--dataset_name", str(ds_file),
+            "--data_root", data_root,
+            "--output_dir", out_dir,
+            "--max_steps", "1",
+            "--save_steps", "1",
+            "--nframes", "2",
+            "--use_peft", "--lora_r", "4", "--lora_alpha", "8",
+            "--mesh_data", "1", "--mesh_fsdp", "1", "--mesh_tensor", "1",
+        ])
+        # merged export is a standard, loadable checkpoint dir
+        from open_o3_video_tpu.models.qwen25vl import params as P
+
+        params2, cfg2 = P.load_pretrained(out_dir)
+        assert cfg2.text.num_hidden_layers == 2
