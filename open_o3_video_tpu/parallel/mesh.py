@@ -58,19 +58,29 @@ def make_mesh(
 PARAM_RULES: list[tuple[str, P]] = [
     # int8-quantized leaves (ops/quant.py): w_q shards like its parent
     # weight, per-output-channel scales follow the output axis.
-    (r"text/layers/\d+/(q_w|k_w|v_w|gate_w|up_w)/w_q$", P("fsdp", "tensor")),
-    (r"text/layers/\d+/(o_w|down_w)/w_q$", P("tensor", "fsdp")),
-    (r"text/lm_head/w_q$", P("fsdp", "tensor")),
-    (r"text/layers/\d+/(q_w|k_w|v_w|gate_w|up_w)/scale$", P(None, "tensor")),
-    (r"text/layers/\d+/(o_w|down_w)/scale$", P(None, "fsdp")),
-    (r"text/lm_head/scale$", P(None, "tensor")),
+    # (/base)? lets every rule also address the frozen base inside a
+    # LoRA-wrapped leaf (ops/quant.LoraLinear), so sharding a combined
+    # adapter tree behaves exactly like sharding the plain one.
+    (r"text/layers/\d+/(q_w|k_w|v_w|gate_w|up_w)(/base)?/w_q$", P("fsdp", "tensor")),
+    (r"text/layers/\d+/(o_w|down_w)(/base)?/w_q$", P("tensor", "fsdp")),
+    (r"text/lm_head(/base)?/w_q$", P("fsdp", "tensor")),
+    (r"text/layers/\d+/(q_w|k_w|v_w|gate_w|up_w)(/base)?/scale$", P(None, "tensor")),
+    (r"text/layers/\d+/(o_w|down_w)(/base)?/scale$", P(None, "fsdp")),
+    (r"text/lm_head(/base)?/scale$", P(None, "tensor")),
+    # LoRA adapters: A carries the input dim (shards like the base input
+    # axis), B the output dim (shards like the base output axis); the rank
+    # axis stays whole.
+    (r"text/layers/\d+/(q_w|k_w|v_w|gate_w|up_w)/a$", P("fsdp", None)),
+    (r"text/layers/\d+/(q_w|k_w|v_w|gate_w|up_w)/b$", P(None, "tensor")),
+    (r"text/layers/\d+/(o_w|down_w)/a$", P("tensor", None)),
+    (r"text/layers/\d+/(o_w|down_w)/b$", P(None, "fsdp")),
     # text attention: outputs sharded over tensor
-    (r"text/layers/\d+/(q_w|k_w|v_w)$", P("fsdp", "tensor")),
+    (r"text/layers/\d+/(q_w|k_w|v_w)(/base)?$", P("fsdp", "tensor")),
     (r"text/layers/\d+/(q_b|k_b|v_b)$", P("tensor")),
-    (r"text/layers/\d+/o_w$", P("tensor", "fsdp")),
+    (r"text/layers/\d+/o_w(/base)?$", P("tensor", "fsdp")),
     # text mlp
-    (r"text/layers/\d+/(gate_w|up_w)$", P("fsdp", "tensor")),
-    (r"text/layers/\d+/down_w$", P("tensor", "fsdp")),
+    (r"text/layers/\d+/(gate_w|up_w)(/base)?$", P("fsdp", "tensor")),
+    (r"text/layers/\d+/down_w(/base)?$", P("tensor", "fsdp")),
     # Aria MoE: EXPERT PARALLELISM — the expert axis shards over `tensor`,
     # so each chip computes only its local experts in the batched-expert
     # einsums and the (N, E) combine contraction inserts the psum.
@@ -79,7 +89,7 @@ PARAM_RULES: list[tuple[str, P]] = [
     (r"text/layers/\d+/moe_fc2$", P("tensor", None, "fsdp")),
     (r"text/layers/\d+/(input_norm|post_norm)$", P()),
     (r"text/embed_tokens$", P("tensor", "fsdp")),
-    (r"text/lm_head$", P("fsdp", "tensor")),
+    (r"text/lm_head(/base)?$", P("fsdp", "tensor")),
     (r"text/final_norm$", P()),
     # vision tower: fsdp-shard the big matrices, replicate the rest
     (r"visual/blocks/\d+/qkv_w$", P("fsdp", "tensor")),
@@ -116,6 +126,10 @@ def param_sharding_rules(params, mesh: Mesh, rules=None):
     rules = rules if rules is not None else PARAM_RULES
 
     def spec_for(path, leaf):
+        if getattr(leaf, "ndim", None) in (None, 0):
+            # python scalars / 0-d leaves (e.g. LoraLinear.scale) — the
+            # name-based rules target arrays; replicate.
+            return P()
         s = _path_str(path)
         for pattern, spec in rules:
             if re.search(pattern, s):

@@ -192,3 +192,28 @@ def test_gspo_lora_step(base_setup):
         trainer.adapters, before,
     )
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_sharded_combined_tree_matches_unsharded(base_setup):
+    """shard_params on a LoRA-combined tree shards the frozen base by the
+    same rules as the plain tree (the (/base)? rule variants) and keeps
+    the forward exact."""
+    from open_o3_video_tpu.parallel import make_mesh
+    from open_o3_video_tpu.parallel.mesh import param_sharding_rules, shard_params
+
+    cfg, params, lcfg = base_setup
+    adapters = init_adapters(params, lcfg, dtype=jnp.float32)
+    adapters = jax.tree.map(lambda x: x + 0.01, adapters)
+    combined = apply_adapters(params, adapters, lcfg.scale)
+    rng = np.random.default_rng(6)
+    ids = rng.integers(5, 400, size=(2, 8))
+    ref = _logits(combined, cfg, ids)
+
+    mesh = make_mesh(data=1, fsdp=2, tensor=4)
+    specs = param_sharding_rules(combined, mesh)
+    # The frozen base inside the wrapper gets the same spec as unwrapped.
+    wrapped_spec = specs["text"]["layers"][0]["q_w"].base
+    plain_spec = param_sharding_rules(params, mesh)["text"]["layers"][0]["q_w"]
+    assert wrapped_spec == plain_spec
+    sharded = shard_params(combined, mesh)
+    np.testing.assert_allclose(_logits(sharded, cfg, ids), ref, atol=1e-4)
