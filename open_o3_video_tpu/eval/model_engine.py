@@ -69,6 +69,13 @@ class QwenVLEngine:
             engine_kw["batch_axis"] = batch_axis
         if max_slots is not None:
             engine_kw["max_slots"] = max_slots
+        # Engine tuning knobs pass straight through (config yaml / CLI can
+        # set e.g. prefix_cache_min or prefill_chunk per benchmark).
+        for k in ("prompt_buckets", "cache_dtype", "decode_segment",
+                  "prefill_chunk", "prefix_cache_min", "suffix_buckets",
+                  "prefix_cache_entries", "decode_attn_impl"):
+            if k in llm_args:
+                engine_kw[k] = llm_args.pop(k)
         self.engine = InferenceEngine(params, cfg, mesh=mesh, **engine_kw)
         self.sampling = SamplingParams(
             temperature=temperature, repetition_penalty=1.05, max_tokens=max_tokens
