@@ -217,3 +217,81 @@ def test_sharded_combined_tree_matches_unsharded(base_setup):
     assert wrapped_spec == plain_spec
     sharded = shard_params(combined, mesh)
     np.testing.assert_allclose(_logits(sharded, cfg, ids), ref, atol=1e-4)
+
+
+def test_differential_vs_hf_peft():
+    """Differential: our adapter math == the actual PEFT library on the
+    same tiny model with identical A/B weights (q_proj/v_proj targets,
+    matching TRL's get_peft_config -> get_peft_model path, grpo.py:98)."""
+    torch = pytest.importorskip("torch")
+    peft = pytest.importorskip("peft")
+    from transformers.models.qwen2_5_vl import (
+        Qwen2_5_VLConfig,
+        Qwen2_5_VLForConditionalGeneration,
+    )
+
+    cfg = Qwen25VLConfig.tiny(dtype=jnp.float32)
+    t, v = cfg.text, cfg.vision
+    hf_cfg = Qwen2_5_VLConfig(
+        vision_config=dict(
+            depth=v.depth, hidden_size=v.hidden_size,
+            intermediate_size=v.intermediate_size, num_heads=v.num_heads,
+            patch_size=v.patch_size, spatial_merge_size=v.spatial_merge_size,
+            temporal_patch_size=v.temporal_patch_size, window_size=v.window_size,
+            fullatt_block_indexes=list(v.fullatt_block_indexes),
+            out_hidden_size=v.out_hidden_size,
+        ),
+        text_config=dict(
+            vocab_size=t.vocab_size, hidden_size=t.hidden_size,
+            intermediate_size=t.intermediate_size,
+            num_hidden_layers=t.num_hidden_layers,
+            num_attention_heads=t.num_attention_heads,
+            num_key_value_heads=t.num_key_value_heads,
+            rms_norm_eps=t.rms_norm_eps, rope_theta=t.rope_theta,
+            rope_scaling={"type": "mrope", "mrope_section": list(t.mrope_section)},
+            tie_word_embeddings=False,
+        ),
+        image_token_id=cfg.image_token_id, video_token_id=cfg.video_token_id,
+        vision_start_token_id=cfg.vision_start_token_id,
+        vision_end_token_id=cfg.vision_end_token_id,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf_base = Qwen2_5_VLForConditionalGeneration(hf_cfg).eval().float()
+    ours_params = P.from_torch_state_dict(hf_base.state_dict(), cfg)
+
+    rank, alpha = 4, 8.0
+    peft_model = peft.get_peft_model(
+        hf_base,
+        peft.LoraConfig(r=rank, lora_alpha=alpha,
+                        target_modules=["q_proj", "v_proj"], lora_dropout=0.0),
+    ).eval().float()
+    # give the adapters real values (PEFT inits B=0)
+    torch.manual_seed(1)
+    with torch.no_grad():
+        for name, p_ in peft_model.named_parameters():
+            if "lora_" in name:
+                p_.copy_(0.05 * torch.randn_like(p_))
+
+    # copy PEFT's A/B into our adapter tree (HF stores output-major)
+    lcfg = LoraConfig(rank=rank, alpha=alpha, target_modules=("q_w", "v_w"))
+    adapters = init_adapters(ours_params, lcfg, dtype=jnp.float32)
+    sd = peft_model.state_dict()
+    leaf_of = {"q_proj": "q_w", "v_proj": "v_w"}
+    for key, val in sd.items():
+        if "lora_A" not in key and "lora_B" not in key:
+            continue
+        parts = key.split(".")
+        i = int(parts[parts.index("layers") + 1])
+        proj = parts[parts.index("self_attn") + 1]
+        which = "a" if "lora_A" in key else "b"
+        adapters["layers"][i][leaf_of[proj]][which] = jnp.asarray(
+            val.numpy().T, dtype=jnp.float32
+        )
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(5, 400, size=(2, 10))
+    with torch.no_grad():
+        hf_logits = peft_model(input_ids=torch.tensor(ids)).logits.numpy()
+    ours = _logits(apply_adapters(ours_params, adapters, lcfg.scale), cfg, ids)
+    np.testing.assert_allclose(ours, hf_logits, atol=5e-4, rtol=5e-3)
