@@ -1365,49 +1365,11 @@ class InferenceEngine:
                         )
                     arena = {"k": ak, "v": av}
                     if self._dp:
-                        seen_rows_dev = self._put(seen_rows, row_dim=0)
-                        rng, sub = jax.random.split(rng)
-                        first, first_lp = self._first_sample(
-                            sub,
-                            logits,
-                            seen_rows_dev,
-                            temperature=sampling.temperature,
-                            top_p=sampling.top_p,
-                            repetition_penalty=sampling.repetition_penalty,
-                        )
-                        # host fetch == device sync for the stage timer
-                        first_h, first_lp_h = jax.device_get((first, first_lp))
+                        bind_wave(slots, rids, logits, seen_rows,
+                                  attn_rows_dev, next_pos)
                     else:
                         bind_new_rows(slots, rids, logits, seen_rows,
                                       attn_rows, next_pos)
-
-                if self._dp:
-                    row_done = np.asarray(
-                        (first_h == eos) | (sampling.max_tokens <= 1)
-                    ).copy()
-                    for j, rid in enumerate(rids):
-                        if rid >= n_real:
-                            row_done[j] = True  # padding rows end immediately
-                    budget = self._put(
-                        np.full(n_admit, sampling.max_tokens - 1, np.int32),
-                        row_dim=0,
-                    )
-                    (token, mrope_cur, remaining, done, attn_valid, seen) = (
-                        self._bind_full(
-                            seen_rows_dev,
-                            first,
-                            self._put(next_pos, to_i32=True, row_dim=0),
-                            attn_rows_dev,
-                            self._put(row_done, row_dim=0),
-                            budget,
-                        )
-                    )
-                    for j, (s, rid) in enumerate(zip(slots, rids)):
-                        slot_rid[s] = rid
-                        emitted[rid] = [int(first_h[j])]
-                        lp_acc[rid] = [float(first_lp_h[j])]
-                        if row_done[j]:
-                            finalize(s)
 
             if n_admit:
                 # Vision embeddings are consumed at admission; keep only

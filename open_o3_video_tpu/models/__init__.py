@@ -25,10 +25,17 @@ def load_model(model_dir: str, dtype=None, **kwargs):
     with open(os.path.join(model_dir, "config.json")) as f:
         model_type = json.load(f).get("model_type", "qwen2_5_vl")
     if model_type == "aria":
+        if kwargs:
+            # Aria's loader takes no extra options (int8 streaming is a
+            # Qwen-family feature) — fail clearly, not with a TypeError
+            # from deep inside the loader.
+            raise ValueError(
+                f"aria checkpoints do not support loader options {sorted(kwargs)}"
+            )
         cfg = aria.AriaConfig.from_pretrained(
             model_dir, **({"dtype": dtype} if dtype is not None else {})
         )
-        params, cfg = aria.params.load_pretrained(model_dir, cfg=cfg, **kwargs)
+        params, cfg = aria.params.load_pretrained(model_dir, cfg=cfg)
         return params, cfg, aria
     cfg = qwen25vl.Qwen25VLConfig.from_pretrained(
         model_dir, **({"dtype": dtype} if dtype is not None else {})

@@ -263,3 +263,90 @@ def load_pretrained(model_dir: str, cfg: AriaConfig | None = None) -> tuple[dict
     if cfg is None:
         cfg = AriaConfig.from_pretrained(model_dir)
     return from_named_arrays(iter_safetensors(model_dir), cfg), cfg
+
+
+def save_safetensors(params: dict, cfg: AriaConfig, out_path: str):
+    """Export the param tree back to HF-convention safetensors (inverse of
+    the import mapping; one file)."""
+    from safetensors.numpy import save_file
+
+    flat: dict[str, np.ndarray] = {}
+
+    def to_np(x):
+        return np.ascontiguousarray(np.asarray(jax.device_get(x), dtype=np.float32))
+
+    def to_np_t(x):
+        return np.ascontiguousarray(to_np(x).T)
+
+    t = params["text"]
+    flat["model.language_model.embed_tokens.weight"] = to_np(t["embed_tokens"])
+    flat["model.language_model.norm.weight"] = to_np(t["final_norm"])
+    flat["lm_head.weight"] = to_np_t(t["lm_head"])
+    for i, layer in enumerate(t["layers"]):
+        p = f"model.language_model.layers.{i}."
+        flat[p + "input_layernorm.weight"] = to_np(layer["input_norm"])
+        flat[p + "post_attention_layernorm.weight"] = to_np(layer["post_norm"])
+        flat[p + "self_attn.q_proj.weight"] = to_np_t(layer["q_w"])
+        flat[p + "self_attn.k_proj.weight"] = to_np_t(layer["k_w"])
+        flat[p + "self_attn.v_proj.weight"] = to_np_t(layer["v_w"])
+        flat[p + "self_attn.o_proj.weight"] = to_np_t(layer["o_w"])
+        flat[p + "mlp.router.weight"] = to_np_t(layer["router"])
+        flat[p + "mlp.experts.fc1.weight"] = to_np(layer["moe_fc1"])
+        flat[p + "mlp.experts.fc2.weight"] = to_np(layer["moe_fc2"])
+        flat[p + "mlp.shared_experts.gate_proj.weight"] = to_np_t(layer["gate_w"])
+        flat[p + "mlp.shared_experts.up_proj.weight"] = to_np_t(layer["up_w"])
+        flat[p + "mlp.shared_experts.down_proj.weight"] = to_np_t(layer["down_w"])
+
+    vis = params["visual"]
+    v = cfg.vision
+    flat["model.vision_tower.embeddings.patch_embedding.weight"] = (
+        to_np_t(vis["patch_embed"]).reshape(
+            v.hidden_size, v.in_channels, v.patch_size, v.patch_size
+        )
+    )
+    flat["model.vision_tower.embeddings.patch_embedding.bias"] = to_np(vis["patch_embed_b"])
+    flat["model.vision_tower.embeddings.position_embedding.weight"] = to_np(vis["pos_embed"])
+    for i, b in enumerate(vis["blocks"]):
+        p = f"model.vision_tower.encoder.layers.{i}."
+        flat[p + "layer_norm1.weight"] = to_np(b["norm1"])
+        flat[p + "layer_norm1.bias"] = to_np(b["norm1_b"])
+        flat[p + "layer_norm2.weight"] = to_np(b["norm2"])
+        flat[p + "layer_norm2.bias"] = to_np(b["norm2_b"])
+        flat[p + "self_attn.q_proj.weight"] = to_np_t(b["q_w"])
+        flat[p + "self_attn.q_proj.bias"] = to_np(b["q_b"])
+        flat[p + "self_attn.k_proj.weight"] = to_np_t(b["k_w"])
+        flat[p + "self_attn.k_proj.bias"] = to_np(b["k_b"])
+        flat[p + "self_attn.v_proj.weight"] = to_np_t(b["v_w"])
+        flat[p + "self_attn.v_proj.bias"] = to_np(b["v_b"])
+        flat[p + "self_attn.out_proj.weight"] = to_np_t(b["out_w"])
+        flat[p + "self_attn.out_proj.bias"] = to_np(b["out_b"])
+        flat[p + "mlp.fc1.weight"] = to_np_t(b["fc1_w"])
+        flat[p + "mlp.fc1.bias"] = to_np(b["fc1_b"])
+        flat[p + "mlp.fc2.weight"] = to_np_t(b["fc2_w"])
+        flat[p + "mlp.fc2.bias"] = to_np(b["fc2_b"])
+
+    pj = params["projector"]
+    pp = "model.multi_modal_projector."
+    flat[pp + "query"] = to_np(pj["query"])
+    flat[pp + "cross_attn.q_proj.weight"] = to_np_t(pj["q_w"])
+    flat[pp + "cross_attn.k_proj.weight"] = to_np_t(pj["k_w"])
+    flat[pp + "cross_attn.v_proj.weight"] = to_np_t(pj["v_w"])
+    flat[pp + "cross_attn.multihead_attn.in_proj_weight"] = np.concatenate(
+        [to_np_t(pj["mha_q_w"]), to_np_t(pj["mha_k_w"]), to_np_t(pj["mha_v_w"])], axis=0
+    )
+    flat[pp + "cross_attn.multihead_attn.in_proj_bias"] = np.concatenate(
+        [to_np(pj["mha_q_b"]), to_np(pj["mha_k_b"]), to_np(pj["mha_v_b"])], axis=0
+    )
+    flat[pp + "cross_attn.multihead_attn.out_proj.weight"] = to_np_t(pj["mha_out_w"])
+    flat[pp + "cross_attn.multihead_attn.out_proj.bias"] = to_np(pj["mha_out_b"])
+    flat[pp + "cross_attn.linear.weight"] = to_np_t(pj["lin_w"])
+    flat[pp + "cross_attn.linear.bias"] = to_np(pj["lin_b"])
+    flat[pp + "cross_attn.layer_norm.weight"] = to_np(pj["ln_q"])
+    flat[pp + "cross_attn.layer_norm.bias"] = to_np(pj["ln_q_b"])
+    flat[pp + "cross_attn.layer_norm_kv.weight"] = to_np(pj["ln_kv"])
+    flat[pp + "cross_attn.layer_norm_kv.bias"] = to_np(pj["ln_kv_b"])
+    flat[pp + "layer_norm.weight"] = to_np(pj["ln_ff"])
+    flat[pp + "layer_norm.bias"] = to_np(pj["ln_ff_b"])
+    flat[pp + "feed_forward.linear_in.weight"] = to_np_t(pj["ff_in_w"])
+    flat[pp + "feed_forward.linear_out.weight"] = to_np_t(pj["ff_out_w"])
+    save_file(flat, out_path)

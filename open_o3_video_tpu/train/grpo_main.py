@@ -90,9 +90,15 @@ def main():
     from .gspo import GSPOConfig, GSPOTrainer
 
     params, model_cfg = P.load_pretrained(args.model_name_or_path)
-    # Frozen reference model: a second full copy, matching the reference's
-    # ZeRO-3 ref-model instantiation (grpo_trainer.py:234-243).
-    ref_params, _ = P.load_pretrained(args.model_name_or_path)
+    if args.use_peft:
+        # PEFT path: the reference model is the frozen base with adapters
+        # disabled (grpo_trainer.py:244-248) — no second copy exists, so
+        # don't read the checkpoint twice.
+        ref_params = params
+    else:
+        # Frozen reference model: a second full copy, matching the
+        # reference's ZeRO-3 ref-model instantiation (grpo_trainer.py:234-243).
+        ref_params, _ = P.load_pretrained(args.model_name_or_path)
     processor = O3VideoProcessor.from_pretrained(args.model_name_or_path)
 
     dataset = load_rl_dataset(args.dataset_name)

@@ -60,8 +60,9 @@ def _leaf_shape(leaf) -> tuple[int, int]:
 def init_adapters(params: dict, cfg: LoraConfig, dtype=jnp.bfloat16) -> dict:
     """Adapter tree mirroring the targeted text-decoder leaves.
 
-    PEFT init: A ~ N(0, 1/rank), B = 0 — the delta starts at exactly zero,
-    so step 0 reproduces the base model."""
+    B = 0 (PEFT convention), so the delta starts at exactly zero and
+    step 0 reproduces the base model; A ~ N(0, 1/sqrt(rank)) — the same
+    variance scale as PEFT's kaiming-uniform init."""
     key = jax.random.PRNGKey(cfg.seed)
     layers = []
     for i, layer in enumerate(params["text"]["layers"]):
@@ -75,7 +76,8 @@ def init_adapters(params: dict, cfg: LoraConfig, dtype=jnp.bfloat16) -> dict:
             d_in, d_out = _leaf_shape(layer[name])
             k = jax.random.fold_in(key, i * 131 + j)
             entry[name] = {
-                "a": (jax.random.normal(k, (d_in, cfg.rank)) / cfg.rank).astype(dtype),
+                "a": (jax.random.normal(k, (d_in, cfg.rank))
+                      / jnp.sqrt(jnp.asarray(float(cfg.rank)))).astype(dtype),
                 "b": jnp.zeros((cfg.rank, d_out), dtype=dtype),
             }
         layers.append(entry)
@@ -102,8 +104,9 @@ def apply_adapters(params: dict, adapters: dict, scale: float) -> dict:
 def merge_adapters(params: dict, adapters: dict, scale: float) -> dict:
     """Fold the low-rank deltas into plain dense weights (for export).
 
-    An int8 base dequantizes first — the merged result is a standard
-    full-precision checkpoint, like PEFT's merge_and_unload."""
+    EVERY int8 leaf dequantizes (targeted or not) — the merged result is a
+    standard full-precision checkpoint save_safetensors can serialize,
+    like PEFT's merge_and_unload."""
     from ..ops.quant import QuantizedLinear
 
     def dequant(leaf):
@@ -111,15 +114,23 @@ def merge_adapters(params: dict, adapters: dict, scale: float) -> dict:
             return leaf.w_q.astype(jnp.float32) * leaf.scale.astype(jnp.float32)
         return leaf
 
+    out_dtype = adapters["layers"][0][next(iter(adapters["layers"][0]))]["a"].dtype
     layers = []
     for layer, ad in zip(params["text"]["layers"], adapters["layers"]):
-        new = dict(layer)
+        new = {
+            k: (dequant(v).astype(out_dtype) if isinstance(v, QuantizedLinear) else v)
+            for k, v in layer.items()
+        }
         for name, ab in ad.items():
             base = dequant(layer[name]).astype(jnp.float32)
             delta = (ab["a"].astype(jnp.float32) @ ab["b"].astype(jnp.float32)) * scale
-            new[name] = (base + delta).astype(ab["a"].dtype)
+            new[name] = (base + delta).astype(out_dtype)
         layers.append(new)
     out = dict(params)
     out["text"] = dict(params["text"])
     out["text"]["layers"] = layers
+    # Non-layer text leaves (lm_head) may be int8 too.
+    lm_head = params["text"]["lm_head"]
+    if isinstance(lm_head, QuantizedLinear):
+        out["text"]["lm_head"] = dequant(lm_head).astype(out_dtype)
     return out

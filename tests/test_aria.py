@@ -10,6 +10,7 @@ sharded over ``tensor`` (expert parallelism).
 
 import dataclasses
 
+import jax
 import numpy as np
 import pytest
 
@@ -238,3 +239,30 @@ def test_engine_serves_aria(tiny_pair):
         SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=6),
     )
     assert out[0]["token_ids"] == hf_out[0, len(ids):].tolist()
+
+
+def test_safetensors_roundtrip_and_load_model(tmp_path):
+    """Aria export -> reload round-trips, and models.load_model dispatches
+    on the config.json model_type for both families."""
+    import json
+    import os
+
+    from open_o3_video_tpu.models import load_model
+
+    cfg = tiny_aria()
+    params = P.init(cfg, seed=5)
+    d = tmp_path / "aria_ckpt"
+    os.makedirs(d)
+    P.save_safetensors(params, cfg, str(d / "model.safetensors"))
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg.to_hf_dict(), f)
+    params2, cfg2, fam = load_model(str(d), dtype=jnp.float32)
+    assert cfg2.model_type == "aria" and fam.__name__.endswith(".aria")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-6
+        ),
+        params, params2,
+    )
+    with pytest.raises(ValueError):
+        load_model(str(d), quantize_text=True)  # Qwen-family-only option
