@@ -146,7 +146,6 @@ class InferenceEngine:
             from ..parallel.mesh import shard_params
 
             params = shard_params(params, mesh)
-        self.params = params
 
         # Automatic prefix caching: a common prefix shorter than this is not
         # worth the extra program launch; 0/None disables detection.
@@ -158,6 +157,7 @@ class InferenceEngine:
         from collections import OrderedDict
 
         self._prefix_kv: "OrderedDict[tuple, dict]" = OrderedDict()
+        self.params = params
 
         self._vision_fns: dict = {}
         self._arenas: dict = {}  # (n_slots, T) -> {"k","v"} persistent cache
@@ -276,6 +276,22 @@ class InferenceEngine:
         )
 
     # ------------------------------------------------------------------ impl
+
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        """Swapping serving weights invalidates the prefix-KV cache: a
+        cached prefix block computed under OLD params would otherwise serve
+        suffix admissions after a GSPO optimizer step (the trainer reassigns
+        engine.params every step, train/gspo.py), silently mixing old- and
+        new-policy KV into the rollout."""
+        stale = getattr(self, "_params", None) is not value
+        self._params = value
+        if stale:
+            self._prefix_kv.clear()
 
     def _admit_impl(self, params, embeds, position_ids, seq_positions,
                     attn_valid_rows, arena_k, arena_v, slots,
@@ -889,16 +905,19 @@ class InferenceEngine:
             pl = min(lcp, min(len(s) for s in seqs) - 1)
             if pl < self.prefix_cache_min or pl > self.prompt_buckets[-1]:
                 continue
-            # Vision placeholders must be inside the prefix: the suffix path
-            # embeds text only.
-            ok = all(
-                not np.isin(s[pl:], list(vis_ids)).any() for s in seqs
-            )
-            if not ok:
+            # Per-member conformance: one outlier (suffix longer than the
+            # largest suffix bucket, or a vision placeholder past the prefix
+            # — the suffix path embeds text only) runs plain WITHOUT
+            # disabling prefix sharing for its siblings.
+            conforming = [
+                i for i, s in zip(members, seqs)
+                if len(s) - pl <= self.suffix_buckets[-1]
+                and not np.isin(s[pl:], list(vis_ids)).any()
+            ]
+            # A prefix shared by < 2 conforming members isn't worth caching.
+            if len(conforming) < 2:
                 continue
-            if any(len(s) - pl > self.suffix_buckets[-1] for s in seqs):
-                continue
-            for i in members:
+            for i in conforming:
                 prefix_lens[i] = pl
         return prefix_lens
 

@@ -101,12 +101,18 @@ def apply_adapters(params: dict, adapters: dict, scale: float) -> dict:
     return out
 
 
-def merge_adapters(params: dict, adapters: dict, scale: float) -> dict:
+def merge_adapters(params: dict, adapters: dict, scale: float,
+                   out_dtype=None) -> dict:
     """Fold the low-rank deltas into plain dense weights (for export).
 
     EVERY int8 leaf dequantizes (targeted or not) — the merged result is a
     standard full-precision checkpoint save_safetensors can serialize,
-    like PEFT's merge_and_unload."""
+    like PEFT's merge_and_unload.
+
+    Dtype semantics match PEFT's merge_and_unload: a non-quantized base
+    leaf keeps ITS OWN dtype (a float32 base is NOT downcast to the
+    adapter dtype). ``out_dtype`` only decides what DEQUANTIZED int8
+    leaves become (the QLoRA export case); default = adapter dtype."""
     from ..ops.quant import QuantizedLinear
 
     def dequant(leaf):
@@ -114,7 +120,8 @@ def merge_adapters(params: dict, adapters: dict, scale: float) -> dict:
             return leaf.w_q.astype(jnp.float32) * leaf.scale.astype(jnp.float32)
         return leaf
 
-    out_dtype = adapters["layers"][0][next(iter(adapters["layers"][0]))]["a"].dtype
+    if out_dtype is None:
+        out_dtype = adapters["layers"][0][next(iter(adapters["layers"][0]))]["a"].dtype
     layers = []
     for layer, ad in zip(params["text"]["layers"], adapters["layers"]):
         new = {
@@ -122,9 +129,14 @@ def merge_adapters(params: dict, adapters: dict, scale: float) -> dict:
             for k, v in layer.items()
         }
         for name, ab in ad.items():
-            base = dequant(layer[name]).astype(jnp.float32)
+            base_leaf = layer[name]
+            leaf_dtype = (
+                out_dtype if isinstance(base_leaf, QuantizedLinear)
+                else base_leaf.dtype
+            )
+            base = dequant(base_leaf).astype(jnp.float32)
             delta = (ab["a"].astype(jnp.float32) @ ab["b"].astype(jnp.float32)) * scale
-            new[name] = (base + delta).astype(out_dtype)
+            new[name] = (base + delta).astype(leaf_dtype)
         layers.append(new)
     out = dict(params)
     out["text"] = dict(params["text"])

@@ -295,3 +295,24 @@ def test_differential_vs_hf_peft():
         hf_logits = peft_model(input_ids=torch.tensor(ids)).logits.numpy()
     ours = _logits(apply_adapters(ours_params, adapters, lcfg.scale), cfg, ids)
     np.testing.assert_allclose(ours, hf_logits, atol=5e-4, rtol=5e-3)
+
+
+def test_merge_preserves_base_dtype(base_setup):
+    """PEFT merge_and_unload keeps the base dtype: merging bf16 adapters
+    over a float32 base must NOT downcast the checkpoint to bf16."""
+    cfg, params, _ = base_setup  # float32 base
+    lcfg = LoraConfig(rank=2, alpha=4.0, target_modules=("q_w", "v_w"))
+    adapters = init_adapters(params, lcfg, dtype=jnp.bfloat16)
+    merged = merge_adapters(params, adapters, lcfg.scale)
+    layer0 = merged["text"]["layers"][0]
+    assert layer0["q_w"].dtype == jnp.float32  # merged target keeps base dtype
+    assert layer0["k_w"].dtype == jnp.float32  # untouched leaf unchanged
+    # Explicit out_dtype still controls what dequantized int8 leaves become.
+    from open_o3_video_tpu.models.qwen25vl import params as P2
+
+    params_q = P2.init(cfg, seed=0, quantize_text=True)
+    adapters_q = init_adapters(params_q, lcfg, dtype=jnp.bfloat16)
+    merged_q = merge_adapters(params_q, adapters_q, lcfg.scale,
+                              out_dtype=jnp.float32)
+    assert merged_q["text"]["layers"][0]["q_w"].dtype == jnp.float32
+    assert merged_q["text"]["layers"][0]["k_w"].dtype == jnp.float32

@@ -198,3 +198,53 @@ def test_identical_prompts_sample_independently(setup):
                        max_tokens=8, seed=0),
     )
     assert len({tuple(o["token_ids"]) for o in outs}) > 1
+
+
+def test_outlier_member_does_not_disable_family(setup):
+    """One member whose suffix exceeds the largest suffix bucket runs plain
+    — WITHOUT defeating prefix sharing for its conforming siblings."""
+    cfg, params, plain, cached = setup
+    # tails: 3, 5, 40 tokens; suffix_buckets max is 32 -> third is an outlier
+    reqs = _family(19, k=3, tails=(3, 5, 40))
+    pls = cached._detect_prefixes(reqs)
+    assert pls == [30, 30, 0]
+    sampling = SamplingParams(temperature=0.0, max_tokens=4)
+    out_p = plain.generate(reqs, sampling)
+    out_c = cached.generate(reqs, sampling)
+    for a, b in zip(out_p, out_c):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_params_swap_invalidates_prefix_cache(setup):
+    """GSPO updates engine.params every optimizer step; a cached prefix KV
+    block computed under the old weights must NOT serve the new policy's
+    rollouts (it would silently bias the importance ratios)."""
+    cfg, params, plain, cached = setup
+    sampling = SamplingParams(temperature=0.0, max_tokens=4)
+    cached.clear_prefix_cache()
+    cached.generate(_family(31), sampling)
+    assert len(cached._prefix_kv) == 1
+    # Simulate an optimizer step: swap in perturbed weights.
+    import jax
+
+    new_params = jax.tree_util.tree_map(
+        lambda x: x * 1.01 if hasattr(x, "dtype") and jnp.issubdtype(
+            jnp.asarray(x).dtype, jnp.floating) else x,
+        params,
+    )
+    cached.params = new_params
+    assert len(cached._prefix_kv) == 0  # stale blocks dropped
+    # And the fresh-params engine agrees with a plain engine on new params.
+    fresh_plain = InferenceEngine(
+        new_params, cfg, prompt_buckets=(64, 128), cache_dtype=jnp.float32,
+        prefix_cache_min=0,
+    )
+    out_c = cached.generate(_family(31), sampling)
+    out_p = fresh_plain.generate(_family(31), sampling)
+    for a, b in zip(out_p, out_c):
+        assert a["token_ids"] == b["token_ids"]
+    assert len(cached._prefix_kv) == 1  # re-prefilled under new weights
+    # Reassigning the SAME tree must not thrash the cache.
+    cached.params = cached.params
+    assert len(cached._prefix_kv) == 1
+    cached.params = params  # restore for sibling tests
