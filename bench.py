@@ -54,6 +54,187 @@ HF_BASELINE_VIDEOS_PER_SEC = float(
 )
 
 
+def bench_longctx(cfg, params):
+    """Drive the longest feasible single-request admission on this chip.
+
+    The reference's serving contract allows 81920-token prompts
+    (eval/inference_example.py:18 max_model_len); the engine admits them
+    via memory-driven chunked prefill straight into the KV arena. Tries
+    the largest bucket first and steps down on OOM, recording max feasible
+    (prompt, KV) for one chip."""
+    import jax
+
+    from open_o3_video_tpu.engine import InferenceEngine, Request, SamplingParams
+
+    tcfg = cfg.text
+    out = {"failed": {}}
+    for L in (81920, 65536, 49152, 32768):
+        eng = None
+        try:
+            eng = InferenceEngine(params, cfg, prompt_buckets=(L,), max_slots=1)
+            n_prompt = L - 64
+            prompt = [100 + (i % 500) for i in range(n_prompt)]
+            samp = SamplingParams(temperature=0.0, repetition_penalty=1.05,
+                                  max_tokens=32)
+            req = Request(input_ids=prompt)
+            t0 = time.time()
+            eng.generate([req], samp)  # compile + first run
+            compile_s = time.time() - t0
+            eng.timer.reset()
+            t0 = time.time()
+            o = eng.generate([req], samp)[0]
+            dt = time.time() - t0
+            stages = eng.timer.report()
+            kv_gb = (2 * tcfg.num_hidden_layers * (L + 32)
+                     * tcfg.num_key_value_heads * tcfg.head_dim * 2) / 1e9
+            out.update({
+                "max_prompt_tokens": n_prompt,
+                "bucket": L,
+                "kv_arena_gb": round(kv_gb, 2),
+                "e2e_sec": round(dt, 2),
+                "prefill_tok_per_sec": round(
+                    n_prompt / max(stages.get("prefill", {}).get("total_s", dt), 1e-9), 1
+                ),
+                "decode_tokens": len(o["token_ids"]),
+                "stages": stages,
+                "compile_sec": round(compile_s, 1),
+            })
+            break
+        except Exception as e:  # noqa: BLE001 — OOM probing by design
+            out["failed"][str(L)] = f"{type(e).__name__}"
+        finally:
+            if eng is not None:
+                eng.release_memory()
+                del eng
+    if not out["failed"]:
+        del out["failed"]
+    return out
+
+
+def bench_train(cfg, params, frames_u8, grid_thw, prompt):
+    """Time one SFT step and one FULL GSPO step on the real chip at the
+    largest honest single-chip configuration: 28L 7B dims, int8 frozen base
+    + LoRA adapters (QLoRA), one 16-frame video sample, chunked lm_head.
+
+    The reference's implicit train envelope (run_grpo_video.sh:21-39): RL =
+    1 prompt x 4 generations x 768 new tokens at bs=1/device; SFT = 1
+    sample/device with gradient checkpointing (run_sft_video.sh:13-35).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from open_o3_video_tpu.models.qwen25vl import get_rope_index
+    from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
+    from open_o3_video_tpu.train import sft as S
+    from open_o3_video_tpu.train.gspo import GSPOConfig, GSPOTrainer
+    from open_o3_video_tpu.train.lora import LoraConfig, init_adapters
+
+    steps = int(os.environ.get("BENCH_TRAIN_STEPS", "2"))
+    out = {}
+    patches, grid = frames_as_images_patches(frames_u8)
+    lcfg = LoraConfig(rank=16, alpha=32.0)  # TRL get_peft_config defaults
+
+    # ---- SFT step ------------------------------------------------------
+    target_len = 128  # a <think>/<answer> target of typical STGR length
+    ids_row = list(prompt) + [400 + (i % 150) for i in range(target_len)]
+    L = -(-len(ids_row) // 128) * 128
+    ids = np.full((1, L), cfg.pad_token_id, np.int64)
+    ids[0, : len(ids_row)] = ids_row
+    amask = np.zeros((1, L), np.int64)
+    amask[0, : len(ids_row)] = 1
+    pos, _ = get_rope_index(cfg, ids, image_grid_thw=grid, attention_mask=amask)
+    labels = S.mask_labels(
+        ids, cfg.pad_token_id,
+        (cfg.image_token_id, cfg.video_token_id, cfg.vision_start_token_id,
+         cfg.vision_end_token_id),
+    )
+    labels[0, : len(prompt)] = S.IGNORE_INDEX  # only the target is supervised
+    scfg = S.SFTConfig()  # lr 1e-6, grad ckpt, chunked CE
+    optimizer = S.make_optimizer(scfg)
+    adapters = init_adapters(params, lcfg, dtype=jnp.bfloat16)
+    opt_state = optimizer.init(adapters)
+    step_fn = S.make_lora_train_step(cfg, scfg, optimizer, lcfg.scale)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "position_ids": jnp.asarray(pos),
+        "labels": jnp.asarray(labels),
+        "attn_valid": jnp.asarray(amask.astype(bool)),
+        "pixel_patches": jnp.asarray(patches),
+        "grid_thw": grid,
+        "vision_token_id": cfg.image_token_id,
+    }
+    t0 = time.time()
+    adapters, opt_state, m = step_fn(adapters, opt_state, batch, params)
+    jax.block_until_ready(m["loss"])
+    sft_compile = time.time() - t0
+    times = []
+    for _ in range(steps):
+        t0 = time.time()
+        adapters, opt_state, m = step_fn(adapters, opt_state, batch, params)
+        jax.block_until_ready(m["loss"])
+        times.append(time.time() - t0)
+    out["sft"] = {
+        "sec_per_step": round(float(np.mean(times)), 3),
+        "tokens": int(amask.sum()),
+        "seq_len": L,
+        "loss": round(float(m["loss"]), 4),
+        "compile_sec": round(sft_compile, 1),
+        "config": (f"{cfg.text.num_hidden_layers}L int8 base + LoRA r16 "
+                   "(QLoRA), bs=1, 16 frames, remat, chunked CE"),
+    }
+    del adapters, opt_state, batch
+
+    # ---- full GSPO step (rollout G=4 x 768 -> rewards -> ref logps ->
+    # clipped sequence-IW update) ---------------------------------------
+    def detok(ids_):
+        # Canned grounded trace: reward regex cost matches real traces.
+        return ("<think>The <obj>person</obj><box>[10,20,110,200]</box>at"
+                "<t>3.0</t>s is visible</think><answer>a red ball</answer>")
+
+    gcfg = GSPOConfig()  # G=4, 768 completion, beta 0.04, remat, chunked
+    trainer = GSPOTrainer(
+        params, params, cfg, gcfg, detokenize=detok, lora=lcfg,
+        seed=0,
+    )
+    sample = {
+        "input_ids": list(prompt),
+        "pixel_patches": patches,
+        "grid_thw": grid,
+        "vision_token_id": cfg.image_token_id,
+        "reward_kwargs": {
+            "task": "temporal-spatial free-form QA",
+            "answer": "a red ball",
+            "key_frames": [{"time": 3.0, "idx": 0}],
+            "key_items": {"0": {"person": [[0.1, 0.1, 0.4, 0.6]]}},
+            "image_size": (640, 360),
+            "image_size_refine": (640, 360),
+        },
+    }
+    t0 = time.time()
+    trainer.step(sample, global_step=0, max_steps=100)  # compile
+    gspo_compile = time.time() - t0
+    trainer.timer.reset()
+    times = []
+    for k in range(steps):
+        t0 = time.time()
+        m = trainer.step(sample, global_step=1 + k, max_steps=100)
+        times.append(time.time() - t0)
+    stages = trainer.timer.report()
+    out["gspo"] = {
+        "sec_per_step": round(float(np.mean(times)), 3),
+        "stages": stages,
+        "loss": round(float(m["loss"]), 4),
+        "reward": round(float(m["reward"]), 3),
+        "completion_length": round(float(m["completion_length"]), 1),
+        "compile_sec": round(gspo_compile, 1),
+        "config": (f"{cfg.text.num_hidden_layers}L int8 base + LoRA r16, "
+                   f"G=4 x 768 new tokens, {len(prompt)}-token prompt "
+                   "(2048 bucket), remat, chunked logps"),
+    }
+    trainer.engine.release_memory()
+    return out
+
+
 def main():
     import dataclasses
 
@@ -173,24 +354,31 @@ def main():
         # GIL), mirroring the eval harness's threaded item preparation.
         from concurrent.futures import ThreadPoolExecutor
 
+        t_d = time.time()
         with ThreadPoolExecutor(max_workers=min(4, N_VIDEOS)) as pool:
             frame_sets = list(pool.map(
                 lambda _: fetch_video_fast({"video": VIDEO, "nframes": 16})[0],
                 range(N_VIDEOS),
             ))
+        t_decode = time.time() - t_d
         reqs = [
             Request(input_ids=prompt, frames=f, grid_thw=grid_thw,
                     vision_token_id=cfg.image_token_id)
             for f in frame_sets
         ]
         engine.generate(reqs, sampling)
+        return t_decode
 
     batched_run()  # warmup (compile the n-row admission program)
     engine.timer.reset()
     t_b = time.time()
-    batched_run()
+    t_decode_batched = batched_run()
     t_batched = time.time() - t_b
     stage_report = engine.timer.report()
+    # Accounting check (stages are nesting-exclusive, so they sum):
+    # engine stages + host video decode should cover ~all of e2e.
+    stage_sum = sum(v["total_s"] for v in stage_report.values())
+    stage_coverage = (stage_sum + t_decode_batched) / t_batched
     # Each (slots, length) configuration keeps a persistent arena; drop them
     # between phases — weights + three arena shapes + a prefix block do not
     # fit 16 GB together.
@@ -241,6 +429,24 @@ def main():
     tok_s4 = decode_tok_s(4)
     tok_s8 = decode_tok_s(8)
     tok_s16 = decode_tok_s(16)
+    engine_txt.release_memory()
+
+    # ---- long-context serving envelope (reference max_model_len=81920).
+    longctx_detail = None
+    if os.environ.get("BENCH_LONGCTX", "1") != "0":
+        try:
+            longctx_detail = bench_longctx(cfg, params)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            longctx_detail = {"error": f"{type(e).__name__}: {e}"}
+
+    # ---- training envelope (one SFT + one full GSPO step on this chip).
+    # Guarded: a train-side failure must not cost the inference metric.
+    train_detail = None
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            train_detail = bench_train(cfg, params, frames_u8, grid_thw, prompt)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            train_detail = {"error": f"{type(e).__name__}: {e}"}
 
     videos_per_sec = N_VIDEOS / t_batched
     baseline = HF_BASELINE_VIDEOS_PER_SEC
@@ -265,12 +471,18 @@ def main():
             "vstar5q_sec_plain": round(t_5q_plain, 3),
             "vstar5q_prefix_cache_speedup": round(t_5q_plain / t_5q_cached, 2),
             "engine_stages_batched": stage_report,
+            "host_decode_batched_sec": round(t_decode_batched, 3),
+            "stage_coverage_of_e2e": round(stage_coverage, 3),
             "baseline_videos_per_sec": baseline,
             "compile_sec": round(t_compile, 1),
             "prompt_tokens": len(prompt),
             "backend": jax.default_backend(),
         },
     }
+    if longctx_detail is not None:
+        result["detail"]["longctx"] = longctx_detail
+    if train_detail is not None:
+        result["detail"]["train"] = train_detail
     print(json.dumps(result))
 
 

@@ -126,6 +126,32 @@ def sample_indices(total_frames: int, nframes: int) -> np.ndarray:
     return np.round(np.linspace(0, total_frames - 1, nframes)).astype(np.int64)
 
 
+def trim_window(ele: dict, total_frames: int, video_fps: float) -> tuple[int, int]:
+    """``video_start``/``video_end`` (seconds) -> (first frame index, window
+    length in frames).
+
+    Reference semantics: the torchvision reader trims via
+    io.read_video(start_pts=video_start, end_pts=video_end, pts_unit="sec")
+    — an INCLUSIVE pts range — then samples nframes uniformly over the
+    trimmed span (vision_process.py:194-218). Frame i's pts is i/fps, so
+    the window is [ceil(start*fps), floor(end*fps)] clamped to the video.
+    (The reference's decord reader raises NotImplementedError instead,
+    :246-248; both our backends support trimming.)"""
+    start = float(ele.get("video_start") or 0.0)
+    end = ele.get("video_end", None)
+    start_idx = max(0, int(math.ceil(start * video_fps - 1e-6)))
+    if end is None:
+        end_idx = total_frames - 1
+    else:
+        end_idx = min(total_frames - 1, int(math.floor(float(end) * video_fps + 1e-6)))
+    if end_idx < start_idx:
+        raise ValueError(
+            f"empty video window [video_start={start}, video_end={end}] "
+            f"at fps={video_fps} ({total_frames} frames)"
+        )
+    return start_idx, end_idx - start_idx + 1
+
+
 # --------------------------------------------------------------------------
 # Decode backends
 # --------------------------------------------------------------------------
@@ -139,16 +165,15 @@ def _read_video_cv2(ele: dict) -> tuple[np.ndarray, float]:
     video_path = ele["video"]
     if video_path.startswith("file://"):
         video_path = video_path[7:]
-    if "video_start" in ele or "video_end" in ele:
-        raise NotImplementedError("video_start/video_end not supported by the cv2 backend")
     st = time.time()
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
         raise IOError(f"cv2 failed to open video: {video_path}")
     total_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     video_fps = cap.get(cv2.CAP_PROP_FPS) or 1.0
-    nframes = smart_nframes(ele, total_frames=total_frames, video_fps=video_fps)
-    idx = sample_indices(total_frames, nframes)
+    start_idx, window = trim_window(ele, total_frames, video_fps)
+    nframes = smart_nframes(ele, total_frames=window, video_fps=video_fps)
+    idx = sample_indices(window, nframes) + start_idx
 
     frames = []
     # Sequential grab/retrieve is robust across codecs; seek only when the
@@ -191,7 +216,7 @@ def _read_video_cv2(ele: dict) -> tuple[np.ndarray, float]:
         f"cv2: video_path={video_path!r}, total_frames={total_frames}, "
         f"video_fps={video_fps}, time={time.time() - st:.3f}s"
     )
-    sample_fps = nframes / max(total_frames, 1e-6) * video_fps
+    sample_fps = nframes / max(window, 1e-6) * video_fps
     return video, sample_fps
 
 
@@ -202,20 +227,19 @@ def _read_video_native(ele: dict) -> tuple[np.ndarray, float]:
     video_path = ele["video"]
     if video_path.startswith("file://"):
         video_path = video_path[7:]
-    if "video_start" in ele or "video_end" in ele:
-        raise NotImplementedError("video_start/video_end not supported by the native backend")
     st = time.time()
     meta = video_decoder.probe(video_path)
     total_frames, video_fps = meta.num_frames, meta.fps
-    nframes = smart_nframes(ele, total_frames=total_frames, video_fps=video_fps)
-    idx = sample_indices(total_frames, nframes)
+    start_idx, window = trim_window(ele, total_frames, video_fps)
+    nframes = smart_nframes(ele, total_frames=window, video_fps=video_fps)
+    idx = sample_indices(window, nframes) + start_idx
     video = video_decoder.decode_frames(video_path, idx)  # THWC uint8 RGB
     video = np.ascontiguousarray(video.transpose(0, 3, 1, 2))
     logger.info(
         f"native: video_path={video_path!r}, total_frames={total_frames}, "
         f"video_fps={video_fps}, time={time.time() - st:.3f}s"
     )
-    sample_fps = nframes / max(total_frames, 1e-6) * video_fps
+    sample_fps = nframes / max(window, 1e-6) * video_fps
     return video, sample_fps
 
 
@@ -396,8 +420,9 @@ def fetch_video_fast(ele: dict) -> tuple[np.ndarray, float]:
     if video_path.startswith("file://"):
         video_path = video_path[7:]
     meta = video_decoder.probe(video_path)
-    nframes = smart_nframes(ele, total_frames=meta.num_frames, video_fps=meta.fps)
-    idx = sample_indices(meta.num_frames, nframes)
+    start_idx, window = trim_window(ele, meta.num_frames, meta.fps)
+    nframes = smart_nframes(ele, total_frames=window, video_fps=meta.fps)
+    idx = sample_indices(window, nframes) + start_idx
 
     min_pixels = ele.get("min_pixels", VIDEO_MIN_PIXELS)
     total_pixels = ele.get("total_pixels", VIDEO_TOTAL_PIXELS)
@@ -414,7 +439,7 @@ def fetch_video_fast(ele: dict) -> tuple[np.ndarray, float]:
         video_path, idx, resized_width, resized_height, bicubic=True
     )
     video = np.ascontiguousarray(frames_hwc.transpose(0, 3, 1, 2))
-    sample_fps = nframes / max(meta.num_frames, 1e-6) * meta.fps
+    sample_fps = nframes / max(window, 1e-6) * meta.fps
     return video, sample_fps
 
 

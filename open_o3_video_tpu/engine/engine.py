@@ -98,7 +98,9 @@ class InferenceEngine:
         cfg: Qwen25VLConfig,
         *,
         mesh=None,
-        prompt_buckets: Sequence[int] = (512, 1024, 2048, 4096, 8192, 16384, 32768),
+        prompt_buckets: Sequence[int] = (
+            512, 1024, 2048, 4096, 8192, 16384, 32768, 49152, 65536, 81920,
+        ),
         cache_dtype=jnp.bfloat16,
         max_slots: int = 8,
         decode_segment: int = 64,
@@ -108,6 +110,9 @@ class InferenceEngine:
         prefix_cache_min: int = 256,
         suffix_buckets: Sequence[int] = (64, 128, 256, 512, 1024),
         prefix_cache_entries: int = 4,
+        long_prefill_threshold: int = 32768,
+        long_prefill_chunk: int = 8192,
+        max_kv_gb: Optional[float] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -121,6 +126,20 @@ class InferenceEngine:
         # ACTIVE slots between chunks, so a 16k-token admission no longer
         # stalls in-flight decodes for its whole prefill. None = off.
         self.prefill_chunk = prefill_chunk
+        # The 81920-token serving envelope (reference
+        # eval/inference_example.py:18 max_model_len=81920): prompts at or
+        # above ``long_prefill_threshold`` ALWAYS prefill in
+        # ``long_prefill_chunk``-token chunks (even with no in-flight
+        # decodes) — a monolithic 80k prefill's MLP transients alone are
+        # ~6 GB at 7B dims, which cannot sit next to 9.5 GB of int8
+        # weights + a ~5 GB KV row on a 16 GB chip.
+        self.long_prefill_threshold = long_prefill_threshold
+        self.long_prefill_chunk = long_prefill_chunk
+        # KV HBM budget: caps concurrently decoding slots per group so
+        # (slots x T) KV never exceeds this many GB — the vLLM
+        # gpu_memory_utilization analog. Excess requests queue; None = no
+        # cap (the pre-existing behavior).
+        self.max_kv_gb = max_kv_gb
         # DP fleet mode: shard the slot-row dimension of every batch array
         # over this mesh axis, so each chip decodes its own rows — the
         # TPU-native replacement for the reference's process-per-GPU eval
@@ -636,74 +655,84 @@ class InferenceEngine:
         lens = [len(r.input_ids) for r in reqs]
         pad_id = cfg.pad_token_id
 
-        ids = np.full((n, L), pad_id, dtype=np.int64)
-        mask = np.zeros((n, L), dtype=np.int64)
-        for i, r in enumerate(reqs):
-            ids[i, L - lens[i]:] = np.asarray(r.input_ids)
-            mask[i, L - lens[i]:] = 1
+        with self.timer.stage("host_prep"):
+            ids = np.full((n, L), pad_id, dtype=np.int64)
+            mask = np.zeros((n, L), dtype=np.int64)
+            for i, r in enumerate(reqs):
+                ids[i, L - lens[i]:] = np.asarray(r.input_ids)
+                mask[i, L - lens[i]:] = 1
 
-        position_ids = np.ones((3, n, L), dtype=np.int64)
-        next_pos = np.zeros(n, dtype=np.int64)
-        for i, r in enumerate(reqs):
-            kw = {}
-            if r.grid_thw is not None:
-                key = (
-                    "video_grid_thw"
-                    if r.vision_token_id == cfg.video_token_id
-                    else "image_grid_thw"
+            position_ids = np.ones((3, n, L), dtype=np.int64)
+            next_pos = np.zeros(n, dtype=np.int64)
+            for i, r in enumerate(reqs):
+                kw = {}
+                if r.grid_thw is not None:
+                    key = (
+                        "video_grid_thw"
+                        if r.vision_token_id == cfg.video_token_id
+                        else "image_grid_thw"
+                    )
+                    kw[key] = np.asarray(r.grid_thw)
+                    if r.second_per_grid_ts is not None:
+                        kw["second_per_grid_ts"] = r.second_per_grid_ts
+                pos, _ = get_rope_index(
+                    cfg, ids[i:i + 1], attention_mask=mask[i:i + 1], **kw
                 )
-                kw[key] = np.asarray(r.grid_thw)
-                if r.second_per_grid_ts is not None:
-                    kw["second_per_grid_ts"] = r.second_per_grid_ts
-            pos, _ = get_rope_index(cfg, ids[i:i + 1], attention_mask=mask[i:i + 1], **kw)
-            position_ids[:, i] = pos[:, 0]
-            next_pos[i] = pos[:, 0, :].max() + 1
+                position_ids[:, i] = pos[:, 0]
+                next_pos[i] = pos[:, 0, :].max() + 1
 
         # Embed + scatter vision features. Requests sharing the same pixel
         # data (e.g. the G rollout copies of one RL prompt) are encoded once
         # per call via vis_cache; DISTINCT requests' patches are concatenated
         # into ONE vision-tower program (bigger matmuls, fewer dispatches)
         # and split back by merged-token count.
-        jobs: list[tuple] = []  # (vis_key, patches_dev, grid)
-        seen_keys = set()
-        for r in reqs:
-            if r.pixel_patches is None and r.frames is None:
-                continue
-            grid = np.asarray(r.grid_thw)
-            grid_key = tuple(map(tuple, grid.tolist()))
-            vis_key = (id(r.pixel_patches), id(r.frames), grid_key)
-            if vis_key in vis_cache or vis_key in seen_keys:
-                continue
-            seen_keys.add(vis_key)
-            if r.frames is not None:
-                patches_dev = self._frames_to_patches(r.frames)
-            else:
-                patches_dev = self._put(r.pixel_patches)
-            jobs.append((vis_key, patches_dev, grid))
-        # Group jobs by IDENTICAL grid signature so program caching stays
-        # bounded: one program per (grid, group-size) instead of one per
-        # arbitrary concatenation order of heterogeneous videos.
-        by_grid: dict = {}
-        for job in jobs:
-            by_grid.setdefault(tuple(map(tuple, job[2].tolist())), []).append(job)
-        for grid_key, group in by_grid.items():
-            grid = group[0][2]
-            all_grid = np.concatenate([g for _, _, g in group], axis=0)
-            prog_key = (grid_key, len(group))
-            if prog_key not in self._vision_fns:
-                self._vision_fns[prog_key] = jax.jit(
-                    lambda p, x, g=all_grid: encode_vision(p, self.cfg, x, g)
-                )
-            all_vis = self._vision_fns[prog_key](
-                self.params, jnp.concatenate([pd for _, pd, _ in group], axis=0)
-            )
-            n_tok = int(np.prod(grid, axis=1).sum()) // cfg.vision.merge_unit
-            for j, (vis_key, _, _) in enumerate(group):
-                sl = slice(j * n_tok, (j + 1) * n_tok)
-                if isinstance(all_vis, tuple):  # Qwen3-VL: (main, deepstack)
-                    vis_cache[vis_key] = (all_vis[0][sl], [d[sl] for d in all_vis[1]])
+        with self.timer.stage("vision"):
+            jobs: list[tuple] = []  # (vis_key, patches_dev, grid)
+            seen_keys = set()
+            for r in reqs:
+                if r.pixel_patches is None and r.frames is None:
+                    continue
+                grid = np.asarray(r.grid_thw)
+                grid_key = tuple(map(tuple, grid.tolist()))
+                vis_key = (id(r.pixel_patches), id(r.frames), grid_key)
+                if vis_key in vis_cache or vis_key in seen_keys:
+                    continue
+                seen_keys.add(vis_key)
+                if r.frames is not None:
+                    patches_dev = self._frames_to_patches(r.frames)
                 else:
-                    vis_cache[vis_key] = all_vis[sl]
+                    patches_dev = self._put(r.pixel_patches)
+                jobs.append((vis_key, patches_dev, grid))
+            # Group jobs by IDENTICAL grid signature so program caching stays
+            # bounded: one program per (grid, group-size) instead of one per
+            # arbitrary concatenation order of heterogeneous videos.
+            by_grid: dict = {}
+            for job in jobs:
+                by_grid.setdefault(tuple(map(tuple, job[2].tolist())), []).append(job)
+            fresh_vis: list = []
+            for grid_key, group in by_grid.items():
+                grid = group[0][2]
+                all_grid = np.concatenate([g for _, _, g in group], axis=0)
+                prog_key = (grid_key, len(group))
+                if prog_key not in self._vision_fns:
+                    self._vision_fns[prog_key] = jax.jit(
+                        lambda p, x, g=all_grid: encode_vision(p, self.cfg, x, g)
+                    )
+                all_vis = self._vision_fns[prog_key](
+                    self.params, jnp.concatenate([pd for _, pd, _ in group], axis=0)
+                )
+                fresh_vis.append(all_vis)
+                n_tok = int(np.prod(grid, axis=1).sum()) // cfg.vision.merge_unit
+                for j, (vis_key, _, _) in enumerate(group):
+                    sl = slice(j * n_tok, (j + 1) * n_tok)
+                    if isinstance(all_vis, tuple):  # Qwen3-VL: (main, deepstack)
+                        vis_cache[vis_key] = (all_vis[0][sl], [d[sl] for d in all_vis[1]])
+                    else:
+                        vis_cache[vis_key] = all_vis[sl]
+            if fresh_vis:
+                # Sync so tower compute lands in THIS stage, not wherever
+                # the next device_get happens to block (stage attribution).
+                jax.block_until_ready(fresh_vis)
         # One fused embed(+merge) program per admission shape: the per-row
         # eager merge this replaces cost ~8 device dispatches per request —
         # each a full round trip on a tunneled TPU.
@@ -749,9 +778,11 @@ class InferenceEngine:
             vis_table = mains[0] if len(mains) == 1 else jnp.concatenate(mains, axis=0)
             row_index = build_vision_row_index(ids, row_tokens, row_offsets)
             row_index_dev = self._put(row_index, row_dim=row_dim)
-            embeds = self._embed_merge_fn(
-                self.params, ids_dev, vis_table, row_index_dev
-            )
+            with self.timer.stage("embed"):
+                embeds = self._embed_merge_fn(
+                    self.params, ids_dev, vis_table, row_index_dev
+                )
+                jax.block_until_ready(embeds)
             if any(isinstance(e, tuple) for e in vis_entries):
                 # Qwen3-VL deepstack: concat each tap's tables in the SAME
                 # admission order, so row_index addresses them too. Entries
@@ -772,14 +803,17 @@ class InferenceEngine:
                 ]
                 deepstack = (tables, row_index_dev)
         else:
-            embeds = self._embed_fn(self.params, ids_dev)
+            with self.timer.stage("embed"):
+                embeds = self._embed_fn(self.params, ids_dev)
+                jax.block_until_ready(embeds)
 
-        attn_rows = np.zeros((n, T), dtype=bool)
-        attn_rows[:, :L] = mask.astype(bool)
+        with self.timer.stage("host_prep"):
+            attn_rows = np.zeros((n, T), dtype=bool)
+            attn_rows[:, :L] = mask.astype(bool)
 
-        seen_rows = np.zeros((n, cfg.text.vocab_size), dtype=bool)
-        for i in range(n):
-            seen_rows[i, ids[i][mask[i] == 1]] = True
+            seen_rows = np.zeros((n, cfg.text.vocab_size), dtype=bool)
+            for i in range(n):
+                seen_rows[i, ids[i][mask[i] == 1]] = True
 
         seq_positions = np.broadcast_to(np.arange(L, dtype=np.int64), (n, L))
         return (embeds, position_ids, seq_positions, attn_rows, seen_rows,
@@ -1034,6 +1068,16 @@ class InferenceEngine:
             # per step.
             B = min(self.max_slots, len(idxs))
         T = L + sampling.max_tokens
+        if self.max_kv_gb and not self._dp:
+            # Long-context admission control: cap concurrent slots so the
+            # arena fits the KV budget; the remaining requests stream
+            # through as slots free up.
+            tcfg = cfg.text
+            per_slot = (
+                2 * tcfg.num_hidden_layers * T * tcfg.num_key_value_heads
+                * tcfg.head_dim * jnp.dtype(self.cache_dtype).itemsize
+            )
+            B = max(1, min(B, int(self.max_kv_gb * 1e9 / per_slot)))
         V = cfg.text.vocab_size
         arena = self._get_arena(B, T)
 
@@ -1116,84 +1160,90 @@ class InferenceEngine:
             onto their decode slots (shared by the plain and shared-prefix
             admission paths; DP-wave binding stays inline below)."""
             nonlocal token, mrope_cur, remaining, done, attn_valid, seen, rng
-            n_new = len(slots)
-            seen_rows_dev = self._put(seen_rows)
-            rng, sub = jax.random.split(rng)
-            first, first_lp = self._first_sample(
-                sub,
-                logits,
-                seen_rows_dev,
-                temperature=sampling.temperature,
-                top_p=sampling.top_p,
-                repetition_penalty=sampling.repetition_penalty,
-            )
-            first_h, first_lp_h = jax.device_get((first, first_lp))
-            row_done = np.asarray(
-                (first_h == eos) | (sampling.max_tokens <= 1)
-            ).copy()
-            (token, mrope_cur, remaining, done, attn_valid, seen) = self._bind(
-                token,
-                mrope_cur,
-                remaining,
-                done,
-                attn_valid,
-                seen,
-                self._put(slots, to_i32=True),
-                first,
-                self._put(next_pos, to_i32=True),
-                self._put(attn_rows),
-                seen_rows_dev,
-                self._put(row_done),
-                self._put(np.full(n_new, sampling.max_tokens - 1, np.int32)),
-            )
-            for j, (s, rid) in enumerate(zip(slots, rids)):
-                slot_rid[s] = rid
-                emitted[rid] = [int(first_h[j])]
-                lp_acc[rid] = [float(first_lp_h[j])]
-                if row_done[j]:
-                    finalize(s)
+            # Sync here so admit compute lands in the enclosing "prefill"
+            # stage, then account sampling + slot binding separately.
+            jax.block_until_ready(logits)
+            with self.timer.stage("sample_bind"):
+                n_new = len(slots)
+                seen_rows_dev = self._put(seen_rows)
+                rng, sub = jax.random.split(rng)
+                first, first_lp = self._first_sample(
+                    sub,
+                    logits,
+                    seen_rows_dev,
+                    temperature=sampling.temperature,
+                    top_p=sampling.top_p,
+                    repetition_penalty=sampling.repetition_penalty,
+                )
+                first_h, first_lp_h = jax.device_get((first, first_lp))
+                row_done = np.asarray(
+                    (first_h == eos) | (sampling.max_tokens <= 1)
+                ).copy()
+                (token, mrope_cur, remaining, done, attn_valid, seen) = self._bind(
+                    token,
+                    mrope_cur,
+                    remaining,
+                    done,
+                    attn_valid,
+                    seen,
+                    self._put(slots, to_i32=True),
+                    first,
+                    self._put(next_pos, to_i32=True),
+                    self._put(attn_rows),
+                    seen_rows_dev,
+                    self._put(row_done),
+                    self._put(np.full(n_new, sampling.max_tokens - 1, np.int32)),
+                )
+                for j, (s, rid) in enumerate(zip(slots, rids)):
+                    slot_rid[s] = rid
+                    emitted[rid] = [int(first_h[j])]
+                    lp_acc[rid] = [float(first_lp_h[j])]
+                    if row_done[j]:
+                        finalize(s)
 
         def bind_wave(slots, rids, logits, seen_rows, attn_rows_dev, next_pos):
             """Sample + bind a full DP wave (every slot row replaced);
             padding rows are marked done immediately."""
             nonlocal token, mrope_cur, remaining, done, attn_valid, seen, rng
-            n_new = len(slots)
-            seen_rows_dev = self._put(seen_rows, row_dim=0)
-            rng, sub = jax.random.split(rng)
-            first, first_lp = self._first_sample(
-                sub,
-                logits,
-                seen_rows_dev,
-                temperature=sampling.temperature,
-                top_p=sampling.top_p,
-                repetition_penalty=sampling.repetition_penalty,
-            )
-            first_h, first_lp_h = jax.device_get((first, first_lp))
-            row_done = np.asarray(
-                (first_h == eos) | (sampling.max_tokens <= 1)
-            ).copy()
-            for j, rid in enumerate(rids):
-                if rid >= n_real:
-                    row_done[j] = True  # padding rows end immediately
-            (token, mrope_cur, remaining, done, attn_valid, seen) = (
-                self._bind_full(
+            jax.block_until_ready(logits)
+            with self.timer.stage("sample_bind"):
+                n_new = len(slots)
+                seen_rows_dev = self._put(seen_rows, row_dim=0)
+                rng, sub = jax.random.split(rng)
+                first, first_lp = self._first_sample(
+                    sub,
+                    logits,
                     seen_rows_dev,
-                    first,
-                    self._put(next_pos, to_i32=True, row_dim=0),
-                    attn_rows_dev,
-                    self._put(row_done, row_dim=0),
-                    self._put(
-                        np.full(n_new, sampling.max_tokens - 1, np.int32),
-                        row_dim=0,
-                    ),
+                    temperature=sampling.temperature,
+                    top_p=sampling.top_p,
+                    repetition_penalty=sampling.repetition_penalty,
                 )
-            )
-            for j, (s, rid) in enumerate(zip(slots, rids)):
-                slot_rid[s] = rid
-                emitted[rid] = [int(first_h[j])]
-                lp_acc[rid] = [float(first_lp_h[j])]
-                if row_done[j]:
-                    finalize(s)
+                first_h, first_lp_h = jax.device_get((first, first_lp))
+                row_done = np.asarray(
+                    (first_h == eos) | (sampling.max_tokens <= 1)
+                ).copy()
+                for j, rid in enumerate(rids):
+                    if rid >= n_real:
+                        row_done[j] = True  # padding rows end immediately
+                (token, mrope_cur, remaining, done, attn_valid, seen) = (
+                    self._bind_full(
+                        seen_rows_dev,
+                        first,
+                        self._put(next_pos, to_i32=True, row_dim=0),
+                        attn_rows_dev,
+                        self._put(row_done, row_dim=0),
+                        self._put(
+                            np.full(n_new, sampling.max_tokens - 1, np.int32),
+                            row_dim=0,
+                        ),
+                    )
+                )
+                for j, (s, rid) in enumerate(zip(slots, rids)):
+                    slot_rid[s] = rid
+                    emitted[rid] = [int(first_h[j])]
+                    lp_acc[rid] = [float(first_lp_h[j])]
+                    if row_done[j]:
+                        finalize(s)
 
         def admit_with_prefix_wave(slots, rids):
             """DP fleet + shared prefixes: one full wave, each row's prefix
@@ -1317,19 +1367,34 @@ class InferenceEngine:
                     deepstack if deepstack is not None else (None, None)
                 )
                 chunk = self.prefill_chunk
+                long_admission = (
+                    not self._dp and L >= self.long_prefill_threshold
+                    and self.long_prefill_chunk
+                )
+                if chunk is None and long_admission:
+                    chunk = self.long_prefill_chunk  # memory-driven chunking
                 chunked = (
                     chunk is not None
                     and L > chunk
-                    and any(slot_rid[s] is not None for s in range(B))
+                    and (
+                        any(slot_rid[s] is not None for s in range(B))
+                        or long_admission
+                    )
                 )
                 with self.timer.stage("prefill"), trace_annotation("engine.prefill"):
                     if chunked:
                         # vLLM-style chunked prefill: fill a per-admission
                         # rows cache chunk by chunk, running decode segments
                         # for the ACTIVE slots in between, then scatter the
-                        # rows into arena slots.
+                        # rows into arena slots. When the admission replaces
+                        # EVERY slot (n_admit == B — always true for a
+                        # single long-context request), the arena itself is
+                        # the rows cache: no second full-length KV
+                        # allocation, which matters when one 81920-token
+                        # row is ~5 GB.
                         assert L % chunk == 0, "prefill_chunk must divide the bucket"
-                        rows = self._new_cache(n_admit, T)
+                        full_wave = n_admit == B
+                        rows = arena if full_wave else self._new_cache(n_admit, T)
                         pos_d = self._put(pos)
                         seq_pos_d = self._put(seq_pos)
                         attn_rows_d = self._put(attn_rows)
@@ -1347,12 +1412,15 @@ class InferenceEngine:
                                 None if ds_idx is None else ds_idx[:, c0:c0 + chunk],
                             )
                             rows = {"k": rk, "v": rv}
-                            if c0 + chunk < L:
+                            if c0 + chunk < L and not full_wave:
                                 run_segment(min(self.decode_segment, sampling.max_tokens))
-                        ak, av = self._scatter_rows(
-                            arena["k"], arena["v"], rows["k"], rows["v"],
-                            self._put(slots, to_i32=True),
-                        )
+                        if full_wave:
+                            ak, av = rows["k"], rows["v"]
+                        else:
+                            ak, av = self._scatter_rows(
+                                arena["k"], arena["v"], rows["k"], rows["v"],
+                                self._put(slots, to_i32=True),
+                            )
                     elif self._dp:
                         # Full wave: every slot row is replaced, arena
                         # written directly (no scatter over the row-sharded

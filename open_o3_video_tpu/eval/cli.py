@@ -79,6 +79,12 @@ def main():
         "chips (reference: one eval worker per GPU)",
     )
     parser.add_argument("--slots_per_chip", type=int, default=8)
+    parser.add_argument(
+        "--item_batch", type=int, default=4,
+        help="items evaluated concurrently through the engine (each engine "
+        "batch is item_batch x N requests) — the in-process replacement for "
+        "the reference's per-GPU eval worker fleet",
+    )
     args = parser.parse_args()
 
     if args.benchmark == "vstar":
@@ -89,6 +95,7 @@ def main():
             args.anno, args.video_folder, model,
             args.output or "vstar_results.json",
             think_mode=args.think_mode, limit=args.limit,
+            item_batch=args.item_batch,
         )
     elif args.benchmark == "vstar-judge":
         from .judge import EngineJudge, evaluate_json
@@ -98,7 +105,11 @@ def main():
             from ..parallel import make_mesh
 
             mesh = make_mesh(tensor=args.mesh_tensor)
-        judge = EngineJudge(args.model_path, mesh=mesh)
+        # --load_in_int8: a 72B judge at int8 (~72 GB sharded) fits v5e-8
+        # where bf16 (144 GB) cannot (reference judges on 4 A100s,
+        # eval_vstar.py:20-24).
+        judge = EngineJudge(args.model_path, mesh=mesh,
+                            load_in_int8=args.load_in_int8)
         evaluate_json(args.result_file, judge)
     elif args.benchmark == "videomme":
         from . import videomme
@@ -108,6 +119,7 @@ def main():
             model, args.data_dir, args.output or "videomme_results.json",
             N=args.N, vote=args.vote, think_mode=args.think_mode,
             add_asr=bool(args.add_asr), asr_dir=args.asr_dir, limit=args.limit,
+            item_batch=args.item_batch,
         )
     elif args.benchmark == "worldsense":
         from . import worldsense
@@ -117,6 +129,7 @@ def main():
             model, args.data_dir, args.output or "worldsense",
             asr_dir=args.asr_dir, add_asr=args.add_asr if args.add_asr is not None else True,
             N=args.N, vote=args.vote, think_mode=args.think_mode, limit=args.limit,
+            item_batch=args.item_batch,
         )
     elif args.benchmark == "tvgbench":
         from . import tvgbench
@@ -126,6 +139,7 @@ def main():
             args.anno, args.video_folder, model,
             args.output or "tvgbench_results.json",
             think_mode=args.think_mode, limit=args.limit,
+            item_batch=args.item_batch,
         )
     elif args.benchmark == "videommmu":
         from . import videommmu
@@ -134,6 +148,7 @@ def main():
         videommmu.evaluate(
             model, args.data_dir, args.output or "videommmu_results.json",
             N=args.N, vote=args.vote, think_mode=args.think_mode, limit=args.limit,
+            item_batch=args.item_batch,
         )
 
 

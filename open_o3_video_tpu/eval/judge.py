@@ -46,13 +46,20 @@ class EngineJudge:
     """Text-only judge backed by the inference engine (greedy, 512 tokens)."""
 
     def __init__(self, model_dir_or_params, mesh=None, max_new_tokens: int = 512,
-                 *, cfg=None, processor=None):
+                 *, cfg=None, processor=None, load_in_int8: bool = False):
+        """``load_in_int8`` streams decoder weights to int8 at load — the
+        72B memory story: bf16 Qwen2.5-72B is 144 GB (> a v5e-8's 128 GB
+        HBM), int8 is ~72 GB (~9 GB/chip sharded over tensor=8), which
+        fits alongside the judge's text-only KV. The reference instead
+        needs 4x80 GB GPUs with device_map="auto" (eval_vstar.py:20-24)."""
         from ..data.processor import O3VideoProcessor
         from ..engine import InferenceEngine, SamplingParams
         from ..models.qwen25vl import params as P
 
         if isinstance(model_dir_or_params, str):
-            params, cfg = P.load_pretrained(model_dir_or_params)
+            params, cfg = P.load_pretrained(
+                model_dir_or_params, quantize_text=load_in_int8
+            )
             processor = processor or O3VideoProcessor.from_pretrained(model_dir_or_params)
         else:
             params = model_dir_or_params

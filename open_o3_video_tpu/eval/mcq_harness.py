@@ -9,7 +9,10 @@ final answer = argmax of per-choice summed scores.
 
 The reference runs one worker process per GPU (test_videomme.py:315-345);
 here items stream through the TPU engine in-process — multi-chip scaling is
-the engine's mesh, not OS processes.
+the engine's mesh, not OS processes. ``evaluate_mcq_items_batched`` is the
+cross-ITEM analog of that fleet: K items' N paths form one engine batch
+(K*N concurrent requests across the decode slots) and all K items'
+evidence-scoring calls batch together too.
 """
 
 from __future__ import annotations
@@ -24,47 +27,27 @@ ANSWER_RE = re.compile(r"<answer>(.*?)</answer>", re.DOTALL)
 THINK_RE = re.compile(r"<think>(.*?)</think>", re.DOTALL)
 
 
-def evaluate_mcq_item(
-    model,
-    video_path: str,
-    text_input: str,
-    image,
+def _parse_paths(
+    raw_outputs: Sequence[str],
+    frames,
+    fps,
     doc: dict,
     *,
-    N: int = 1,
-    vote: str = "majority_voting",
-    think_mode: bool = True,
-    choices: Sequence[str] = ("A", "B", "C", "D"),
-    question_for_scorer: Optional[str] = None,
-    parse_answer_fn: Optional[Callable[[str, dict], str]] = None,
-) -> dict[str, Any]:
-    """Returns {pred, think, frame_shape, paths} for one benchmark item.
+    vote: str,
+    think_mode: bool,
+    choices: Sequence[str],
+    question_for_scorer: Optional[str],
+    parse_answer_fn: Optional[Callable[[str, dict], str]],
+):
+    """Parse the N raw paths of one item (test_videomme.py:153-207).
 
-    All N paths run as ONE engine batch when the model supports it
-    (generate_paths: video decoded once, N sampled completions); TTS
-    evidence-scoring calls are likewise batched (run_images_scorer_batch).
-    Models exposing only the reference per-call surface fall back to the
-    sequential loop."""
+    Returns (pred_list, score_list, n_think, pending) where ``pending`` is
+    the deferred confidence-vote scorer jobs [(score slot, msgs, crops)]."""
     score_list: list[float] = []
     pred_list: list[str] = []
-    n_think = ["" for _ in range(N)]
+    n_think = ["" for _ in range(len(raw_outputs))]
+    pending: list[tuple[int, list, list]] = []
 
-    # 1. generate the N reasoning paths
-    if hasattr(model, "generate_paths"):
-        raw_outputs, frames, fps, frame_shape = model.generate_paths(
-            video_path, text_input, image, N
-        )
-        raw_outputs = list(raw_outputs)
-    else:
-        raw_outputs, frames, fps, frame_shape = [], None, None, None
-        for _ in range(N):
-            output_list, frames, fps, frame_shape = model(
-                [video_path], [text_input], query_image=[image]
-            )
-            raw_outputs.append(output_list[0])
-
-    # 2. parse paths; defer confidence-vote scorer calls so they batch
-    pending: list[tuple[int, list, list]] = []  # (score slot, msgs, crops)
     for path_idx, pred_text in enumerate(raw_outputs):
         if think_mode:
             m = ANSWER_RE.search(pred_text)
@@ -98,7 +81,7 @@ def evaluate_mcq_item(
                     question = question_for_scorer or doc.get("question", "")
                     msgs = build_image_scorer_msgs(image_list, question)
                     pending.append((len(score_list), msgs, image_list))
-                    score = 0.2  # placeholder; overwritten below
+                    score = 0.2  # placeholder; overwritten after scoring
                 else:
                     score = 0.2
             else:
@@ -118,15 +101,11 @@ def evaluate_mcq_item(
                 score = 0.0
         score_list.append(score)
 
-    # 3. batch the deferred evidence-scoring calls
-    if pending:
-        if hasattr(model, "run_images_scorer_batch"):
-            ratings = model.run_images_scorer_batch([(m, im) for _, m, im in pending])
-        else:
-            ratings = [model.run_images_scorer(m, im) for _, m, im in pending]
-        for (slot, _, _), rating in zip(pending, ratings):
-            score_list[slot] = relevance_mapping(rating)
+    return pred_list, score_list, n_think, pending
 
+
+def _finalize(pred_list, score_list, n_think, choices, raw_outputs, frame_shape):
+    """Vote across paths -> result dict (test_videomme.py:220-246)."""
     choice_score = {c: 0.0 for c in choices}
     for i in range(len(pred_list)):
         if pred_list[i] == "NA":
@@ -145,5 +124,117 @@ def evaluate_mcq_item(
         "think": think_text,
         "frame_shape": frame_shape,
         "choice_score": choice_score,
-        "paths": raw_outputs,
+        "paths": list(raw_outputs),
     }
+
+
+def evaluate_mcq_item(
+    model,
+    video_path: str,
+    text_input: str,
+    image,
+    doc: dict,
+    *,
+    N: int = 1,
+    vote: str = "majority_voting",
+    think_mode: bool = True,
+    choices: Sequence[str] = ("A", "B", "C", "D"),
+    question_for_scorer: Optional[str] = None,
+    parse_answer_fn: Optional[Callable[[str, dict], str]] = None,
+) -> dict[str, Any]:
+    """Returns {pred, think, frame_shape, paths} for one benchmark item.
+
+    All N paths run as ONE engine batch when the model supports it
+    (generate_paths: video decoded once, N sampled completions); TTS
+    evidence-scoring calls are likewise batched (run_images_scorer_batch).
+    Models exposing only the reference per-call surface fall back to the
+    sequential loop."""
+    # 1. generate the N reasoning paths
+    if hasattr(model, "generate_paths"):
+        raw_outputs, frames, fps, frame_shape = model.generate_paths(
+            video_path, text_input, image, N
+        )
+        raw_outputs = list(raw_outputs)
+    else:
+        raw_outputs, frames, fps, frame_shape = [], None, None, None
+        for _ in range(N):
+            output_list, frames, fps, frame_shape = model(
+                [video_path], [text_input], query_image=[image]
+            )
+            raw_outputs.append(output_list[0])
+
+    # 2. parse paths; defer confidence-vote scorer calls so they batch
+    pred_list, score_list, n_think, pending = _parse_paths(
+        raw_outputs, frames, fps, doc,
+        vote=vote, think_mode=think_mode, choices=choices,
+        question_for_scorer=question_for_scorer, parse_answer_fn=parse_answer_fn,
+    )
+
+    # 3. batch the deferred evidence-scoring calls
+    if pending:
+        if hasattr(model, "run_images_scorer_batch"):
+            ratings = model.run_images_scorer_batch([(m, im) for _, m, im in pending])
+        else:
+            ratings = [model.run_images_scorer(m, im) for _, m, im in pending]
+        for (slot, _, _), rating in zip(pending, ratings):
+            score_list[slot] = relevance_mapping(rating)
+
+    return _finalize(pred_list, score_list, n_think, choices, raw_outputs, frame_shape)
+
+
+def evaluate_mcq_items_batched(
+    model,
+    specs: Sequence[dict],
+    *,
+    N: int = 1,
+    vote: str = "majority_voting",
+    think_mode: bool = True,
+) -> list[dict[str, Any]]:
+    """Run K items together: one engine batch of K*N paths, one batched
+    evidence-scoring pass across all items.
+
+    Each spec: {"video_path", "text_input", "image", "doc"} plus optional
+    "choices", "question_for_scorer", "parse_answer_fn". Results align with
+    ``specs`` and equal what evaluate_mcq_item returns item by item (the
+    engine pins per-row sampling independence, so batching is
+    score-invariant). This replaces the throughput the reference gets from
+    its 8-process eval fleet (test_videomme.py:315-345)."""
+    if not hasattr(model, "generate_paths_batch"):
+        return [
+            evaluate_mcq_item(
+                model, s["video_path"], s["text_input"], s["image"], s["doc"],
+                N=N, vote=vote, think_mode=think_mode,
+                choices=s.get("choices", ("A", "B", "C", "D")),
+                question_for_scorer=s.get("question_for_scorer"),
+                parse_answer_fn=s.get("parse_answer_fn"),
+            )
+            for s in specs
+        ]
+
+    gen = model.generate_paths_batch(
+        [(s["video_path"], s["text_input"], s["image"]) for s in specs], N
+    )
+    states = []
+    all_pending: list[tuple[int, int, list, list]] = []
+    for i, (s, (raw, frames, fps, frame_shape)) in enumerate(zip(specs, gen)):
+        choices = s.get("choices", ("A", "B", "C", "D"))
+        pred_list, score_list, n_think, pending = _parse_paths(
+            list(raw), frames, fps, s["doc"],
+            vote=vote, think_mode=think_mode, choices=choices,
+            question_for_scorer=s.get("question_for_scorer"),
+            parse_answer_fn=s.get("parse_answer_fn"),
+        )
+        states.append([pred_list, score_list, n_think, choices, list(raw), frame_shape])
+        all_pending.extend((i, slot, m, im) for slot, m, im in pending)
+
+    if all_pending:
+        if hasattr(model, "run_images_scorer_batch"):
+            ratings = model.run_images_scorer_batch(
+                [(m, im) for _, _, m, im in all_pending]
+            )
+        else:
+            ratings = [model.run_images_scorer(m, im) for _, _, m, im in all_pending]
+        for (i, slot, _, _), rating in zip(all_pending, ratings):
+            states[i][1][slot] = relevance_mapping(rating)
+
+    return [_finalize(*st) for st in states]

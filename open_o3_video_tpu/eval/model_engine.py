@@ -180,6 +180,37 @@ class QwenVLEngine:
         outputs = self._generate_texts([req] * n_paths)
         return outputs, frames, fps, frame_shape
 
+    def generate_paths_batch(self, items: Sequence[tuple], n_paths: int):
+        """K items x N paths in ONE engine batch.
+
+        ``items``: [(video_path, text_input, image), ...]. Host preparation
+        (video decode + resize + tokenize) runs in a thread pool (the
+        native/cv2 decoders release the GIL); the K*N requests then stream
+        through the engine's decode slots together — the in-process
+        replacement for the reference's process-per-GPU eval fleet
+        (test_videomme.py:315-345). Each item's N requests share its pixel
+        arrays, so the vision tower encodes each video once.
+
+        Returns one (outputs, frames, fps, frame_shape) tuple per item."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def prep(it):
+            vp, txt, img = it
+            messages, video_inputs, fps = self.get_batch_messages([vp], [txt], [img])
+            frames = video_inputs[0]
+            frame_shape = (frames.shape[3], frames.shape[2])
+            req = self._requests_from_messages(messages)[0]
+            return req, frames, fps, frame_shape
+
+        with ThreadPoolExecutor(max_workers=min(4, max(1, len(items)))) as pool:
+            prepped = list(pool.map(prep, items))
+        reqs = [r for r, _, _, _ in prepped for _ in range(n_paths)]
+        texts = self._generate_texts(reqs)
+        return [
+            (texts[i * n_paths : (i + 1) * n_paths], frames, fps, shape)
+            for i, (_, frames, fps, shape) in enumerate(prepped)
+        ]
+
     def _scorer_request(self, msgs, images) -> Request:
         text = self.processor.apply_chat_template(msgs, add_generation_prompt=True)
         proc = self.processor(text, images=list(images) or None)

@@ -20,7 +20,6 @@ import numpy as np
 
 from ..grounding.tags import refined_timestamps
 from .metrics_vstar import recall_at, temporal_iou
-from .vstar import inference
 
 
 def build_prompt(video_length: float, query: str, think_mode: bool = True) -> str:
@@ -44,6 +43,36 @@ def build_prompt(video_length: float, query: str, think_mode: bool = True) -> st
     )
 
 
+def _prepare_tvg_item(item, video_folder, model, think_mode):
+    """Host prep for one item -> raw engine input, or None to skip."""
+    from .vstar import build_query_input, extract_frames_from_video
+
+    rel = item.get("video_path") or item.get("video")
+    video_path = rel if os.path.isabs(rel) else os.path.join(video_folder, rel)
+    if not os.path.exists(video_path):
+        print(f"Warning: video not found: {video_path}, skipping")
+        return None
+    query = item.get("query") or item.get("question")
+    duration = item.get("duration")
+    if duration is None:
+        from ..native import video_decoder
+
+        try:
+            meta = video_decoder.probe(video_path)
+            duration = meta.num_frames / meta.fps
+        except Exception:
+            duration = 0.0
+    prompt = build_prompt(round(float(duration), 2), query, think_mode)
+    frames, frame_times = extract_frames_from_video(
+        video_path, fps=1.0, max_frames=model.video_max_frames
+    )
+    if not frames:
+        print(f"Warning: no frames extracted: {video_path}, skipping")
+        return None
+    inp, _ = build_query_input(prompt, frames, frame_times, model)
+    return inp
+
+
 def evaluate(
     anno_file: str,
     video_folder: str,
@@ -52,9 +81,13 @@ def evaluate(
     *,
     think_mode: bool = True,
     limit: Optional[int] = None,
+    item_batch: int = 4,
 ) -> dict[str, float]:
     """anno_file: JSON list of {video|video_path, query|question,
-    timestamps: [s, e], duration?}. Returns the score block."""
+    timestamps: [s, e], duration?}. Returns the score block.
+
+    ``item_batch`` items prepare on host threads and run through the engine
+    as one batch (same treatment as the other harnesses)."""
     with open(anno_file) as f:
         items = json.load(f)
     if limit:
@@ -63,29 +96,32 @@ def evaluate(
     t0 = time.time()
     ious: list[float] = []
     results = []
-    for i, item in enumerate(items):
-        rel = item.get("video_path") or item.get("video")
-        video_path = rel if os.path.isabs(rel) else os.path.join(video_folder, rel)
-        if not os.path.exists(video_path):
-            print(f"Warning: video not found: {video_path}, skipping")
-            continue
-        query = item.get("query") or item.get("question")
-        duration = item.get("duration")
-        if duration is None:
-            from ..native import video_decoder
+    done = 0
+    item_batch = max(1, item_batch)
+    from concurrent.futures import ThreadPoolExecutor
 
-            try:
-                meta = video_decoder.probe(video_path)
-                duration = meta.num_frames / meta.fps
-            except Exception:
-                duration = 0.0
-        prompt = build_prompt(round(float(duration), 2), query, think_mode)
-        raw, _, _ = inference(video_path, prompt, model)
-        pred = refined_timestamps(raw)
-        iou = temporal_iou(item["timestamps"], pred) if pred else 0.0
-        ious.append(iou)
-        results.append({**item, "prediction_raw": raw, "prediction": pred, "tIoU": iou})
-        print(f"{i + 1}/{len(items)} tIoU={iou:.3f}")
+    for start in range(0, len(items), item_batch):
+        chunk = items[start : start + item_batch]
+        with ThreadPoolExecutor(max_workers=min(4, len(chunk))) as pool:
+            inputs = list(pool.map(
+                lambda it: _prepare_tvg_item(it, video_folder, model, think_mode),
+                chunk,
+            ))
+        live = [(it, inp) for it, inp in zip(chunk, inputs) if inp is not None]
+        if not live:
+            done += len(chunk)
+            continue
+        if hasattr(model, "inference_wo_process_batch"):
+            raws = model.inference_wo_process_batch([inp for _, inp in live])
+        else:
+            raws = [model.inference_wo_process([inp]) for _, inp in live]
+        done += len(chunk)
+        for (item, _), raw in zip(live, raws):
+            pred = refined_timestamps(raw)
+            iou = temporal_iou(item["timestamps"], pred) if pred else 0.0
+            ious.append(iou)
+            results.append({**item, "prediction_raw": raw, "prediction": pred, "tIoU": iou})
+            print(f"{done}/{len(items)} tIoU={iou:.3f}")
 
     scores = {
         "R1@0.3": recall_at(ious, 0.3),

@@ -11,7 +11,7 @@ import time
 from typing import Any, Optional
 
 from .dataloaders import videomme as D
-from .mcq_harness import evaluate_mcq_item
+from .mcq_harness import evaluate_mcq_item, evaluate_mcq_items_batched
 
 
 def evaluate(
@@ -25,6 +25,7 @@ def evaluate(
     add_asr: bool = False,
     asr_dir: Optional[str] = None,
     limit: Optional[int] = None,
+    item_batch: int = 4,
 ) -> float:
     t0 = time.time()
     bench = D.VideoMMEBench(data_dir, add_asr=add_asr, asr_dir=asr_dir, think_mode=think_mode)
@@ -36,23 +37,50 @@ def evaluate(
 
     metrics: list[dict[str, Any]] = []
     errors: list[dict[str, Any]] = []
-    for i, (vp, img, txt, doc) in enumerate(zip(video_paths, image_input, text_input, docs)):
-        question = doc["question"] + "\n" + "\n".join(f"{opt}" for opt in doc["options"])
+    rows = list(zip(video_paths, image_input, text_input, docs))
+    item_batch = max(1, item_batch)
+    done = 0
+    for start in range(0, len(rows), item_batch):
+        chunk = rows[start : start + item_batch]
+        specs = [
+            {
+                "video_path": vp, "text_input": txt, "image": img, "doc": doc,
+                "question_for_scorer": doc["question"] + "\n"
+                + "\n".join(f"{opt}" for opt in doc["options"]),
+            }
+            for vp, img, txt, doc in chunk
+        ]
+        # item_batch items form one engine batch (K*N concurrent paths —
+        # the in-process replacement for the reference's 8-way process
+        # fleet, test_videomme.py:315-345); on any batch failure fall back
+        # to per-item runs so failures skip-and-record individually (the
+        # reference instead kills the whole fleet, :329-335).
         try:
-            out = evaluate_mcq_item(
-                model, vp, txt, img, doc,
-                N=N, vote=vote, think_mode=think_mode, question_for_scorer=question,
+            outs = evaluate_mcq_items_batched(
+                model, specs, N=N, vote=vote, think_mode=think_mode
             )
-        except Exception as e:
-            # skip-and-record: one bad item no longer kills the run (the
-            # reference terminates the whole fleet on first worker error,
-            # test_videomme.py:329-335)
-            print(f"[warn] item {doc.get('question_id')} failed ({e!r}); skipping")
-            errors.append({"question_id": doc.get("question_id"), "error": repr(e)})
-            continue
-        print(doc["videoID"], "GT:", doc["answer"], "Pred:", out["pred"])
-        metrics.append(D.process_results(doc, out["pred"], out["think"], out["frame_shape"]))
-        print(f"{i + 1}/{len(docs)}")
+        except Exception as batch_err:
+            print(f"[warn] batched eval failed ({batch_err!r}); per-item fallback")
+            outs = []
+            for s in specs:
+                try:
+                    outs.append(evaluate_mcq_item(
+                        model, s["video_path"], s["text_input"], s["image"],
+                        s["doc"], N=N, vote=vote, think_mode=think_mode,
+                        question_for_scorer=s["question_for_scorer"],
+                    ))
+                except Exception as e:
+                    doc = s["doc"]
+                    print(f"[warn] item {doc.get('question_id')} failed ({e!r}); skipping")
+                    errors.append({"question_id": doc.get("question_id"), "error": repr(e)})
+                    outs.append(None)
+        for (vp, img, txt, doc), out in zip(chunk, outs):
+            done += 1
+            if out is None:
+                continue
+            print(doc["videoID"], "GT:", doc["answer"], "Pred:", out["pred"])
+            metrics.append(D.process_results(doc, out["pred"], out["think"], out["frame_shape"]))
+            print(f"{done}/{len(docs)}")
 
     score = D.aggregate_results(metrics)
     with open(output_file, "w") as f:

@@ -13,7 +13,7 @@ import time
 from typing import Optional
 
 from .dataloaders import videommmu as D
-from .mcq_harness import evaluate_mcq_item
+from .mcq_harness import evaluate_mcq_item, evaluate_mcq_items_batched  # noqa: F401 (item used via _run_item)
 
 
 def evaluate(
@@ -25,6 +25,7 @@ def evaluate(
     vote: str = "majority_voting",
     think_mode: bool = True,
     limit: Optional[int] = None,
+    item_batch: int = 4,
 ) -> float:
     t0 = time.time()
     bench = D.VideoMMMUBench(data_dir, think_mode=think_mode)
@@ -36,20 +37,66 @@ def evaluate(
 
     metrics = []
     errors = []
-    for i, (vp, img, txt, doc) in enumerate(zip(video_paths, image_input, text_input, docs)):
-        item_t0 = time.time()
+    rows = list(zip(video_paths, image_input, text_input, docs))
+    item_batch = max(1, item_batch)
+    done = 0
+    for start in range(0, len(rows), item_batch):
+        chunk = rows[start : start + item_batch]
+        batch_t0 = time.time()
+        # Split the chunk: MCQ items batch through the N-path voting core;
+        # open-ended items batch through one plain model call (the wrapper
+        # accepts item lists). Per-item fallback keeps skip-and-record
+        # semantics (vs the reference's fleet-kill, test_videomme.py:329-335).
+        mcq = [(j, r) for j, r in enumerate(chunk)
+               if r[3].get("question_type") == "multiple-choice"]
+        open_ended = [(j, r) for j, r in enumerate(chunk)
+                      if r[3].get("question_type") != "multiple-choice"]
+        preds: list = [None] * len(chunk)
         try:
-            pred = _run_item(model, vp, txt, img, doc, N=N, vote=vote, think_mode=think_mode)
-        except Exception as e:
-            # skip-and-record instead of fleet-kill (test_videomme.py:329-335)
-            print(f"[warn] item {doc.get('id')} failed ({e!r}); skipping")
-            errors.append({"id": doc.get("id"), "error": repr(e)})
-            continue
-        metrics.append(D.process_results(doc, pred))
-        print(
-            doc["id"], "GT:", doc["answer"],
-            f"{i + 1}/{len(docs)} ({time.time() - item_t0:.1f}s)",
-        )
+            if mcq:
+                specs = []
+                for _, (vp, img, txt, doc) in mcq:
+                    n_options = len(doc["options"])
+                    specs.append({
+                        "video_path": vp, "text_input": txt, "image": img,
+                        "doc": doc,
+                        "choices": [chr(ord("A") + k) for k in range(n_options)],
+                        "question_for_scorer": doc["question"] + "\n"
+                        + D.parse_options(doc["options"]),
+                    })
+                outs = evaluate_mcq_items_batched(
+                    model, specs, N=N, vote=vote, think_mode=think_mode
+                )
+                for (j, _), out in zip(mcq, outs):
+                    preds[j] = out["pred"]
+            if open_ended:
+                outputs, _, _, _ = model(
+                    [r[0] for _, r in open_ended],
+                    [r[2] for _, r in open_ended],
+                    query_image=[r[1] for _, r in open_ended],
+                )
+                for (j, _), text in zip(open_ended, outputs):
+                    preds[j] = text
+        except Exception as batch_err:
+            print(f"[warn] batched eval failed ({batch_err!r}); per-item fallback")
+            for j, (vp, img, txt, doc) in enumerate(chunk):
+                try:
+                    preds[j] = _run_item(model, vp, txt, img, doc,
+                                         N=N, vote=vote, think_mode=think_mode)
+                except Exception as e:
+                    print(f"[warn] item {doc.get('id')} failed ({e!r}); skipping")
+                    errors.append({"id": doc.get("id"), "error": repr(e)})
+                    preds[j] = None
+        batch_dt = time.time() - batch_t0
+        for (vp, img, txt, doc), pred in zip(chunk, preds):
+            done += 1
+            if pred is None:
+                continue
+            metrics.append(D.process_results(doc, pred))
+            print(
+                doc["id"], "GT:", doc["answer"],
+                f"{done}/{len(docs)} ({batch_dt / len(chunk):.1f}s/item)",
+            )
 
     bench.cal_category_acc(metrics)
     acc = D.aggregate_results(metrics)

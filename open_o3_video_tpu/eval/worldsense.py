@@ -11,7 +11,7 @@ import time
 from typing import Optional
 
 from .dataloaders import worldsense as D
-from .mcq_harness import evaluate_mcq_item
+from .mcq_harness import evaluate_mcq_item, evaluate_mcq_items_batched
 
 
 def evaluate(
@@ -25,6 +25,7 @@ def evaluate(
     vote: str = "majority_voting",
     think_mode: bool = True,
     limit: Optional[int] = None,
+    item_batch: int = 4,
 ):
     t0 = time.time()
     bench = D.WorldSenseBench(data_dir, add_asr=add_asr, asr_dir=asr_dir, think_mode=think_mode)
@@ -36,27 +37,53 @@ def evaluate(
 
     records = []
     errors = []
-    for i, (vp, img, txt, doc) in enumerate(zip(video_paths, image_input, text_input, docs)):
-        candidates = doc["candidates"]
-        if isinstance(candidates, str):
-            candidates = eval(candidates)
-        question = doc["question"] + "\n" + "\n".join(candidates)
+    rows = list(zip(video_paths, image_input, text_input, docs))
+    item_batch = max(1, item_batch)
+    done = 0
+    for start in range(0, len(rows), item_batch):
+        chunk = rows[start : start + item_batch]
+        specs = []
+        for vp, img, txt, doc in chunk:
+            candidates = doc["candidates"]
+            if isinstance(candidates, str):
+                candidates = eval(candidates)
+            specs.append({
+                "video_path": vp, "text_input": txt, "image": img, "doc": doc,
+                "question_for_scorer": doc["question"] + "\n" + "\n".join(candidates),
+            })
+        # One engine batch per item_batch items; per-item sequential
+        # fallback keeps skip-and-record semantics (vs the reference's
+        # fleet-kill, test_videomme.py:329-335).
         try:
-            out = evaluate_mcq_item(
-                model, vp, txt, img, doc,
-                N=N, vote=vote, think_mode=think_mode, question_for_scorer=question,
+            outs = evaluate_mcq_items_batched(
+                model, specs, N=N, vote=vote, think_mode=think_mode
             )
-        except Exception as e:
-            # skip-and-record instead of fleet-kill (test_videomme.py:329-335)
-            print(f"[warn] item {doc.get('index')} failed ({e!r}); skipping")
-            errors.append({"index": doc.get("index"), "video": doc.get("video"),
-                           "error": repr(e)})
-            continue
-        rec = dict(doc)
-        rec["prediction"] = out["pred"]
-        rec["reasoning_process"] = out["think"]
-        records.append(rec)
-        print(doc["video"], "GT:", doc["answer"], "Pred:", out["pred"], f"{i + 1}/{len(docs)}")
+        except Exception as batch_err:
+            print(f"[warn] batched eval failed ({batch_err!r}); per-item fallback")
+            outs = []
+            for s in specs:
+                try:
+                    outs.append(evaluate_mcq_item(
+                        model, s["video_path"], s["text_input"], s["image"],
+                        s["doc"], N=N, vote=vote, think_mode=think_mode,
+                        question_for_scorer=s["question_for_scorer"],
+                    ))
+                except Exception as e:
+                    doc = s["doc"]
+                    print(f"[warn] item {doc.get('index')} failed ({e!r}); skipping")
+                    errors.append({"index": doc.get("index"), "video": doc.get("video"),
+                                   "error": repr(e)})
+                    outs.append(None)
+        for (vp, img, txt, doc), out in zip(chunk, outs):
+            done += 1
+            if out is None:
+                continue
+            rec = dict(doc)
+            rec["prediction"] = out["pred"]
+            rec["reasoning_process"] = out["think"]
+            records.append(rec)
+            print(doc["video"], "GT:", doc["answer"], "Pred:", out["pred"],
+                  f"{done}/{len(docs)}")
 
     rating = D.process_result(records, output_prefix)
     if errors:

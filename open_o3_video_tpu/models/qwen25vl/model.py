@@ -215,8 +215,14 @@ def forward(
     seq_positions=None,
     remat: bool = False,
     attn_impl: Optional[str] = None,
+    return_hidden: bool = False,
 ) -> tuple[jnp.ndarray, Optional[dict]]:
-    """Full forward -> (logits (B, S, vocab) float32, updated kv cache)."""
+    """Full forward -> (logits (B, S, vocab) float32, updated kv cache).
+
+    ``return_hidden=True`` skips the lm_head and returns the final-norm
+    hidden states instead — callers that only need logps over a SLICE of
+    positions (GSPO scores just the completion region) project that slice
+    themselves, avoiding a full (B, S, vocab) logits tensor."""
     embeds = embed_tokens(params, input_ids)
     deepstack = None
     ds_row_index = None
@@ -251,4 +257,6 @@ def forward(
         deepstack_embeds=deepstack,
         deepstack_row_index=ds_row_index,
     )
+    if return_hidden:
+        return hidden, new_cache
     return logits_from_hidden(params["text"], hidden), new_cache

@@ -227,3 +227,44 @@ def text_forward(
 def logits_from_hidden(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     """Project final hidden states to vocabulary logits (float32)."""
     return dense(hidden, params["lm_head"]).astype(jnp.float32)
+
+
+def per_token_logps_from_hidden(
+    params: dict,
+    hidden: jnp.ndarray,  # (B, S, D) final-norm hidden states
+    targets: jnp.ndarray,  # (B, S) token ids these positions predict
+    chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """log P(targets | hidden) (B, S) float32 without materializing the full
+    (B, S, vocab) logits.
+
+    The RL memory hot spot (SURVEY §7 "generation inside the training
+    step"): at 7B dims a (4, 768, 152064) float32 logit + log_softmax pair
+    is ~3.7 GB of transients next to 9.5 GB of int8 weights on a 16 GB
+    chip. ``chunk`` bounds the live logits to (B, chunk, vocab) via a
+    scanned, rematerialized lm_head: backward recomputes each chunk's
+    logits from the (tiny) hidden slice instead of storing them — the
+    TPU-shaped equivalent of the reference's row-wise logp loop
+    (grpo_trainer.py:371-384, which loops to "cap memory" the same way).
+    """
+    if chunk is None or hidden.shape[1] <= chunk:
+        logp = jax.nn.log_softmax(logits_from_hidden(params, hidden), axis=-1)
+        return jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    B, S, D = hidden.shape
+    pad = (-S) % chunk
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)))
+    n = (S + pad) // chunk
+    h = hidden.reshape(B, n, chunk, D).swapaxes(0, 1)  # (n, B, chunk, D)
+    t = targets.reshape(B, n, chunk).swapaxes(0, 1)
+
+    @jax.checkpoint
+    def step(_, ht):
+        h_, t_ = ht
+        logp = jax.nn.log_softmax(logits_from_hidden(params, h_), axis=-1)
+        return None, jnp.take_along_axis(logp, t_[..., None], axis=-1)[..., 0]
+
+    _, out = jax.lax.scan(step, None, (h, t))
+    out = out.swapaxes(0, 1).reshape(B, S + pad)
+    return out[:, :S]

@@ -50,6 +50,18 @@ class GSPOConfig:
     learning_rate: float = 1e-6
     max_grad_norm: float = 5.0
     logging_steps: int = 1
+    # Rematerialize decoder layers in the update's backward pass (== the
+    # reference's gradient_checkpointing, run_grpo_video.sh:27).
+    gradient_checkpointing: bool = True
+    # Bound live logits to (G, logp_chunk, vocab) in the logp/update
+    # programs (models/.../text.py per_token_logps_from_hidden) — the
+    # full-dims single-chip memory knob. None = dense lm_head.
+    logp_chunk: Optional[int] = 256
+    # Drop the rollout engine's KV arenas + prefix blocks after each
+    # rollout: at 7B dims on one 16 GB chip the update phase needs the
+    # HBM, and the prefix blocks are dead after the step's weight swap
+    # anyway. Costs one arena re-alloc per step.
+    release_engine_memory: bool = True
 
 
 def group_advantages(rewards: np.ndarray, num_generations: int) -> np.ndarray:
@@ -74,21 +86,30 @@ def completion_mask_after_eos(completion_ids: np.ndarray, eos_token_id: int) -> 
 def make_logps_fn(model_cfg: Qwen25VLConfig):
     """Returns a builder for jitted per-token logp scorers over full
     (prompt+completion) sequences; one scorer per (grid, vision-token) combo
-    since grid shapes are compile-time constants."""
+    since grid shapes are compile-time constants.
 
-    def build(grid_thw, vision_token_id):
+    ``prompt_length`` (static): score ONLY the completion region — the
+    hidden states are sliced BEFORE the lm_head, so the logits tensor is
+    (B, Lc, vocab) instead of (B, L, vocab) (4x smaller at the reference's
+    16384-prompt/768-completion envelope). ``chunk`` further bounds it via
+    the scanned lm_head."""
+
+    def build(grid_thw, vision_token_id, prompt_length=None, chunk=None):
+        from ..models.qwen25vl.text import per_token_logps_from_hidden
+
         @jax.jit
         def fn(params, input_ids, position_ids, pixel_patches, attn_valid,
                vision_row_index=None):
-            logits, _ = forward(
+            hidden, _ = forward(
                 params, model_cfg, input_ids, position_ids,
                 pixel_patches=pixel_patches, grid_thw=grid_thw,
                 vision_token_id=vision_token_id, attn_valid=attn_valid,
-                vision_row_index=vision_row_index,
+                vision_row_index=vision_row_index, return_hidden=True,
             )
-            logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
-            tgt = input_ids[:, 1:]
-            return jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+            lo = 0 if prompt_length is None else prompt_length - 1
+            return per_token_logps_from_hidden(
+                params["text"], hidden[:, lo:-1], input_ids[:, lo + 1 :], chunk
+            )
 
         return fn
 
@@ -142,17 +163,28 @@ def gspo_loss(
     grid_thw=None,
     vision_token_id: Optional[int] = None,
     vision_row_index: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+    logp_chunk: Optional[int] = None,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
-    """The GSPO objective (grpo_trainer.py:634-706)."""
-    logits, _ = forward(
+    """The GSPO objective (grpo_trainer.py:634-706).
+
+    Memory shape: the lm_head runs only over the completion slice of the
+    hidden states (optionally chunk-scanned), so the update never holds a
+    full-sequence logits tensor — see per_token_logps_from_hidden."""
+    from ..models.qwen25vl.text import per_token_logps_from_hidden
+
+    hidden, _ = forward(
         params, model_cfg, input_ids, position_ids,
         pixel_patches=pixel_patches, grid_thw=grid_thw,
         vision_token_id=vision_token_id, attn_valid=attn_valid,
-        vision_row_index=vision_row_index,
+        vision_row_index=vision_row_index, remat=remat, return_hidden=True,
     )
-    logp_all = jax.nn.log_softmax(logits[:, :-1], axis=-1)
-    token_logps = jnp.take_along_axis(logp_all, input_ids[:, 1:][..., None], axis=-1)[..., 0]
-    per_token_logps = token_logps[:, prompt_length - 1 :]  # (G, Lc)
+    per_token_logps = per_token_logps_from_hidden(
+        params["text"],
+        hidden[:, prompt_length - 1 : -1],
+        input_ids[:, prompt_length:],
+        logp_chunk,
+    )  # (G, Lc)
 
     loss, mean_kl = gspo_objective(
         per_token_logps, ref_per_token_logps, completion_mask, advantages, cfg
@@ -356,6 +388,8 @@ class GSPOTrainer:
                     seed=self.seed + global_step,
                 ),
             )
+        if cfg.release_engine_memory:
+            self.engine.release_memory()
         completions_ids = [o["token_ids"] for o in outs]
         completions_text = [self.detokenize(ids) for ids in completions_ids]
         completions = [[{"role": "assistant", "content": txt}] for txt in completions_text]
@@ -481,13 +515,15 @@ class GSPOTrainer:
         grid_key = None if grid is None else tuple(map(tuple, grid.tolist()))
         logps_key = (grid_key, vis_tok, total, R)
         if ("logps", logps_key) not in self._step_fns:
-            self._step_fns[("logps", logps_key)] = make_logps_fn(mcfg)(grid, vis_tok)
+            self._step_fns[("logps", logps_key)] = make_logps_fn(mcfg)(
+                grid, vis_tok, prompt_length=Lp, chunk=cfg.logp_chunk
+            )
         logps_fn = self._step_fns[("logps", logps_key)]
         try:
             with self.timer.stage("ref_logps"):
                 ref_logps = logps_fn(
                     self.ref_params, ids_d, pos_d, patches_d, valid_d, vri_d
-                )[:, Lp - 1 :]
+                )
                 ref_logps.block_until_ready()
             use_vision = patches is not None
         except Exception as e:  # degraded recompute: drop vision kwargs
@@ -499,11 +535,11 @@ class GSPOTrainer:
             print(f"logps with vision failed ({e}); retrying without vision")
             nv_key = (None, None, total, R)
             if ("logps", nv_key) not in self._step_fns:
-                self._step_fns[("logps", nv_key)] = make_logps_fn(mcfg)(None, None)
+                self._step_fns[("logps", nv_key)] = make_logps_fn(mcfg)(
+                    None, None, prompt_length=Lp, chunk=cfg.logp_chunk
+                )
             logps_fn = self._step_fns[("logps", nv_key)]
-            ref_logps = logps_fn(self.ref_params, ids_d, pos_d, None, valid_d, None)[
-                :, Lp - 1 :
-            ]
+            ref_logps = logps_fn(self.ref_params, ids_d, pos_d, None, valid_d, None)
             use_vision = False
             logps_key = nv_key
 
@@ -531,6 +567,8 @@ class GSPOTrainer:
                             Lp, ref_logps, advantages, pixel_patches=patches,
                             grid_thw=g_, vision_token_id=vt_,
                             vision_row_index=vri,
+                            remat=cfg.gradient_checkpointing,
+                            logp_chunk=cfg.logp_chunk,
                         ),
                         has_aux=True,
                     )(adapters)
@@ -548,6 +586,8 @@ class GSPOTrainer:
                             completion_mask, Lp, ref_logps, advantages,
                             pixel_patches=patches, grid_thw=g_, vision_token_id=vt_,
                             vision_row_index=vri,
+                            remat=cfg.gradient_checkpointing,
+                            logp_chunk=cfg.logp_chunk,
                         ),
                         has_aux=True,
                     )(params)

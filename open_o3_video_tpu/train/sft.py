@@ -37,6 +37,9 @@ class SFTConfig:
     gradient_checkpointing: bool = True
     save_steps: int = 500
     logging_steps: int = 1
+    # Bound live logits to (B, logp_chunk, vocab) via the scanned lm_head
+    # (models/.../text.py per_token_logps_from_hidden). None = dense.
+    logp_chunk: int | None = 512
 
 
 def make_optimizer(cfg: SFTConfig) -> optax.GradientTransformation:
@@ -64,9 +67,16 @@ def sft_loss(
     batch: dict[str, Any],
     *,
     remat: bool = True,
+    logp_chunk: int | None = None,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
-    """Next-token CE over positions whose label != IGNORE_INDEX."""
-    logits, _ = forward(
+    """Next-token CE over positions whose label != IGNORE_INDEX.
+
+    ``logp_chunk`` bounds live logits to (B, chunk, vocab) via the scanned
+    lm_head — at 7B dims a full (B, L, vocab) float32 logits tensor is the
+    step's memory hot spot."""
+    from ..models.qwen25vl.text import per_token_logps_from_hidden
+
+    hidden, _ = forward(
         params,
         model_cfg,
         batch["input_ids"],
@@ -77,16 +87,17 @@ def sft_loss(
         vision_row_index=batch.get("vision_row_index"),
         attn_valid=batch.get("attn_valid"),
         remat=remat,
+        return_hidden=True,
     )
     labels = batch["labels"]
-    shift_logits = logits[:, :-1]
     shift_labels = labels[:, 1:]
     valid = shift_labels != IGNORE_INDEX
     safe_labels = jnp.where(valid, shift_labels, 0)
-    logp = jax.nn.log_softmax(shift_logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    token_logps = per_token_logps_from_hidden(
+        params["text"], hidden[:, :-1], safe_labels, logp_chunk
+    )
     denom = jnp.maximum(valid.sum(), 1)
-    loss = jnp.where(valid, nll, 0.0).sum() / denom
+    loss = jnp.where(valid, -token_logps, 0.0).sum() / denom
     return loss, {"loss": loss, "num_target_tokens": valid.sum()}
 
 
@@ -117,7 +128,9 @@ def make_train_step(model_cfg: Qwen25VLConfig, train_cfg: SFTConfig, optimizer):
                 full = {**batch, "grid_thw": _grid, "vision_token_id": _vt}
                 (loss, aux), grads = jax.value_and_grad(
                     lambda p: sft_loss(
-                        p, model_cfg, full, remat=train_cfg.gradient_checkpointing
+                        p, model_cfg, full,
+                        remat=train_cfg.gradient_checkpointing,
+                        logp_chunk=train_cfg.logp_chunk,
                     ),
                     has_aux=True,
                 )(params)
@@ -159,6 +172,7 @@ def make_lora_train_step(model_cfg: Qwen25VLConfig, train_cfg: SFTConfig,
                     lambda ad: sft_loss(
                         apply_adapters(base, ad, lora_scale), model_cfg, full,
                         remat=train_cfg.gradient_checkpointing,
+                        logp_chunk=train_cfg.logp_chunk,
                     ),
                     has_aux=True,
                 )(adapters)

@@ -24,20 +24,31 @@ def trace_annotation(name: str):
 
 
 class StageTimer:
-    """Accumulates wall time by stage; report() returns ms totals + counts."""
+    """Accumulates wall time by stage; report() returns ms totals + counts.
+
+    Nested stages account EXCLUSIVELY: a parent stage's total excludes time
+    spent inside child stages opened within it, so the report's stage sum
+    equals the wall time of the covered regions (no double counting) —
+    which is what makes "stages sum to >=95% of e2e" a meaningful check.
+    """
 
     def __init__(self):
         self._total = defaultdict(float)
         self._count = defaultdict(int)
+        self._child = [0.0]  # per-open-stage accumulated child time
 
     @contextlib.contextmanager
     def stage(self, name: str):
         t0 = time.perf_counter()
+        self._child.append(0.0)
         try:
             yield
         finally:
-            self._total[name] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            child = self._child.pop()
+            self._total[name] += dt - child
             self._count[name] += 1
+            self._child[-1] += dt
 
     def report(self) -> dict[str, dict[str, float]]:
         return {
@@ -52,6 +63,7 @@ class StageTimer:
     def reset(self):
         self._total.clear()
         self._count.clear()
+        self._child = [0.0]
 
 
 def start_trace(log_dir: str):

@@ -179,3 +179,89 @@ class TestChunkedPrefill:
         b = chunked.generate(reqs, samp)
         for i in range(3):
             assert a[i]["token_ids"] == b[i]["token_ids"], i
+
+
+class TestLongContextAdmission:
+    """The 81920-token serving envelope (reference inference_example.py:18):
+    prompts at/above long_prefill_threshold always prefill in chunks (memory-
+    driven — a monolithic 80k prefill cannot fit next to the weights), with
+    the arena itself as the rows cache on full-wave admissions."""
+
+    def _engines(self, **kw):
+        cfg = Qwen25VLConfig.tiny()
+        params = P.init(cfg, seed=0)
+        plain = InferenceEngine(
+            params, cfg, prompt_buckets=(64,), cache_dtype=jnp.float32,
+            max_slots=2, decode_segment=4,
+        )
+        longctx = InferenceEngine(
+            params, cfg, prompt_buckets=(64,), cache_dtype=jnp.float32,
+            max_slots=2, decode_segment=4,
+            long_prefill_threshold=32, long_prefill_chunk=16, **kw,
+        )
+        return plain, longctx
+
+    def test_single_long_request_chunked_matches_plain(self):
+        """n_admit == B == 1: chunked prefill writes the arena directly."""
+        plain, longctx = self._engines()
+        rng = np.random.default_rng(21)
+        p = rng.integers(5, 400, size=60).tolist()  # bucket 64 >= threshold 32
+        samp = SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=8)
+        a = plain.generate([Request(input_ids=p)], samp)
+        b = longctx.generate([Request(input_ids=p)], samp)
+        assert a[0]["token_ids"] == b[0]["token_ids"]
+
+    def test_full_wave_two_rows_then_refill(self):
+        """3 long requests through 2 slots: first admission is a full wave
+        (arena-direct chunks), the refill is a partial admission (fresh rows
+        + scatter); all outputs match the unchunked engine."""
+        plain, longctx = self._engines()
+        rng = np.random.default_rng(22)
+        prompts = [rng.integers(5, 400, size=rng.integers(40, 62)).tolist()
+                   for _ in range(3)]
+        samp = SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=8)
+        a = plain.generate([Request(input_ids=p) for p in prompts], samp)
+        b = longctx.generate([Request(input_ids=p) for p in prompts], samp)
+        for i in range(3):
+            assert a[i]["token_ids"] == b[i]["token_ids"], i
+
+    def test_default_buckets_admit_81920(self):
+        """The public contract: a default-constructed engine buckets an
+        80k-token prompt instead of raising (envelope == 81920)."""
+        from open_o3_video_tpu.engine.engine import _bucket
+
+        cfg = Qwen25VLConfig.tiny()
+        params = P.init(cfg, seed=0)
+        eng = InferenceEngine(params, cfg, cache_dtype=jnp.float32)
+        assert _bucket(81920, eng.prompt_buckets) == 81920
+        assert _bucket(40000, eng.prompt_buckets) == 49152
+        with pytest.raises(ValueError):
+            _bucket(81921, eng.prompt_buckets)
+
+    def test_kv_budget_caps_slots(self):
+        """max_kv_gb serializes a wave that would overflow the KV budget;
+        outputs still match the uncapped engine (requests stream through
+        fewer slots)."""
+        cfg = Qwen25VLConfig.tiny()
+        params = P.init(cfg, seed=0)
+        uncapped = InferenceEngine(
+            params, cfg, prompt_buckets=(32,), cache_dtype=jnp.float32,
+            max_slots=4, decode_segment=4,
+        )
+        tcfg = cfg.text
+        per_slot = (2 * tcfg.num_hidden_layers * (32 + 8)
+                    * tcfg.num_key_value_heads * tcfg.head_dim * 4)
+        capped = InferenceEngine(
+            params, cfg, prompt_buckets=(32,), cache_dtype=jnp.float32,
+            max_slots=4, decode_segment=4,
+            max_kv_gb=1.5 * per_slot / 1e9,  # budget for exactly 1 slot
+        )
+        rng = np.random.default_rng(23)
+        prompts = [rng.integers(5, 400, size=rng.integers(8, 28)).tolist()
+                   for _ in range(3)]
+        samp = SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=8)
+        a = uncapped.generate([Request(input_ids=p) for p in prompts], samp)
+        b = capped.generate([Request(input_ids=p) for p in prompts], samp)
+        for i in range(3):
+            assert a[i]["token_ids"] == b[i]["token_ids"], i
+        assert set(capped._arenas.keys()) == {(1, 40)}  # one-slot arenas only

@@ -187,3 +187,55 @@ class TestVideoMMERealEngine:
         assert len(data["results"]) == 1
         assert data["errors"] == []
         assert isinstance(score, float)
+
+
+class TestMCQItemBatching:
+    def test_generate_paths_batch_matches_single(self, engine_model):
+        items = [
+            (EXAMPLE_VIDEO, "Describe the video.", None),
+            (EXAMPLE_VIDEO, "What happens first?", None),
+        ]
+        batched = engine_model.generate_paths_batch(items, 2)
+        assert len(batched) == 2
+        for (vp, txt, img), (outs_b, frames, fps, shape) in zip(items, batched):
+            outs_s, _, fps_s, shape_s = engine_model.generate_paths(vp, txt, img, 2)
+            assert list(outs_b) == list(outs_s)
+            assert shape == shape_s and fps == fps_s
+            assert frames.ndim == 4
+
+    def test_batched_mcq_items_match_sequential(self, engine_model):
+        """K items through the batched core == K evaluate_mcq_item calls
+        (greedy): same paths, same votes, same predictions."""
+        from open_o3_video_tpu.eval.mcq_harness import (
+            evaluate_mcq_item,
+            evaluate_mcq_items_batched,
+        )
+
+        docs = [
+            {"question_id": f"q{i}", "question": f"What letter {i}?",
+             "options": ["A. x", "B. y", "C. z", "D. w"], "answer": "A"}
+            for i in range(2)
+        ]
+        specs = [
+            {"video_path": EXAMPLE_VIDEO, "text_input": d["question"],
+             "image": None, "doc": d,
+             "question_for_scorer": d["question"] + "\n" + "\n".join(d["options"])}
+            for d in docs
+        ]
+        seq = [
+            evaluate_mcq_item(
+                engine_model, s["video_path"], s["text_input"], s["image"],
+                s["doc"], N=2, vote="confidence_voting",
+                question_for_scorer=s["question_for_scorer"],
+            )
+            for s in specs
+        ]
+        batched = evaluate_mcq_items_batched(
+            engine_model, specs, N=2, vote="confidence_voting"
+        )
+        assert len(batched) == 2
+        for a, b in zip(seq, batched):
+            assert a["paths"] == b["paths"]
+            assert a["pred"] == b["pred"]
+            assert a["choice_score"] == b["choice_score"]
+            assert a["think"] == b["think"]
