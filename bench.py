@@ -54,6 +54,64 @@ HF_BASELINE_VIDEOS_PER_SEC = float(
 )
 
 
+def bench_quant_agreement(frames_u8, grid_thw, prompt):
+    """int8-vs-bf16 greedy agreement at FULL 7B dims on the real chip.
+
+    The quantization-quality gate (VERDICT r2 #2): both configurations
+    share the same random weights (same seed; int8 quantizes that tree),
+    decode 128 greedy tokens from the real video prompt, and the token
+    streams are compared. Depth is 14 layers because a 28L bf16 model
+    does not fit one 16 GB chip — dims (3584/28/4 heads, 152064 vocab)
+    are the full model's, which is what int8 rounding acts on.
+    Run with BENCH_QUANT_CHECK=1 (adds two engine compiles).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from open_o3_video_tpu.engine import InferenceEngine, Request, SamplingParams
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+
+    layers = int(os.environ.get("BENCH_QUANT_LAYERS", "14"))
+    cfg = Qwen25VLConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        vision=dataclasses.replace(
+            cfg.vision, depth=VISION_LAYERS,
+            fullatt_block_indexes=tuple(
+                i for i in cfg.vision.fullatt_block_indexes if i < VISION_LAYERS
+            ) or (VISION_LAYERS - 1,),
+        ),
+        text=dataclasses.replace(cfg.text, num_hidden_layers=layers),
+        dtype=jnp.bfloat16,
+    )
+    bucket = 1 << (len(prompt) - 1).bit_length()
+    sampling = SamplingParams(temperature=0.0, repetition_penalty=1.05, max_tokens=128)
+    req_kw = dict(input_ids=prompt, frames=frames_u8, grid_thw=grid_thw,
+                  vision_token_id=cfg.image_token_id)
+    streams = {}
+    for quant in (False, True):
+        params = P.init(cfg, seed=0, quantize_text=quant)
+        eng = InferenceEngine(params, cfg, prompt_buckets=(bucket,))
+        out = eng.generate([Request(**req_kw)], sampling)[0]
+        streams[quant] = out["token_ids"]
+        eng.release_memory()
+        del eng, params
+    bf16, int8 = streams[False], streams[True]
+    n = min(len(bf16), len(int8))
+    agree = [a == b for a, b in zip(bf16[:n], int8[:n])]
+    first_div = agree.index(False) if False in agree else None
+    return {
+        "layers": layers,
+        "bf16_tokens": len(bf16),
+        "int8_tokens": len(int8),
+        "greedy_agreement": round(float(np.mean(agree)), 4) if n else 0.0,
+        "first_divergence_step": first_div,
+        "exact_match": bf16 == int8,
+    }
+
+
 def bench_longctx(cfg, params):
     """Drive the longest feasible single-request admission on this chip.
 
@@ -431,6 +489,14 @@ def main():
     tok_s16 = decode_tok_s(16)
     engine_txt.release_memory()
 
+    # ---- int8 quality gate (opt-in: two extra engine compiles).
+    quant_detail = None
+    if os.environ.get("BENCH_QUANT_CHECK", "0") == "1":
+        try:
+            quant_detail = bench_quant_agreement(frames_u8, grid_thw, prompt)
+        except Exception as e:  # noqa: BLE001
+            quant_detail = {"error": f"{type(e).__name__}: {e}"}
+
     # ---- long-context serving envelope (reference max_model_len=81920).
     longctx_detail = None
     if os.environ.get("BENCH_LONGCTX", "1") != "0":
@@ -479,6 +545,8 @@ def main():
             "backend": jax.default_backend(),
         },
     }
+    if quant_detail is not None:
+        result["detail"]["quant_agreement"] = quant_detail
     if longctx_detail is not None:
         result["detail"]["longctx"] = longctx_detail
     if train_detail is not None:

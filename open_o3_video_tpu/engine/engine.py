@@ -171,11 +171,14 @@ class InferenceEngine:
         self.prefix_cache_min = prefix_cache_min or 0
         self.suffix_buckets = tuple(suffix_buckets)
         self.prefix_cache_entries = prefix_cache_entries
-        # prefix key -> {"k","v" (layers,1,P_b,..), "valid" (P_b,) np,
-        # "refs" strong refs keeping id()-keys stable}. LRU-bounded.
+        # prefix key -> {"k","v" (layers,1,P_b,..), "valid" (P_b,) np}.
+        # LRU-bounded; keys are (prefix tokens, vision content digests).
         from collections import OrderedDict
 
         self._prefix_kv: "OrderedDict[tuple, dict]" = OrderedDict()
+        # id(array) -> (sha1 digest, strong ref) memo for _vis_digest.
+        self._vis_digests: "OrderedDict[int, tuple]" = OrderedDict()
+        self._vis_obj_counter = 0
         self.params = params
 
         self._vision_fns: dict = {}
@@ -894,16 +897,66 @@ class InferenceEngine:
                             results, prefix_bucket=P_b, prefix_lens=prefix_lens)
         return results
 
+    def _vis_digest(self, arr) -> Optional[str]:
+        """Content digest of a vision array (sha1 over shape/dtype/bytes).
+
+        Prefix clustering keys on CONTENT, not object identity, so
+        equal-but-recomputed frames (e.g. the same video decoded again for
+        a later eval stage) still share their prefix KV. Digests memoize by
+        id() with a strong ref (bounded LRU) so each array hashes once."""
+        if arr is None:
+            return None
+        memo = self._vis_digests
+        if not isinstance(arr, np.ndarray):
+            # Device arrays (e.g. precomputed Aria vision_embeds) would
+            # cost a host transfer to hash — keep identity semantics via a
+            # per-object token (monotonic, so a freed id can never alias
+            # an old cache entry).
+            entry = memo.get(id(arr))
+            if entry is not None and entry[1] is arr:
+                memo.move_to_end(id(arr))
+                return entry[0]
+            self._vis_obj_counter += 1
+            digest = f"obj:{self._vis_obj_counter}"
+            memo[id(arr)] = (digest, arr)
+            while len(memo) > 64:
+                memo.popitem(last=False)
+            return digest
+        entry = memo.get(id(arr))
+        if entry is not None and entry[1] is arr:
+            memo.move_to_end(id(arr))
+            return entry[0]
+        import hashlib
+
+        a = np.asarray(arr)
+        h = hashlib.sha1()
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(np.ascontiguousarray(a).tobytes())
+        digest = h.hexdigest()
+        memo[id(arr)] = (digest, arr)
+        while len(memo) > 64:
+            memo.popitem(last=False)
+        return digest
+
+    def _vis_key(self, r: Request) -> tuple:
+        return (
+            self._vis_digest(r.pixel_patches),
+            self._vis_digest(r.frames),
+            self._vis_digest(r.vision_embeds),
+        )
+
     def _detect_prefixes(self, requests: Sequence[Request]) -> list[int]:
         """Automatic prefix caching: per-request shared-prefix length (0 =
         run plain).
 
-        Requests sharing the SAME vision arrays (by identity — the G rollout
+        Requests sharing the same vision arrays (by CONTENT — the G rollout
         copies of one RL prompt, V-STAR's 5 queries over one video, N TTS
-        paths) are clustered; a cluster's shared prefix is the longest
-        common token prefix, used when it is at least ``prefix_cache_min``
-        tokens, leaves every member a non-empty suffix, and contains every
-        vision placeholder (suffixes run text-only)."""
+        paths, or re-decoded copies of the same frames) are clustered; a
+        cluster's shared prefix is the longest common token prefix, used
+        when it is at least ``prefix_cache_min`` tokens, leaves every
+        member a non-empty suffix, and contains every vision placeholder
+        (suffixes run text-only)."""
         n = len(requests)
         if not self.prefix_cache_min or n < 2:
             return [0] * n
@@ -917,7 +970,7 @@ class InferenceEngine:
             # prompts in one batch) cluster separately.
             head = tuple(int(t) for t in r.input_ids[: self.prefix_cache_min])
             clusters.setdefault(
-                (id(r.pixel_patches), id(r.frames), id(r.vision_embeds), head),
+                self._vis_key(r) + (head,),
                 [],
             ).append(i)
         prefix_lens = [0] * n
@@ -958,8 +1011,7 @@ class InferenceEngine:
     def _ensure_prefix(self, req: Request, pl: int, P_b: int, vis_cache: dict) -> dict:
         """Build (or fetch) the cached KV block for ``req``'s first ``pl``
         tokens, left-padded to the P_b bucket."""
-        key = (tuple(req.input_ids[:pl]), id(req.pixel_patches),
-               id(req.frames), id(req.vision_embeds), P_b)
+        key = (tuple(req.input_ids[:pl]),) + self._vis_key(req) + (P_b,)
         entry = self._prefix_kv.get(key)
         if entry is not None:
             self._prefix_kv.move_to_end(key)
@@ -985,8 +1037,6 @@ class InferenceEngine:
             "k": k,
             "v": v,
             "valid": attn_rows[0],  # (P_b,) bool — real prefix tokens
-            # Strong refs pin the arrays behind the id()-based key parts.
-            "refs": (req.pixel_patches, req.frames, req.vision_embeds),
         }
         self._prefix_kv[key] = entry
         while len(self._prefix_kv) > self.prefix_cache_entries:
@@ -1260,8 +1310,7 @@ class InferenceEngine:
                 if pl == 0:
                     continue
                 req = requests[r]
-                k_ = (tuple(req.input_ids[:pl]), id(req.pixel_patches),
-                      id(req.frames), id(req.vision_embeds))
+                k_ = (tuple(req.input_ids[:pl]),) + self._vis_key(req)
                 if k_ not in idx_of:
                     with self.timer.stage("prefill"):
                         entries[k_] = self._ensure_prefix(
@@ -1275,8 +1324,7 @@ class InferenceEngine:
                 if pl == 0:
                     continue
                 req = requests[r]
-                k_ = (tuple(req.input_ids[:pl]), id(req.pixel_patches),
-                      id(req.frames), id(req.vision_embeds))
+                k_ = (tuple(req.input_ids[:pl]),) + self._vis_key(req)
                 row_idx[j] = idx_of[k_]
                 prefix_valid_rows[j] = entries[k_]["valid"]
             with self.timer.stage("prefill"), trace_annotation("engine.prefill"):
@@ -1308,8 +1356,7 @@ class InferenceEngine:
             sub: dict = {}
             for s, rid in zip(slots, rids):
                 r = requests[rid]
-                k_ = (tuple(r.input_ids[:prefix_lens[rid]]),
-                      id(r.pixel_patches), id(r.frames), id(r.vision_embeds))
+                k_ = (tuple(r.input_ids[:prefix_lens[rid]]),) + self._vis_key(r)
                 sub.setdefault(k_, []).append((s, rid))
             S_b = L - prefix_bucket
             for pairs in sub.values():

@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--logging_steps", type=int, default=1)
     p.add_argument("--max_pixels", type=int, default=12845056)
     p.add_argument("--min_pixels", type=int, default=3136)
+    # Parse-only BY REFERENCE PARITY: the reference accepts these flags
+    # (grpo.py:41-48) but every consumer in its trainer is commented out
+    # (grpo_trainer.py:305, :315, :660) — they gate nothing there either.
     p.add_argument("--temporal", type=bool, default=True)
     p.add_argument("--len_control", type=bool, default=True)
     p.add_argument("--gspo", type=lambda s: s.lower() != "false", default=True)

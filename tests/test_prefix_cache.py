@@ -248,3 +248,38 @@ def test_params_swap_invalidates_prefix_cache(setup):
     cached.params = cached.params
     assert len(cached._prefix_kv) == 1
     cached.params = params  # restore for sibling tests
+
+
+def test_equal_content_recomputed_frames_share_prefix(setup):
+    """Prefix clustering keys on CONTENT: the same video decoded twice
+    (distinct array objects, equal bytes) still shares one prefix KV block
+    — e.g. V-STAR chain stages that re-decode between generate() calls."""
+    from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
+
+    cfg, params, plain, cached = setup
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 255, size=(2, 3, 28, 56), dtype=np.uint8)
+    patches_a, grid = frames_as_images_patches(base.copy())
+    patches_b, _ = frames_as_images_patches(base.copy())
+    assert patches_a is not patches_b
+    n_tok = patches_a.shape[0] // cfg.vision.merge_unit
+    shared = (
+        [7, 8, cfg.vision_start_token_id]
+        + [cfg.image_token_id] * n_tok
+        + [cfg.vision_end_token_id]
+    )
+    reqs = [
+        Request(input_ids=shared + [20 + q, 30 + q, 40 + q],
+                pixel_patches=p, grid_thw=grid,
+                vision_token_id=cfg.image_token_id)
+        for q, p in ((0, patches_a), (1, patches_b))
+    ]
+    pls = cached._detect_prefixes(reqs)
+    assert pls[0] == pls[1] > 0  # clustered despite distinct objects
+    cached.clear_prefix_cache()
+    sampling = SamplingParams(temperature=0.0, max_tokens=4)
+    out_c = cached.generate(reqs, sampling)
+    assert len(cached._prefix_kv) == 1  # ONE block for both
+    out_p = plain.generate(reqs, sampling)
+    for a, b in zip(out_p, out_c):
+        assert a["token_ids"] == b["token_ids"]
