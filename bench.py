@@ -117,19 +117,32 @@ def bench_longctx(cfg, params):
 
     The reference's serving contract allows 81920-token prompts
     (eval/inference_example.py:18 max_model_len); the engine admits them
-    via memory-driven chunked prefill straight into the KV arena. Tries
-    the largest bucket first and steps down on OOM, recording max feasible
-    (prompt, KV) for one chip."""
+    via memory-driven chunked prefill straight into the KV arena. Probes
+    ASCENDING (an OOM can poison HBM for everything after it, so the
+    largest recorded success precedes the first failure), recording max
+    feasible (prompt, KV) for one chip. BENCH_LONGCTX_SIZES overrides the
+    probe list; entries suffixed ':fp8' use a float8_e4m3fn KV arena
+    (halves KV HBM — the difference between 81920 fitting or not next to
+    9.5 GB of int8 weights)."""
     import jax
+    import jax.numpy as jnp
 
     from open_o3_video_tpu.engine import InferenceEngine, Request, SamplingParams
 
+    sizes = os.environ.get(
+        "BENCH_LONGCTX_SIZES", "32768,65536,81920:fp8"
+    ).split(",")
     tcfg = cfg.text
     out = {"failed": {}}
-    for L in (81920, 65536, 49152, 32768):
+    for spec in sizes:
+        spec = spec.strip()
+        fp8 = spec.endswith(":fp8")
+        L = int(spec.split(":")[0])
+        cache_dtype = jnp.float8_e4m3fn if fp8 else jnp.bfloat16
         eng = None
         try:
-            eng = InferenceEngine(params, cfg, prompt_buckets=(L,), max_slots=1)
+            eng = InferenceEngine(params, cfg, prompt_buckets=(L,), max_slots=1,
+                                  cache_dtype=cache_dtype)
             n_prompt = L - 64
             prompt = [100 + (i % 500) for i in range(n_prompt)]
             samp = SamplingParams(temperature=0.0, repetition_penalty=1.05,
@@ -143,11 +156,13 @@ def bench_longctx(cfg, params):
             o = eng.generate([req], samp)[0]
             dt = time.time() - t0
             stages = eng.timer.report()
+            kv_bytes = 1 if fp8 else 2
             kv_gb = (2 * tcfg.num_hidden_layers * (L + 32)
-                     * tcfg.num_key_value_heads * tcfg.head_dim * 2) / 1e9
+                     * tcfg.num_key_value_heads * tcfg.head_dim * kv_bytes) / 1e9
             out.update({
                 "max_prompt_tokens": n_prompt,
                 "bucket": L,
+                "kv_dtype": "fp8_e4m3" if fp8 else "bf16",
                 "kv_arena_gb": round(kv_gb, 2),
                 "e2e_sec": round(dt, 2),
                 "prefill_tok_per_sec": round(
@@ -157,9 +172,9 @@ def bench_longctx(cfg, params):
                 "stages": stages,
                 "compile_sec": round(compile_s, 1),
             })
-            break
         except Exception as e:  # noqa: BLE001 — OOM probing by design
-            out["failed"][str(L)] = f"{type(e).__name__}"
+            out["failed"][spec] = f"{type(e).__name__}: {str(e)[:300]}"
+            break  # a failed alloc can poison HBM; stop probing
         finally:
             if eng is not None:
                 eng.release_memory()
@@ -293,6 +308,23 @@ def bench_train(cfg, params, frames_u8, grid_thw, prompt):
     return out
 
 
+_uniq_counter = [0]
+
+
+def _distinct(frames):
+    """Two-pixel watermark making each decoded copy content-unique.
+
+    The bench decodes ONE example video repeatedly to simulate N different
+    videos; the engine's content-keyed prefix caching would otherwise
+    (correctly) dedupe the identical copies and skip vision+prefill —
+    inflating the batched number relative to a real N-distinct-video
+    workload."""
+    v = _uniq_counter[0] = _uniq_counter[0] + 1
+    frames[0, 0, 0, 0] = v % 251
+    frames[0, 0, 0, 1] = (v // 251) % 251
+    return frames
+
+
 def main():
     import dataclasses
 
@@ -372,6 +404,7 @@ def main():
     for _ in range(min(N_VIDEOS, 4)):
         t1 = time.time()
         frames_u8, _ = fetch_video_fast({"video": VIDEO, "nframes": 16})
+        _distinct(frames_u8)
         out = engine.generate(
             [Request(input_ids=prompt, frames=frames_u8, grid_thw=grid_thw,
                      vision_token_id=cfg.image_token_id)],
@@ -418,6 +451,8 @@ def main():
                 lambda _: fetch_video_fast({"video": VIDEO, "nframes": 16})[0],
                 range(N_VIDEOS),
             ))
+        for f in frame_sets:  # watermark on the main thread (counter race)
+            _distinct(f)
         t_decode = time.time() - t_d
         reqs = [
             Request(input_ids=prompt, frames=f, grid_thw=grid_thw,
@@ -497,6 +532,20 @@ def main():
         except Exception as e:  # noqa: BLE001
             quant_detail = {"error": f"{type(e).__name__}: {e}"}
 
+    # ---- training envelope (one SFT + one full GSPO step on this chip).
+    # Guarded: a train-side failure must not cost the inference metric.
+    # Runs BEFORE the long-context probe: a failed 80k-arena allocation
+    # there can poison HBM for everything after it.
+    train_detail = None
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            train_detail = bench_train(cfg, params, frames_u8, grid_thw, prompt)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            import traceback
+
+            train_detail = {"error": f"{type(e).__name__}: {str(e)[:300]}",
+                            "traceback_tail": traceback.format_exc()[-600:]}
+
     # ---- long-context serving envelope (reference max_model_len=81920).
     longctx_detail = None
     if os.environ.get("BENCH_LONGCTX", "1") != "0":
@@ -504,15 +553,6 @@ def main():
             longctx_detail = bench_longctx(cfg, params)
         except Exception as e:  # noqa: BLE001 — report, don't die
             longctx_detail = {"error": f"{type(e).__name__}: {e}"}
-
-    # ---- training envelope (one SFT + one full GSPO step on this chip).
-    # Guarded: a train-side failure must not cost the inference metric.
-    train_detail = None
-    if os.environ.get("BENCH_TRAIN", "1") != "0":
-        try:
-            train_detail = bench_train(cfg, params, frames_u8, grid_thw, prompt)
-        except Exception as e:  # noqa: BLE001 — report, don't die
-            train_detail = {"error": f"{type(e).__name__}: {e}"}
 
     videos_per_sec = N_VIDEOS / t_batched
     baseline = HF_BASELINE_VIDEOS_PER_SEC

@@ -31,6 +31,13 @@ EOS handling mirrors the reference trainer's mask-after-first-EOS
 Scale-out: pass a mesh — params are sharded by parallel.mesh rules (tensor
 axis == vLLM tensor_parallel_size; fsdp == ZeRO-3) and XLA GSPMD inserts the
 collectives.
+
+Long context (the reference's 81920-token max_model_len contract,
+eval/inference_example.py:18): prompts >= long_prefill_threshold always
+prefill in chunks straight into the arena; ``cache_dtype=jnp.float8_e4m3fn``
+halves KV HBM (an 81920-token arena drops ~4.7 -> ~2.4 GB, the difference
+between fitting next to 9.5 GB of int8 weights on a 16 GB v5e or not);
+``max_kv_gb`` caps concurrent decode slots to a KV budget.
 """
 
 from __future__ import annotations

@@ -84,10 +84,13 @@ def _attention_layer(
             # slots are by construction all earlier tokens of the same row.
             kv_positions_full = kv_positions
             full_kv_mask = kv_mask
+        # The cache stays in its STORED dtype here; causal_attention casts
+        # per path (block-locally in the long-context chunked decode, where
+        # an eager O(T) cast per layer is the memory hazard).
         out = causal_attention(
             q,
-            k_cache.astype(q.dtype),
-            v_cache.astype(q.dtype),
+            k_cache,
+            v_cache,
             q_positions=seq_positions,
             kv_positions=kv_positions_full,
             kv_mask=full_kv_mask,

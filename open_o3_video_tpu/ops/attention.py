@@ -28,6 +28,17 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 # O3V_ATTN_IMPL=xla|pallas|auto.
 ATTN_IMPL = os.environ.get("O3V_ATTN_IMPL", "auto")
 
+# Decode (short-query) attention against a KV buffer at least this long
+# scans the buffer in DECODE_CHUNK-key chunks with online softmax, casting
+# each chunk to the compute dtype block-locally. Rationale: the decode body
+# unrolls all layers into ONE program, and an eager whole-buffer cast of
+# the stored cache (fp8/bf16 -> compute dtype) costs O(T) per layer in
+# transient HBM — ~4.7 GB at the 81920-token envelope if XLA cannot reuse
+# the buffers across layers, which is exactly the regime where the chip is
+# already full. The chunked path bounds transients to O(DECODE_CHUNK).
+LONG_DECODE_T = int(os.environ.get("O3V_LONG_DECODE_T", "32768"))
+DECODE_CHUNK = int(os.environ.get("O3V_DECODE_CHUNK", "8192"))
+
 
 def _use_pallas(impl: str, head_dim: int) -> bool:
     if impl == "pallas":
@@ -88,11 +99,25 @@ def causal_attention(
             if kv_mask is not None
             else jnp.ones((B, T), jnp.int32)
         )
+        if k.dtype != q.dtype:  # cache may store fp8/bf16
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
         return flash_attention_gqa(q, k, v, q_positions.astype(jnp.int32), kv_valid)
 
     mask = kv_positions[:, None, :] <= q_positions[:, :, None]  # (B, S, T)
     if kv_mask is not None:
         mask = mask & kv_mask[:, None, :]
+
+    if S <= 8 and T >= LONG_DECODE_T:
+        # Long-context decode: scan the KV buffer chunk-wise (see module
+        # constants). k/v may arrive in their STORED cache dtype.
+        return _decode_attention_chunked(q, k, v, mask, chunk=DECODE_CHUNK)
+
+    if k.dtype != q.dtype:
+        # Compute dtype for the dense paths (cache may store fp8/bf16).
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
+
     # Padding queries can end up with zero attendable keys (left padding);
     # fall back to self-attention so their outputs stay finite instead of
     # NaN-ing the softmax (their outputs are never read, but NaNs would
@@ -125,6 +150,66 @@ def causal_attention(
         k = jnp.repeat(k, group, axis=2)
         v = jnp.repeat(v, group, axis=2)
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
+
+
+def _decode_attention_chunked(
+    q: jnp.ndarray,  # (B, S, Hq, D) compute dtype, S small
+    k: jnp.ndarray,  # (B, T, Hkv, D) STORED cache dtype (fp8/bf16/f32)
+    v: jnp.ndarray,  # (B, T, Hkv, D)
+    mask: jnp.ndarray,  # (B, S, T) bool — causality + slot validity
+    chunk: int,
+) -> jnp.ndarray:
+    """Online-softmax decode attention scanning the KV buffer in chunks.
+
+    Each chunk is sliced from the cache and cast to the compute dtype
+    BLOCK-LOCALLY inside the loop, so transient HBM is O(chunk) per layer
+    instead of O(T) — the decode-body memory that decides whether the
+    81920-token serving envelope fits next to the weights. Numerics match
+    the dense softmax (flash-attention recurrence, f32 accumulators).
+
+    Rows with zero valid keys (never read) produce finite zeros via the
+    l-clamp rather than the dense path's self-attention fallback.
+    """
+    B, S, Hq, D = q.shape
+    T, Hkv = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    pad = (-T) % chunk
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pad)))
+    n_chunks = (T + pad) // chunk
+    qg = q.reshape(B, S, Hkv, group, D)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+
+    m0 = jnp.full((B, Hkv, group, S), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, Hkv, group, S), jnp.float32)
+    acc0 = jnp.zeros((B, Hkv, group, S, D), jnp.float32)
+
+    def body(c, carry):
+        m_prev, l_prev, acc = carry
+        kc = jax.lax.dynamic_slice_in_dim(k, c * chunk, chunk, axis=1).astype(q.dtype)
+        vc = jax.lax.dynamic_slice_in_dim(v, c * chunk, chunk, axis=1).astype(q.dtype)
+        mk = jax.lax.dynamic_slice_in_dim(mask, c * chunk, chunk, axis=2)
+        s = jnp.einsum(
+            "bshgd,bthd->bhgst", qg, kc, preferred_element_type=jnp.float32
+        ) * scale  # (B, Hkv, G, S, chunk)
+        mk_b = mk[:, None, None, :, :]  # (B, 1, 1, S, chunk)
+        s_masked = jnp.where(mk_b, s, NEG_INF)
+        m_new = jnp.maximum(m_prev, s_masked.max(axis=-1))
+        p = jnp.where(mk_b, jnp.exp(s - m_new[..., None]), 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_prev * corr + p.sum(axis=-1)
+        pv = jnp.einsum(
+            "bhgst,bthd->bhgsd", p.astype(q.dtype), vc,
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * corr[..., None] + pv
+        return m_new, l_new, acc
+
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]  # (B, Hkv, G, S, D)
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, S, Hq, D).astype(q.dtype)
 
 
 def segment_attention(

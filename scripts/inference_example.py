@@ -22,6 +22,11 @@ def main():
     parser.add_argument("--nframes", type=int, default=16)
     parser.add_argument("--max_tokens", type=int, default=2048)
     parser.add_argument(
+        "--kv_cache", choices=["bf16", "fp8"], default="bf16",
+        help="KV arena dtype; fp8 halves KV HBM (lets the full 81920-token "
+        "context fit one 16 GB chip next to int8 weights)",
+    )
+    parser.add_argument(
         "--tiny-demo", action="store_true",
         help="run with a tiny random-weight model (pipeline smoke test, no checkpoint needed)",
     )
@@ -59,7 +64,10 @@ def main():
         processor = O3VideoProcessor.from_pretrained(args.model_path)
         max_tokens = args.max_tokens
 
-    engine = InferenceEngine(params, cfg)
+    import jax.numpy as _jnp
+
+    cache_dtype = _jnp.float8_e4m3fn if args.kv_cache == "fp8" else _jnp.bfloat16
+    engine = InferenceEngine(params, cfg, cache_dtype=cache_dtype)
     sampling = SamplingParams(
         temperature=0.7, top_p=0.001, repetition_penalty=1.05, max_tokens=max_tokens
     )
