@@ -14,12 +14,16 @@ python -m open_o3_video_tpu.eval.cli vstar \
     --model_path "${MODEL_PATH}" \
     --anno "${DATA_DIR}/vstar/annotations.json" \
     --video_folder "${DATA_DIR}/vstar/videos" \
-    --output "${OUT_DIR}/vstar_results.json"
+    --output "${OUT_DIR}/vstar_results.json" \
+    --item_batch "${ITEM_BATCH:-4}"
 
+# int8 judge: ~72 GB sharded over tensor=JUDGE_TP fits a v5e-8 (bf16's
+# 144 GB cannot; the reference needs 4x80GB GPUs, eval_vstar.py:20-24).
 python -m open_o3_video_tpu.eval.cli vstar-judge \
     --model_path "${JUDGE_PATH}" \
     --result_file "${OUT_DIR}/vstar_results.json" \
-    --mesh_tensor "${JUDGE_TP:-4}"
+    --mesh_tensor "${JUDGE_TP:-8}" \
+    --load_in_int8
 
 # ---- Other benchmarks (enable as needed; N=1 majority voting defaults) ------
 # python -m open_o3_video_tpu.eval.cli videomme \
