@@ -524,14 +524,6 @@ def main():
     tok_s16 = decode_tok_s(16)
     engine_txt.release_memory()
 
-    # ---- int8 quality gate (opt-in: two extra engine compiles).
-    quant_detail = None
-    if os.environ.get("BENCH_QUANT_CHECK", "0") == "1":
-        try:
-            quant_detail = bench_quant_agreement(frames_u8, grid_thw, prompt)
-        except Exception as e:  # noqa: BLE001
-            quant_detail = {"error": f"{type(e).__name__}: {e}"}
-
     # ---- training envelope (one SFT + one full GSPO step on this chip).
     # Guarded: a train-side failure must not cost the inference metric.
     # Runs BEFORE the long-context probe: a failed 80k-arena allocation
@@ -553,6 +545,21 @@ def main():
             longctx_detail = bench_longctx(cfg, params)
         except Exception as e:  # noqa: BLE001 — report, don't die
             longctx_detail = {"error": f"{type(e).__name__}: {e}"}
+
+    # ---- int8 quality gate (opt-in; LAST section: it builds a second
+    # 14L bf16 model, so the 28L int8 tree must be dropped first).
+    quant_detail = None
+    if os.environ.get("BENCH_QUANT_CHECK", "0") == "1":
+        try:
+            import gc
+
+            engine.release_memory()
+            engine_txt.release_memory()
+            del engine, engine_txt, params
+            gc.collect()
+            quant_detail = bench_quant_agreement(frames_u8, grid_thw, prompt)
+        except Exception as e:  # noqa: BLE001
+            quant_detail = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
 
     videos_per_sec = N_VIDEOS / t_batched
     baseline = HF_BASELINE_VIDEOS_PER_SEC
