@@ -696,7 +696,10 @@ class InferenceEngine:
         # per call via vis_cache; DISTINCT requests' patches are concatenated
         # into ONE vision-tower program (bigger matmuls, fewer dispatches)
         # and split back by merged-token count.
-        with self.timer.stage("vision"):
+        with self.timer.stage("vis_upload"):
+            # Host->device frame/patch transfer + on-device patchify. Its
+            # own stage: on a tunneled TPU the upload can rival the tower
+            # compute, and lumping them misattributes "vision" time.
             jobs: list[tuple] = []  # (vis_key, patches_dev, grid)
             seen_keys = set()
             for r in reqs:
@@ -713,6 +716,9 @@ class InferenceEngine:
                 else:
                     patches_dev = self._put(r.pixel_patches)
                 jobs.append((vis_key, patches_dev, grid))
+            if jobs:
+                jax.block_until_ready([pd for _, pd, _ in jobs])
+        with self.timer.stage("vision"):
             # Group jobs by IDENTICAL grid signature so program caching stays
             # bounded: one program per (grid, group-size) instead of one per
             # arbitrary concatenation order of heterogeneous videos.

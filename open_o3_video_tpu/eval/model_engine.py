@@ -73,9 +73,19 @@ class QwenVLEngine:
         # set e.g. prefix_cache_min or prefill_chunk per benchmark).
         for k in ("prompt_buckets", "cache_dtype", "decode_segment",
                   "prefill_chunk", "prefix_cache_min", "suffix_buckets",
-                  "prefix_cache_entries", "decode_attn_impl"):
+                  "prefix_cache_entries", "decode_attn_impl", "max_kv_gb",
+                  "long_prefill_threshold", "long_prefill_chunk"):
             if k in llm_args:
                 engine_kw[k] = llm_args.pop(k)
+        if isinstance(engine_kw.get("cache_dtype"), str):
+            # YAML configs carry strings; "fp8" halves KV HBM (long context)
+            import jax.numpy as jnp
+
+            engine_kw["cache_dtype"] = {
+                "fp8": jnp.float8_e4m3fn, "float8_e4m3fn": jnp.float8_e4m3fn,
+                "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                "f32": jnp.float32, "float32": jnp.float32,
+            }[engine_kw["cache_dtype"]]
         self.engine = InferenceEngine(params, cfg, mesh=mesh, **engine_kw)
         self.sampling = SamplingParams(
             temperature=temperature, repetition_penalty=1.05, max_tokens=max_tokens

@@ -239,3 +239,23 @@ class TestMCQItemBatching:
             assert a["pred"] == b["pred"]
             assert a["choice_score"] == b["choice_score"]
             assert a["think"] == b["think"]
+
+
+def test_cache_dtype_string_mapping():
+    """YAML eval configs pass cache_dtype as a string; 'fp8' selects the
+    float8 KV arena (the long-context memory knob)."""
+    import jax.numpy as jnp
+
+    from open_o3_video_tpu.data.processor import ByteTokenizer, O3VideoProcessor
+    from open_o3_video_tpu.eval.model_engine import QwenVLEngine
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+
+    cfg = Qwen25VLConfig.tiny()
+    params = P.init(cfg, seed=0)
+    eng = QwenVLEngine(
+        params, cfg=cfg,
+        processor=O3VideoProcessor(tokenizer=ByteTokenizer.for_config(cfg)),
+        cache_dtype="fp8", max_kv_gb=2.0,
+    )
+    assert eng.engine.cache_dtype == jnp.float8_e4m3fn
+    assert eng.engine.max_kv_gb == 2.0

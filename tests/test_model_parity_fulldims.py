@@ -103,7 +103,12 @@ def _video_prompt(cfg, rng, n_frames=4, hw=(252, 336)):
     from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
 
     frames = rng.integers(0, 255, size=(n_frames, 3) + hw, dtype=np.uint8)
-    patches, grid = frames_as_images_patches(frames)
+    patches, grid = frames_as_images_patches(
+        frames,
+        patch_size=cfg.vision.patch_size,
+        temporal_patch_size=cfg.vision.temporal_patch_size,
+        merge_size=cfg.vision.spatial_merge_size,
+    )
     n_tok = patches.shape[0] // cfg.vision.merge_unit
     ids = (
         rng.integers(5, 1000, size=8).tolist()
@@ -189,3 +194,120 @@ def test_fulldims_greedy_agreement_64_steps(fulldims_pair):
         f"greedy agreement {agreement:.3f}: ours {ours_tokens[:10]} "
         f"vs hf {hf_tokens[:10].tolist()}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Qwen3-VL at the released 8B geometry (the reference's 2025-11 base,
+# README.md:37): 4096 hidden / 32-8 GQA / head_dim 128 / interleaved
+# mrope (24,20,20) / 1152-wide ViT with learned-pos-embed interpolation and
+# 3 deepstack taps / 151936 vocab — depth-reduced like the flagship test.
+# ---------------------------------------------------------------------------
+
+
+def qwen3_fulldims_config():
+    import dataclasses as dc
+
+    from open_o3_video_tpu.models.qwen25vl import tiny_qwen3
+
+    cfg = tiny_qwen3()
+    return dc.replace(
+        cfg,
+        dtype=jnp.float32,
+        vision=dc.replace(
+            cfg.vision,
+            depth=6,
+            hidden_size=1152,
+            intermediate_size=4304,
+            num_heads=16,
+            patch_size=16,
+            spatial_merge_size=2,
+            temporal_patch_size=2,
+            out_hidden_size=4096,
+            num_position_embeddings=2304,
+            deepstack_visual_indexes=(1, 3, 5),  # real: (8,16,24) at depth 27
+        ),
+        text=dc.replace(
+            cfg.text,
+            vocab_size=151936,
+            hidden_size=4096,
+            intermediate_size=12288,
+            num_hidden_layers=4,  # real: 36 — size-only reduction
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            explicit_head_dim=128,
+            mrope_section=(24, 20, 20),
+        ),
+    )
+
+
+@pytest.mark.slow
+def test_qwen3_fulldims_vision_logit_parity():
+    from transformers.models.qwen3_vl import (
+        Qwen3VLConfig,
+        Qwen3VLForConditionalGeneration,
+    )
+
+    cfg = qwen3_fulldims_config()
+    v, t = cfg.vision, cfg.text
+    hf_cfg = Qwen3VLConfig(
+        vision_config=dict(
+            depth=v.depth,
+            hidden_size=v.hidden_size,
+            hidden_act="gelu_pytorch_tanh",
+            intermediate_size=v.intermediate_size,
+            num_heads=v.num_heads,
+            patch_size=v.patch_size,
+            spatial_merge_size=v.spatial_merge_size,
+            temporal_patch_size=v.temporal_patch_size,
+            out_hidden_size=v.out_hidden_size,
+            num_position_embeddings=v.num_position_embeddings,
+            deepstack_visual_indexes=list(v.deepstack_visual_indexes),
+        ),
+        text_config=dict(
+            vocab_size=t.vocab_size,
+            hidden_size=t.hidden_size,
+            intermediate_size=t.intermediate_size,
+            num_hidden_layers=t.num_hidden_layers,
+            num_attention_heads=t.num_attention_heads,
+            num_key_value_heads=t.num_key_value_heads,
+            head_dim=t.head_dim,
+            rms_norm_eps=t.rms_norm_eps,
+            rope_theta=t.rope_theta,
+            rope_scaling={"rope_type": "default",
+                          "mrope_section": list(t.mrope_section),
+                          "mrope_interleaved": True},
+            attention_bias=False,
+            tie_word_embeddings=False,
+            max_position_embeddings=t.max_position_embeddings,
+        ),
+        image_token_id=cfg.image_token_id,
+        video_token_id=cfg.video_token_id,
+        vision_start_token_id=cfg.vision_start_token_id,
+        vision_end_token_id=cfg.vision_end_token_id,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf_model = Qwen3VLForConditionalGeneration(hf_cfg).eval().float()
+    ours_params = P.from_torch_state_dict(hf_model.state_dict(), cfg)
+
+    rng = np.random.default_rng(2)
+    # production-resolution frames at patch 16: 256x320 -> 16x20 grid/frame
+    input_ids, patches, grid = _video_prompt(cfg, rng, n_frames=2, hw=(256, 320))
+
+    with torch.no_grad():
+        hf_logits = hf_model(
+            input_ids=torch.tensor(input_ids),
+            pixel_values=torch.tensor(patches),
+            image_grid_thw=torch.tensor(grid),
+        ).logits.numpy()
+
+    position_ids, _ = get_rope_index(cfg, input_ids, image_grid_thw=grid)
+    ours_logits, _ = forward(
+        ours_params, cfg, jnp.asarray(input_ids), jnp.asarray(position_ids),
+        pixel_patches=jnp.asarray(patches), grid_thw=grid,
+        vision_token_id=cfg.image_token_id,
+    )
+    ours = np.asarray(ours_logits)
+    assert ours.shape == hf_logits.shape
+    np.testing.assert_allclose(ours, hf_logits, atol=2e-3, rtol=2e-3)
+    np.testing.assert_array_equal(ours[0].argmax(-1), hf_logits[0].argmax(-1))
