@@ -189,6 +189,7 @@ def evaluate_mcq_items_batched(
     N: int = 1,
     vote: str = "majority_voting",
     think_mode: bool = True,
+    prepared: Optional[Sequence[tuple]] = None,
 ) -> list[dict[str, Any]]:
     """Run K items together: one engine batch of K*N paths, one batched
     evidence-scoring pass across all items.
@@ -198,8 +199,12 @@ def evaluate_mcq_items_batched(
     ``specs`` and equal what evaluate_mcq_item returns item by item (the
     engine pins per-row sampling independence, so batching is
     score-invariant). This replaces the throughput the reference gets from
-    its 8-process eval fleet (test_videomme.py:315-345)."""
-    if not hasattr(model, "generate_paths_batch"):
+    its 8-process eval fleet (test_videomme.py:315-345).
+
+    ``prepared``: the output of ``model.prepare_paths_batch`` for these
+    specs, when the caller already ran the host phase (e.g. prefetched on a
+    background thread by ``iter_mcq_item_batches``)."""
+    if prepared is None and not hasattr(model, "generate_paths_batch"):
         return [
             evaluate_mcq_item(
                 model, s["video_path"], s["text_input"], s["image"], s["doc"],
@@ -211,9 +216,12 @@ def evaluate_mcq_items_batched(
             for s in specs
         ]
 
-    gen = model.generate_paths_batch(
-        [(s["video_path"], s["text_input"], s["image"]) for s in specs], N
-    )
+    if prepared is not None:
+        gen = model.generate_paths_prepared(prepared, N)
+    else:
+        gen = model.generate_paths_batch(
+            [(s["video_path"], s["text_input"], s["image"]) for s in specs], N
+        )
     states = []
     all_pending: list[tuple[int, int, list, list]] = []
     for i, (s, (raw, frames, fps, frame_shape)) in enumerate(zip(specs, gen)):
@@ -238,3 +246,70 @@ def evaluate_mcq_items_batched(
             states[i][1][slot] = relevance_mapping(rating)
 
     return [_finalize(*st) for st in states]
+
+
+def iter_mcq_item_batches(
+    model,
+    all_specs: Sequence[dict],
+    item_batch: int,
+    *,
+    N: int = 1,
+    vote: str = "majority_voting",
+    think_mode: bool = True,
+):
+    """Yield ``(chunk_specs, outs_or_exception)`` one item batch at a time,
+    prefetching the NEXT chunk's host preparation.
+
+    Host prep (video decode + resize + tokenize — CPU-bound; the decoders
+    release the GIL) for chunk k+1 runs on a background thread while the
+    engine executes chunk k on the device, so steady-state throughput is
+    max(host, device) instead of host + device. This is the pipelining the
+    reference's process-per-GPU fleet gets from OS scheduling
+    (test_videomme.py:315-345), provided in-process. A chunk whose batched
+    run raises is yielded as the exception so the caller can apply its
+    per-item fallback."""
+    item_batch = max(1, int(item_batch))
+    chunks = [
+        list(all_specs[i : i + item_batch])
+        for i in range(0, len(all_specs), item_batch)
+    ]
+    kw = dict(N=N, vote=vote, think_mode=think_mode)
+
+    pipelined = hasattr(model, "prepare_paths_batch") and hasattr(
+        model, "generate_paths_prepared"
+    )
+    if not pipelined:
+        for chunk in chunks:
+            try:
+                outs = evaluate_mcq_items_batched(model, chunk, **kw)
+            except Exception as e:  # noqa: BLE001 — caller falls back per item
+                outs = e
+            yield chunk, outs
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def prep(chunk):
+        return model.prepare_paths_batch(
+            [(s["video_path"], s["text_input"], s["image"]) for s in chunk]
+        )
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(prep, chunks[0]) if chunks else None
+        for k, chunk in enumerate(chunks):
+            try:
+                prepared = fut.result()
+            except Exception as e:  # noqa: BLE001
+                prepared = e
+            if k + 1 < len(chunks):
+                fut = pool.submit(prep, chunks[k + 1])
+            if isinstance(prepared, Exception):
+                yield chunk, prepared
+                continue
+            try:
+                outs = evaluate_mcq_items_batched(
+                    model, chunk, prepared=prepared, **kw
+                )
+            except Exception as e:  # noqa: BLE001
+                outs = e
+            yield chunk, outs

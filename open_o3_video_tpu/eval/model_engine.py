@@ -202,6 +202,14 @@ class QwenVLEngine:
         arrays, so the vision tower encodes each video once.
 
         Returns one (outputs, frames, fps, frame_shape) tuple per item."""
+        return self.generate_paths_prepared(self.prepare_paths_batch(items), n_paths)
+
+    def prepare_paths_batch(self, items: Sequence[tuple]) -> list[tuple]:
+        """Host phase of ``generate_paths_batch``: decode + resize +
+        tokenize only (no device work), in a thread pool. The split lets a
+        harness prepare item batch k+1 on a background thread while the
+        engine runs batch k on the device (mcq_harness.iter_mcq_item_batches),
+        hiding host video decode entirely in the steady state."""
         from concurrent.futures import ThreadPoolExecutor
 
         def prep(it):
@@ -213,7 +221,11 @@ class QwenVLEngine:
             return req, frames, fps, frame_shape
 
         with ThreadPoolExecutor(max_workers=min(4, max(1, len(items)))) as pool:
-            prepped = list(pool.map(prep, items))
+            return list(pool.map(prep, items))
+
+    def generate_paths_prepared(self, prepped: Sequence[tuple], n_paths: int):
+        """Device phase of ``generate_paths_batch``: run the prepared
+        requests (K items x n_paths) through one engine batch."""
         reqs = [r for r, _, _, _ in prepped for _ in range(n_paths)]
         texts = self._generate_texts(reqs)
         return [

@@ -100,13 +100,27 @@ def evaluate(
     item_batch = max(1, item_batch)
     from concurrent.futures import ThreadPoolExecutor
 
-    for start in range(0, len(items), item_batch):
-        chunk = items[start : start + item_batch]
+    chunks = [items[s : s + item_batch] for s in range(0, len(items), item_batch)]
+
+    def prep_chunk(chunk):
+        # Host-only (decode + resize + prompt build); runs one chunk ahead
+        # on a background thread while the engine executes the current one.
         with ThreadPoolExecutor(max_workers=min(4, len(chunk))) as pool:
-            inputs = list(pool.map(
+            return list(pool.map(
                 lambda it: _prepare_tvg_item(it, video_folder, model, think_mode),
                 chunk,
             ))
+
+    prefetch = ThreadPoolExecutor(max_workers=1)
+    fut = prefetch.submit(prep_chunk, chunks[0]) if chunks else None
+    for ci, chunk in enumerate(chunks):
+        try:
+            inputs = fut.result()
+        except Exception as e:  # noqa: BLE001 — re-prep inline
+            print(f"[warn] chunk prefetch failed ({e!r}); inline prep")
+            inputs = prep_chunk(chunk)
+        if ci + 1 < len(chunks):
+            fut = prefetch.submit(prep_chunk, chunks[ci + 1])
         live = [(it, inp) for it, inp in zip(chunk, inputs) if inp is not None]
         if not live:
             done += len(chunk)
@@ -122,6 +136,7 @@ def evaluate(
             ious.append(iou)
             results.append({**item, "prediction_raw": raw, "prediction": pred, "tIoU": iou})
             print(f"{done}/{len(items)} tIoU={iou:.3f}")
+    prefetch.shutdown(wait=False)
 
     scores = {
         "R1@0.3": recall_at(ious, 0.3),

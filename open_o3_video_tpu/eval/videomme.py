@@ -11,7 +11,7 @@ import time
 from typing import Any, Optional
 
 from .dataloaders import videomme as D
-from .mcq_harness import evaluate_mcq_item, evaluate_mcq_items_batched
+from .mcq_harness import evaluate_mcq_item, iter_mcq_item_batches
 
 
 def evaluate(
@@ -40,26 +40,27 @@ def evaluate(
     rows = list(zip(video_paths, image_input, text_input, docs))
     item_batch = max(1, item_batch)
     done = 0
-    for start in range(0, len(rows), item_batch):
-        chunk = rows[start : start + item_batch]
-        specs = [
-            {
-                "video_path": vp, "text_input": txt, "image": img, "doc": doc,
-                "question_for_scorer": doc["question"] + "\n"
-                + "\n".join(f"{opt}" for opt in doc["options"]),
-            }
-            for vp, img, txt, doc in chunk
-        ]
-        # item_batch items form one engine batch (K*N concurrent paths —
-        # the in-process replacement for the reference's 8-way process
-        # fleet, test_videomme.py:315-345); on any batch failure fall back
-        # to per-item runs so failures skip-and-record individually (the
-        # reference instead kills the whole fleet, :329-335).
-        try:
-            outs = evaluate_mcq_items_batched(
-                model, specs, N=N, vote=vote, think_mode=think_mode
-            )
-        except Exception as batch_err:
+    all_specs = [
+        {
+            "video_path": vp, "text_input": txt, "image": img, "doc": doc,
+            "question_for_scorer": doc["question"] + "\n"
+            + "\n".join(f"{opt}" for opt in doc["options"]),
+        }
+        for vp, img, txt, doc in rows
+    ]
+    # item_batch items form one engine batch (K*N concurrent paths — the
+    # in-process replacement for the reference's 8-way process fleet,
+    # test_videomme.py:315-345); the iterator prefetches the next chunk's
+    # host video decode while the engine runs the current one. On any
+    # batch failure fall back to per-item runs so failures skip-and-record
+    # individually (the reference instead kills the whole fleet, :329-335).
+    for specs, outs in iter_mcq_item_batches(
+        model, all_specs, item_batch, N=N, vote=vote, think_mode=think_mode
+    ):
+        chunk = [(s["video_path"], s["image"], s["text_input"], s["doc"])
+                 for s in specs]
+        if isinstance(outs, Exception):
+            batch_err = outs
             print(f"[warn] batched eval failed ({batch_err!r}); per-item fallback")
             outs = []
             for s in specs:

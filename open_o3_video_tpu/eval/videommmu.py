@@ -40,8 +40,34 @@ def evaluate(
     rows = list(zip(video_paths, image_input, text_input, docs))
     item_batch = max(1, item_batch)
     done = 0
-    for start in range(0, len(rows), item_batch):
-        chunk = rows[start : start + item_batch]
+    chunks = [rows[s : s + item_batch] for s in range(0, len(rows), item_batch)]
+
+    # Chunk k+1's host prep (video decode + tokenize) runs on a background
+    # thread while the engine executes chunk k — both the MCQ and the
+    # open-ended branch consume slices of the same prepared list.
+    pipelined = hasattr(model, "prepare_paths_batch") and hasattr(
+        model, "generate_paths_prepared"
+    )
+
+    def prep_chunk(chunk):
+        if not pipelined:
+            return None
+        return model.prepare_paths_batch(
+            [(vp, txt, img) for vp, img, txt, doc in chunk]
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    prep_pool = ThreadPoolExecutor(max_workers=1)
+    fut = prep_pool.submit(prep_chunk, chunks[0]) if chunks else None
+    for ci, chunk in enumerate(chunks):
+        try:
+            prepared = fut.result()
+        except Exception as e:  # noqa: BLE001 — re-prep in the fallback
+            print(f"[warn] chunk prefetch failed ({e!r}); unprepped path")
+            prepared = None
+        if ci + 1 < len(chunks):
+            fut = prep_pool.submit(prep_chunk, chunks[ci + 1])
         batch_t0 = time.time()
         # Split the chunk: MCQ items batch through the N-path voting core;
         # open-ended items batch through one plain model call (the wrapper
@@ -65,16 +91,23 @@ def evaluate(
                         + D.parse_options(doc["options"]),
                     })
                 outs = evaluate_mcq_items_batched(
-                    model, specs, N=N, vote=vote, think_mode=think_mode
+                    model, specs, N=N, vote=vote, think_mode=think_mode,
+                    prepared=[prepared[j] for j, _ in mcq] if prepared else None,
                 )
                 for (j, _), out in zip(mcq, outs):
                     preds[j] = out["pred"]
             if open_ended:
-                outputs, _, _, _ = model(
-                    [r[0] for _, r in open_ended],
-                    [r[2] for _, r in open_ended],
-                    query_image=[r[1] for _, r in open_ended],
-                )
+                if prepared is not None:
+                    res = model.generate_paths_prepared(
+                        [prepared[j] for j, _ in open_ended], 1
+                    )
+                    outputs = [texts[0] for texts, _, _, _ in res]
+                else:
+                    outputs, _, _, _ = model(
+                        [r[0] for _, r in open_ended],
+                        [r[2] for _, r in open_ended],
+                        query_image=[r[1] for _, r in open_ended],
+                    )
                 for (j, _), text in zip(open_ended, outputs):
                     preds[j] = text
         except Exception as batch_err:
@@ -97,6 +130,7 @@ def evaluate(
                 doc["id"], "GT:", doc["answer"],
                 f"{done}/{len(docs)} ({batch_dt / len(chunk):.1f}s/item)",
             )
+    prep_pool.shutdown(wait=False)
 
     bench.cal_category_acc(metrics)
     acc = D.aggregate_results(metrics)

@@ -390,22 +390,17 @@ def _parse_item_result(data: dict, texts: dict, frame_size) -> dict:
     return result
 
 
-def process_items_batched(
+def prep_items_host(
     items: Sequence[dict],
     video_folder: str,
     model,
     think_mode: bool = True,
     errors: Optional[list] = None,
-) -> list[dict]:
-    """Run a slice of items with every query batched through the engine.
-
-    Replaces the reference's 8-process fleet (test_vstar_multi_images.py:
-    621-693) with in-process engine batching; failed items are recorded in
-    ``errors`` and skipped instead of terminating the run (the reference
-    kills the whole fleet on first error, :644-674)."""
-    # Host preparation (video decode + resize) runs in a thread pool — the
-    # cv2/native decoders release the GIL, so items overlap on host cores
-    # while the previous batch occupies the chip.
+) -> list[tuple]:
+    """Host phase of ``process_items_batched``: decode + resize + prompt
+    build for a slice of items, in a thread pool (the cv2/native decoders
+    release the GIL). Split out so ``evaluate`` can prefetch the next
+    slice's host work while the engine runs the current one."""
     from concurrent.futures import ThreadPoolExecutor
 
     def prep(data):
@@ -428,6 +423,27 @@ def process_items_batched(
                     errors.append(err)
                 continue
             prepared.append((data, inputs, frame_size))
+    return prepared
+
+
+def process_items_batched(
+    items: Sequence[dict],
+    video_folder: str,
+    model,
+    think_mode: bool = True,
+    errors: Optional[list] = None,
+    prepared: Optional[list] = None,
+) -> list[dict]:
+    """Run a slice of items with every query batched through the engine.
+
+    Replaces the reference's 8-process fleet (test_vstar_multi_images.py:
+    621-693) with in-process engine batching; failed items are recorded in
+    ``errors`` and skipped instead of terminating the run (the reference
+    kills the whole fleet on first error, :644-674). ``prepared`` (the
+    output of ``prep_items_host``) skips the host phase when the caller
+    already ran it — e.g. prefetched on a background thread."""
+    if prepared is None:
+        prepared = prep_items_host(items, video_folder, model, think_mode, errors)
 
     if not prepared:
         return []
@@ -474,16 +490,35 @@ def evaluate(
 
     results, errors = [], []
     item_batch = max(1, item_batch)
-    for start in range(0, len(annotations), item_batch):
-        results.extend(
-            process_items_batched(
-                annotations[start : start + item_batch],
-                video_folder,
-                model,
-                think_mode,
-                errors=errors,
+    chunks = [annotations[s : s + item_batch]
+              for s in range(0, len(annotations), item_batch)]
+    # Chunk k+1's host phase (video decode + resize + prompt build) runs on
+    # a background thread while the engine executes chunk k's 5*item_batch
+    # requests — steady state is max(host, device), the same overlap the
+    # reference's process fleet gets from OS scheduling.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as prep_pool:
+        fut = prep_pool.submit(
+            prep_items_host, chunks[0], video_folder, model, think_mode, errors
+        ) if chunks else None
+        for ci, chunk in enumerate(chunks):
+            try:
+                prepared = fut.result()
+            except Exception as e:  # noqa: BLE001 — re-prep inline
+                print(f"[warn] chunk prefetch failed ({e!r}); inline prep")
+                prepared = None
+            if ci + 1 < len(chunks):
+                fut = prep_pool.submit(
+                    prep_items_host, chunks[ci + 1], video_folder, model,
+                    think_mode, errors,
+                )
+            results.extend(
+                process_items_batched(
+                    chunk, video_folder, model, think_mode,
+                    errors=errors, prepared=prepared,
+                )
             )
-        )
     results.sort(key=lambda r: r["original_index"])
     with open(output_file, "w") as f:
         json.dump(results, f, indent=2)

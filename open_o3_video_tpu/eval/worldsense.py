@@ -11,7 +11,7 @@ import time
 from typing import Optional
 
 from .dataloaders import worldsense as D
-from .mcq_harness import evaluate_mcq_item, evaluate_mcq_items_batched
+from .mcq_harness import evaluate_mcq_item, iter_mcq_item_batches
 
 
 def evaluate(
@@ -40,25 +40,26 @@ def evaluate(
     rows = list(zip(video_paths, image_input, text_input, docs))
     item_batch = max(1, item_batch)
     done = 0
-    for start in range(0, len(rows), item_batch):
-        chunk = rows[start : start + item_batch]
-        specs = []
-        for vp, img, txt, doc in chunk:
-            candidates = doc["candidates"]
-            if isinstance(candidates, str):
-                candidates = eval(candidates)
-            specs.append({
-                "video_path": vp, "text_input": txt, "image": img, "doc": doc,
-                "question_for_scorer": doc["question"] + "\n" + "\n".join(candidates),
-            })
-        # One engine batch per item_batch items; per-item sequential
-        # fallback keeps skip-and-record semantics (vs the reference's
-        # fleet-kill, test_videomme.py:329-335).
-        try:
-            outs = evaluate_mcq_items_batched(
-                model, specs, N=N, vote=vote, think_mode=think_mode
-            )
-        except Exception as batch_err:
+    all_specs = []
+    for vp, img, txt, doc in rows:
+        candidates = doc["candidates"]
+        if isinstance(candidates, str):
+            candidates = eval(candidates)
+        all_specs.append({
+            "video_path": vp, "text_input": txt, "image": img, "doc": doc,
+            "question_for_scorer": doc["question"] + "\n" + "\n".join(candidates),
+        })
+    # One engine batch per item_batch items, next chunk's host video decode
+    # prefetched while the engine runs; per-item sequential fallback keeps
+    # skip-and-record semantics (vs the reference's fleet-kill,
+    # test_videomme.py:329-335).
+    for specs, outs in iter_mcq_item_batches(
+        model, all_specs, item_batch, N=N, vote=vote, think_mode=think_mode
+    ):
+        chunk = [(s["video_path"], s["image"], s["text_input"], s["doc"])
+                 for s in specs]
+        if isinstance(outs, Exception):
+            batch_err = outs
             print(f"[warn] batched eval failed ({batch_err!r}); per-item fallback")
             outs = []
             for s in specs:

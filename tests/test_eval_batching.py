@@ -241,6 +241,83 @@ class TestMCQItemBatching:
             assert a["think"] == b["think"]
 
 
+class TestPipelinedPrefetch:
+    def test_iter_mcq_item_batches_matches_unpipelined(self, engine_model):
+        """The prefetching iterator (host prep of chunk k+1 overlapped with
+        chunk k's engine phase) must yield byte-identical results to the
+        plain batched path, in chunk order."""
+        from open_o3_video_tpu.eval.mcq_harness import (
+            evaluate_mcq_items_batched,
+            iter_mcq_item_batches,
+        )
+
+        docs = [
+            {"question_id": f"q{i}", "question": f"What letter {i}?",
+             "options": ["A. x", "B. y", "C. z", "D. w"], "answer": "A"}
+            for i in range(3)
+        ]
+        specs = [
+            {"video_path": EXAMPLE_VIDEO, "text_input": d["question"],
+             "image": None, "doc": d,
+             "question_for_scorer": d["question"] + "\n" + "\n".join(d["options"])}
+            for d in docs
+        ]
+        plain = []
+        for s in range(0, len(specs), 2):
+            plain.extend(evaluate_mcq_items_batched(
+                engine_model, specs[s : s + 2], N=2, vote="confidence_voting"
+            ))
+        piped = []
+        for chunk, outs in iter_mcq_item_batches(
+            engine_model, specs, 2, N=2, vote="confidence_voting"
+        ):
+            assert not isinstance(outs, Exception), outs
+            assert len(outs) == len(chunk)
+            piped.extend(outs)
+        assert len(piped) == len(plain) == 3
+        for a, b in zip(plain, piped):
+            assert a["paths"] == b["paths"]
+            assert a["pred"] == b["pred"]
+            assert a["choice_score"] == b["choice_score"]
+
+    def test_prepare_generate_split_matches_fused(self, engine_model):
+        """prepare_paths_batch + generate_paths_prepared == the fused
+        generate_paths_batch."""
+        items = [
+            (EXAMPLE_VIDEO, "Describe the video.", None),
+            (EXAMPLE_VIDEO, "What happens first?", None),
+        ]
+        fused = engine_model.generate_paths_batch(items, 2)
+        prepped = engine_model.prepare_paths_batch(items)
+        split = engine_model.generate_paths_prepared(prepped, 2)
+        assert len(fused) == len(split) == 2
+        for (ob, _, fpb, shb), (os_, _, fps_, shs) in zip(fused, split):
+            assert list(ob) == list(os_)
+            assert fpb == fps_ and shb == shs
+
+    def test_vstar_prefetched_evaluate_matches(self, engine_model, tmp_path):
+        """vstar.evaluate (now prefetching chunk k+1's host prep) ==
+        direct process_items_batched results."""
+        from open_o3_video_tpu.eval import vstar
+
+        items = [_vstar_item(0), _vstar_item(1), _vstar_item(2)]
+        direct = vstar.process_items_batched(
+            [dict(it) for it in items[:2]], "", engine_model
+        ) + vstar.process_items_batched(
+            [dict(it) for it in items[2:]], "", engine_model
+        )
+        anno_file = tmp_path / "anno.json"
+        anno_file.write_text(json.dumps(items))
+        out_file = str(tmp_path / "out.json")
+        results = vstar.evaluate(
+            str(anno_file), "", engine_model, out_file, item_batch=2
+        )
+        assert len(results) == 3
+        for d, r in zip(direct, results):
+            for key in ("answer_vqa", "answer_temporal_pre", "answer_spatial_pre"):
+                assert d[key] == r[key], key
+
+
 def test_cache_dtype_string_mapping():
     """YAML eval configs pass cache_dtype as a string; 'fp8' selects the
     float8 KV arena (the long-context memory knob)."""
