@@ -167,7 +167,11 @@ class InferenceEngine:
                 f"max_slots={max_slots} must divide over "
                 f"{batch_axis}={mesh.shape[batch_axis]}"
             )
-            assert prefill_chunk is None, "chunked prefill is per-wave already"
+            # Chunked prefill composes with DP fleet mode: admissions are
+            # full waves, so chunks write the row-sharded arena directly
+            # (no interleaved decode between chunks — that benefit is
+            # per-slot and does not exist wave-scheduled, but the memory
+            # ceiling from long_prefill_threshold does).
         if mesh is not None:
             from ..parallel.mesh import shard_params
 
@@ -1427,8 +1431,11 @@ class InferenceEngine:
                     deepstack if deepstack is not None else (None, None)
                 )
                 chunk = self.prefill_chunk
+                # Memory-driven long-context chunking applies in DP fleet
+                # mode too: every DP admission is a full wave, so the
+                # chunked path writes the row-sharded arena directly.
                 long_admission = (
-                    not self._dp and L >= self.long_prefill_threshold
+                    L >= self.long_prefill_threshold
                     and self.long_prefill_chunk
                 )
                 if chunk is None and long_admission:
@@ -1454,10 +1461,17 @@ class InferenceEngine:
                         # row is ~5 GB.
                         assert L % chunk == 0, "prefill_chunk must divide the bucket"
                         full_wave = n_admit == B
+                        # DP fleet admissions are always full waves (the
+                        # scheduler pads the queue), so `rows` is the
+                        # row-sharded arena itself and the per-row puts
+                        # shard over the batch axis like _admit_full's.
+                        assert not self._dp or full_wave
+                        rd = 0 if self._dp else None
                         rows = arena if full_wave else self._new_cache(n_admit, T)
-                        pos_d = self._put(pos)
-                        seq_pos_d = self._put(seq_pos)
-                        attn_rows_d = self._put(attn_rows)
+                        pos_d = self._put(pos, row_dim=(1 if self._dp else None))
+                        seq_pos_d = self._put(seq_pos, row_dim=rd)
+                        attn_rows_d = self._put(attn_rows, row_dim=rd)
+                        attn_rows_dev = attn_rows_d  # for the DP wave bind
                         for c0 in range(0, L, chunk):
                             logits, rk, rv = self._prefill_chunk_fn(
                                 self.params,

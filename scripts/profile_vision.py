@@ -65,7 +65,7 @@ def main():
     S = patches_np.shape[0]
     print(f"S={S} patches, grid rows={len(grid)}, depth={DEPTH}", file=sys.stderr)
 
-    params = P.init(cfg, seed=0)["vision"]
+    params = P.init(cfg, seed=0)["visual"]
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     spec = V.compute_vision_spec([tuple(g) for g in grid], vcfg)
     patches = jnp.asarray(patches_np, dtype=jnp.bfloat16)
@@ -86,7 +86,7 @@ def main():
           f"({100*total_tflop/t_full/197:4.1f}% MFU)")
 
     # --- ablation helpers (monkeypatched copies of the block loop) -------
-    def run_blocks(x, attn_mode):
+    def run_blocks(params, x, attn_mode):
         x = x.astype(jnp.bfloat16) @ params["patch_embed"]
         unit = vcfg.merge_unit
         x = x.reshape(S // unit, unit, -1)[jnp.asarray(spec.window_index)].reshape(S, -1)
@@ -123,9 +123,10 @@ def main():
         return x
 
     for mode in ("full", "no_gather", "none"):
-        fn = jax.jit(lambda x, m=mode: run_blocks(x, m))
-        t = timed(fn, patches)
+        fn = jax.jit(lambda p, x, m=mode: run_blocks(p, x, m))
+        t = timed(fn, params, patches)
         print(f"blocks[{mode:9s}]: {t*1e3:8.1f} ms")
+        jax.clear_caches()
 
 
 if __name__ == "__main__":

@@ -198,3 +198,48 @@ def test_dp_with_prefix_caching_matches_plain():
     assert len(dp._prefix_kv) == 2
     for a, b in zip(out_p[:5], again):
         assert a["token_ids"] == b["token_ids"]
+
+
+def test_dp_long_context_chunked_prefill(setup):
+    """DP fleet + memory-driven chunked prefill: prompts above
+    long_prefill_threshold chunk straight into the row-sharded arena
+    (engine.py admission path), matching the plain engine's outputs.
+    Before round 3 this combination was an init-time exclusion."""
+    cfg, params, _, _ = setup
+    sampling = SamplingParams(temperature=0.0, max_tokens=6)
+    reqs = [
+        Request(input_ids=[(7 + 5 * i + j) % 97 + 3 for j in range(100 + i)])
+        for i in range(6)
+    ]
+    plain = InferenceEngine(
+        params, cfg, prompt_buckets=(128,), cache_dtype=jnp.float32,
+        long_prefill_threshold=128, long_prefill_chunk=32,
+    )
+    out_p = plain.generate(reqs, sampling)
+
+    mesh = make_mesh(data=4, fsdp=2, tensor=1)
+    dp = InferenceEngine(
+        params, cfg, mesh=mesh, batch_axis="data", max_slots=4,
+        prompt_buckets=(128,), cache_dtype=jnp.float32,
+        long_prefill_threshold=128, long_prefill_chunk=32,
+    )
+    out_d = dp.generate(reqs, sampling)
+    for a, b in zip(out_p, out_d):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_dp_explicit_prefill_chunk_allowed(setup):
+    """An explicit prefill_chunk no longer asserts in DP fleet mode; the
+    full-wave admission runs it chunked into the arena."""
+    cfg, params, ref, _ = setup
+    sampling = SamplingParams(temperature=0.0, max_tokens=5)
+    reqs = _text_requests(8)
+    mesh = make_mesh(data=4, fsdp=2, tensor=1)
+    dp = InferenceEngine(
+        params, cfg, mesh=mesh, batch_axis="data", max_slots=4,
+        prompt_buckets=(64,), cache_dtype=jnp.float32, prefill_chunk=32,
+    )
+    out_d = dp.generate(reqs, sampling)
+    out_r = ref.generate(reqs, sampling)
+    for a, b in zip(out_r, out_d):
+        assert a["token_ids"] == b["token_ids"]
