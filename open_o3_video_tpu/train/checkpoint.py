@@ -129,3 +129,70 @@ def export_safetensors(params: dict, cfg, out_dir: str):
 
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(cfg.to_hf_dict(), f, indent=2)
+
+
+def write_model_card(
+    out_dir: str,
+    *,
+    trainer_name: str,
+    base_model: "str | None" = None,
+    model_name: "str | None" = None,
+    dataset_name: "str | None" = None,
+    tags: "tuple[str, ...]" = (),
+):
+    """Draft model card in the exported directory (README.md).
+
+    Mirrors the reference trainer's create_model_card (TRL
+    generate_model_card; grpo_trainer.py:753-809 including its DeepSeekMath
+    citation for the GRPO/GSPO family), without the hub/wandb/comet
+    integrations. Rank-0 only under multi-host."""
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    model_name = model_name or os.path.basename(os.path.normpath(out_dir))
+    front = ["---"]
+    if base_model:
+        front.append(f"base_model: {base_model}")
+    front += [
+        "library_name: open_o3_video_tpu",
+        f"model_name: {model_name}",
+        "tags:",
+        "- generated_from_trainer",
+        f"- {trainer_name.lower()}",
+    ]
+    front += [f"- {t}" for t in tags]
+    if dataset_name:
+        front.append(f"datasets:\n- {dataset_name}")
+    front.append("---")
+
+    citation = ""
+    if trainer_name.upper() in ("GRPO", "GSPO"):
+        citation = (
+            "\n## Citations\n\n```bibtex\n"
+            "@article{zhihong2024deepseekmath,\n"
+            "    title        = {{DeepSeekMath: Pushing the Limits of "
+            "Mathematical Reasoning in Open Language Models}},\n"
+            "    author       = {Zhihong Shao and Peiyi Wang and Qihao Zhu "
+            "and Runxin Xu and Junxiao Song and Mingchuan Zhang and "
+            "Y. K. Li and Y. Wu and Daya Guo},\n"
+            "    year         = 2024,\n"
+            "    eprint       = {arXiv:2402.03300},\n"
+            "}\n```\n"
+        )
+    body = (
+        f"\n# {model_name}\n\n"
+        + (f"This model is a fine-tuned version of [{base_model}]"
+           f"(https://huggingface.co/{base_model})" if base_model
+           else "This model was trained from scratch")
+        + (f" on the {dataset_name} dataset" if dataset_name else "")
+        + f" with the **{trainer_name}** trainer of open_o3_video_tpu "
+        "(TPU-native JAX).\n\n"
+        "## Quick start\n\n```python\n"
+        "from open_o3_video_tpu.models import load_model\n"
+        f"params, cfg = load_model(\"{out_dir}\")\n```\n"
+        + citation
+    )
+    with open(os.path.join(out_dir, "README.md"), "w") as f:
+        f.write("\n".join(front) + "\n" + body)

@@ -228,6 +228,11 @@ def main():
         CKPT.export_safetensors(merged, model_cfg, args.output_dir)
     else:
         CKPT.export_safetensors(trainer.params, model_cfg, args.output_dir)
+    CKPT.write_model_card(
+        args.output_dir, trainer_name="GSPO",
+        base_model=args.model_name_or_path,
+        dataset_name=getattr(args, "dataset_name", None),
+    )
     print(f"GSPO complete: {step} steps -> {args.output_dir}")
 
 

@@ -260,6 +260,11 @@ def main():
         )
     else:
         CKPT.export_safetensors(params, model_cfg, args.output_dir)
+    CKPT.write_model_card(
+        args.output_dir, trainer_name="SFT",
+        base_model=args.model_name_or_path,
+        dataset_name=getattr(args, "dataset_name", None),
+    )
     print(f"SFT complete: {step} steps -> {args.output_dir}")
 
 

@@ -35,14 +35,19 @@ DEPTH = int(os.environ.get("PROF_VISION_LAYERS", "32"))
 VIDEO = os.environ.get("PROF_VIDEO", "/root/reference/eval/example_video.mp4")
 
 
+def _force(out):
+    # Through the axon tunnel block_until_ready can return before the
+    # remote computation finishes; fetching a value cannot.
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf[tuple(0 for _ in leaf.shape)])
+
+
 def timed(fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _force(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.time()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _force(fn(*args))
         times.append(time.time() - t0)
     return float(np.median(times))
 

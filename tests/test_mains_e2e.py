@@ -101,6 +101,8 @@ class TestSFTMainE2E:
         assert latest_step(out_dir) == 2
         assert os.path.exists(os.path.join(out_dir, "model.safetensors"))
         assert os.path.exists(os.path.join(out_dir, "config.json"))
+        card = open(os.path.join(out_dir, "README.md")).read()
+        assert "SFT" in card and "generated_from_trainer" in card
 
         # resume from step 2 and run one more step — UNSHARDED, so the
         # sharded checkpoint restores into a different topology (and the
@@ -156,6 +158,8 @@ class TestGRPOMainE2E:
 
         assert latest_step(out_dir) == 1
         assert os.path.exists(os.path.join(out_dir, "model.safetensors"))
+        card = open(os.path.join(out_dir, "README.md")).read()
+        assert "GSPO" in card and "DeepSeekMath" in card
 
 
 class TestLoraMainsE2E:
