@@ -72,6 +72,18 @@ class VisionSpec:
     # fast_pos_embed_interpolate). None for the other families.
     pos_idx: "np.ndarray | None" = None  # (4, S) int32 table rows
     pos_w: "np.ndarray | None" = None  # (4, S) float32 corner weights
+    # Padded window layout (uniform grids only): every window padded to
+    # exactly ``win_w`` tokens so per-layer segmentation is a free reshape
+    # instead of a gather. Measured on v5e, the per-layer (S,H,D) gather +
+    # transpose around the attention cost ~19 ms/layer — ~60% of the whole
+    # tower — while the attention itself (Pallas window kernel) runs in
+    # ~2.5 ms. One entry gather + one exit gather replace 2*depth of them.
+    padded_index: "np.ndarray | None" = None  # (S_pad,) int32 source row
+    padded_valid: "np.ndarray | None" = None  # (S_pad,) bool
+    padded_freqs: "np.ndarray | None" = None  # (S_pad, head_dim//2)
+    win_w: int = 0  # padded window length (unmerged tokens)
+    frame_w: int = 0  # padded per-frame length (full-attention layers)
+    merged_out_index: "np.ndarray | None" = None  # (S_merged,) exit gather
 
 
 def _pos_interp_plan(grid_thw, side: int, merge: int):
@@ -186,14 +198,57 @@ def compute_vision_spec(grid_thw: Sequence[tuple[int, int, int]], cfg: VisionCon
     freqs = vision_pos_freqs(grid_thw, merge, cfg.head_dim)  # (S, hd//2)
     # Reorder angles the same way hidden states are reordered: by merge blocks.
     freqs = freqs.reshape(seq_len // unit, unit, -1)[window_index].reshape(seq_len, -1)
+    freqs = freqs.astype(np.float32)
+
+    padded = {}
+    uniform = len({(int(h), int(w)) for _, h, w in grid_thw}) == 1
+    if uniform:
+        # Padded layout: each window occupies exactly win_w_m merged slots
+        # (pad slots marked -1). Window sizes and pads are multiples of the
+        # merge unit, so merge blocks stay intact.
+        win_w_m = win * win
+        sizes_m = [s // unit for s in window_sizes]
+        n_win = len(sizes_m)
+        pad_blocks = np.full(n_win * win_w_m, -1, dtype=np.int64)
+        pos = 0
+        for i, s in enumerate(sizes_m):
+            pad_blocks[i * win_w_m : i * win_w_m + s] = np.arange(pos, pos + s)
+            pos += s
+        s_pad = n_win * win_w_m * unit
+        j = np.arange(s_pad)
+        blk = pad_blocks[j // unit]
+        valid = blk >= 0
+        src_blk = np.where(valid, blk, 0)
+        # row-level source through the window permutation
+        padded_index = (window_index[src_blk].astype(np.int64) * unit
+                        + j % unit).astype(np.int32)
+        padded_freqs = np.where(
+            valid[:, None], freqs[src_blk * unit + j % unit], 0.0
+        ).astype(np.float32)
+        # exit gather: original merged block -> its padded-merged slot
+        merged_out_index = np.empty(seq_len // unit, dtype=np.int32)
+        jm = np.arange(n_win * win_w_m)
+        real = pad_blocks >= 0
+        merged_out_index[window_index[pad_blocks[real]]] = jm[real]
+        n_frames = len(full_sizes)
+        assert n_win % n_frames == 0
+        padded = dict(
+            padded_index=padded_index,
+            padded_valid=valid,
+            padded_freqs=padded_freqs,
+            win_w=win_w_m * unit,
+            frame_w=(n_win // n_frames) * win_w_m * unit,
+            merged_out_index=merged_out_index,
+        )
 
     return VisionSpec(
         window_index=window_index,
         reverse_index=reverse_index,
         window_seg=window_seg,
         full_seg=full_seg,
-        freqs=freqs.astype(np.float32),
+        freqs=freqs,
         seq_len=seq_len,
+        **padded,
     )
 
 
@@ -220,8 +275,18 @@ def _norm(params: dict, name: str, x: jnp.ndarray, cfg: VisionConfig) -> jnp.nda
     return rms_norm(x, params[name])
 
 
-def _segmented_attention(q, k, v, spec: SegmentSpec):
-    """(S, H, D) q/k/v -> segment-batched bidirectional attention -> (S, H, D)."""
+def _segmented_attention(q, k, v, spec):
+    """(S, H, D) q/k/v -> segment-batched bidirectional attention -> (S, H, D).
+
+    ``spec`` is either a SegmentSpec (gather/scatter layout, heterogeneous
+    grids) or a ``(w, valid)`` tuple for the padded layout, where the
+    sequence is already padded so segments are contiguous w-token runs —
+    the (N, W) batching is then a free reshape."""
+    if not isinstance(spec, SegmentSpec):
+        w, valid = spec
+        S, H, D = q.shape
+        qs, ks, vs = (x.reshape(S // w, w, H, D) for x in (q, k, v))
+        return segment_attention(qs, ks, vs, valid).reshape(S, H, D)
     indices = jnp.asarray(spec.indices)
     valid = jnp.asarray(spec.valid)
     qs, ks, vs = (x[indices] for x in (q, k, v))  # (N, W, H, D)
@@ -289,7 +354,6 @@ def vision_forward(
         x = x + params["patch_embed_b"]
     S = spec.seq_len
     unit = cfg.merge_unit
-    window_index = jnp.asarray(spec.window_index)
 
     if spec.pos_idx is not None:
         # Qwen3-VL: bilinearly interpolated learned pos embed (the 4-corner
@@ -300,21 +364,50 @@ def vision_forward(
         pos = jnp.einsum("cs,csd->sd", wgt, pe[idx])
         x = x + pos.astype(x.dtype)
 
-    x = x.reshape(S // unit, unit, -1)[window_index].reshape(S, -1)
-    freqs = jnp.asarray(spec.freqs)
+    import os
+
+    # Padded layout default OFF pending the fused rope+attention kernel:
+    # measured on v5e (scripts/profile_vision.py, 32 layers, S=61440) the
+    # un-fused padded path is 1530 ms vs 1281 ms for gather+Pallas — the
+    # rope->pallas_call boundary forces f32 q/k materializations that eat
+    # the gather savings, and padding inflates rows 33%. The in-context
+    # ablation (pad_qkv 528 / pad_rope 778 / pad_full_norope 864 ms) shows
+    # the win only arrives when rope+attention fuse into one kernel.
+    padded = (
+        spec.padded_index is not None
+        and os.environ.get("O3V_VIT_PADDED", "0") != "0"
+    )
+    if padded:
+        # Padded window layout: ONE gather applies the window permutation
+        # AND pads every window to win_w tokens; per-layer segmentation is
+        # then a reshape (see VisionSpec.padded_index). Pad rows are zeroed
+        # here, masked as attention keys, and never gathered back out.
+        valid_np = spec.padded_valid
+        x = x[jnp.asarray(spec.padded_index)]
+        x = jnp.where(jnp.asarray(valid_np)[:, None], x, 0)
+        freqs = jnp.asarray(spec.padded_freqs)
+        win_seg = (spec.win_w, jnp.asarray(valid_np.reshape(-1, spec.win_w)))
+        full_seg = (spec.frame_w, jnp.asarray(valid_np.reshape(-1, spec.frame_w)))
+    else:
+        window_index = jnp.asarray(spec.window_index)
+        x = x.reshape(S // unit, unit, -1)[window_index].reshape(S, -1)
+        freqs = jnp.asarray(spec.freqs)
+        win_seg = spec.window_seg
+        full_seg = spec.full_seg
 
     deepstack: list[jnp.ndarray] = []
     for i in range(cfg.depth):
-        seg = spec.full_seg if i in cfg.fullatt_block_indexes else spec.window_seg
+        seg = full_seg if i in cfg.fullatt_block_indexes else win_seg
         x = _block(params["blocks"][i], x, freqs, seg, cfg)
         if i in cfg.deepstack_visual_indexes:
             j = cfg.deepstack_visual_indexes.index(i)
-            deepstack.append(
-                _merger(params["deepstack"][j], x, cfg, postshuffle=True)
-            )
+            tap = _merger(params["deepstack"][j], x, cfg, postshuffle=True)
+            if padded:
+                tap = tap[jnp.asarray(spec.merged_out_index)]
+            deepstack.append(tap)
 
     h = _merger(params["merger"], x, cfg, postshuffle=False)
-    h = h[jnp.asarray(spec.reverse_index)]
+    h = h[jnp.asarray(spec.merged_out_index if padded else spec.reverse_index)]
     if cfg.deepstack_visual_indexes:
         return h, deepstack
     return h

@@ -217,7 +217,21 @@ def segment_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     valid: jnp.ndarray,  # (N, W) bool — padding mask
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Bidirectional attention within each segment, masked for padding."""
+    """Bidirectional attention within each segment, masked for padding.
+
+    On TPU dispatches to the Pallas window kernel (ops/window_attention.py)
+    — XLA's lowering of these small-window shapes is ~2% efficient and
+    dominated the vision tower's runtime (see that module's docstring).
+    O3V_ATTN_IMPL=xla forces the XLA path."""
+    impl = impl or ATTN_IMPL
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from .window_attention import window_attention
+
+        return window_attention(q, k, v, valid)
     mask = (valid[:, None, :] & valid[:, :, None])[:, None, :, :]  # (N, 1, W, W)
     return jax.nn.dot_product_attention(q, k, v, mask=mask)

@@ -1,0 +1,154 @@
+"""Pallas windowed (segment) attention vs the XLA reference path.
+
+The vision tower's hot attention op (ops/window_attention.py) — forward and
+custom-VJP backward — pinned against the plain masked XLA implementation in
+interpret mode on CPU, over the shapes the tower actually emits: W=64
+windows, ragged edge windows, and whole-frame global segments.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from open_o3_video_tpu.ops.attention import segment_attention
+from open_o3_video_tpu.ops.window_attention import window_attention
+
+
+def _xla_ref(q, k, v, valid):
+    mask = (valid[:, None, :] & valid[:, :, None])[:, None, :, :]
+    return jax.nn.dot_product_attention(q, k, v, mask=mask)
+
+
+def _case(n, w, h, d, ragged=False, seed=0):
+    rng = np.random.default_rng(seed)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((n, w, h, d)), jnp.float32)
+        for _ in range(3)
+    )
+    valid = np.ones((n, w), bool)
+    if ragged:
+        # edge windows: last rows only partially valid (like 9x12 grids
+        # at win=4 — 64/64/16-token segments)
+        for i in range(n):
+            valid[i, rng.integers(w // 4, w + 1):] = False
+        valid[0, 1:] = False  # near-degenerate window
+    return q, k, v, jnp.asarray(valid)
+
+
+SHAPES = [
+    (6, 64, 4, 80, False),   # production window shape (reduced heads)
+    (6, 64, 4, 80, True),    # ragged edge windows
+    (3, 432, 2, 80, True),   # global whole-frame segments (18x24)
+    (5, 16, 3, 32, True),    # tiny odd shape
+]
+
+
+@pytest.mark.parametrize("n,w,h,d,ragged", SHAPES)
+def test_forward_matches_xla(n, w, h, d, ragged):
+    q, k, v, valid = _case(n, w, h, d, ragged)
+    ref = _xla_ref(q, k, v, valid)
+    out = window_attention(q, k, v, valid, True)  # interpret mode
+    # only valid positions are contractually defined
+    m = np.asarray(valid)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, atol=2e-5, rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("n,w,h,d,ragged", SHAPES[:3])
+def test_backward_matches_xla(n, w, h, d, ragged):
+    q, k, v, valid = _case(n, w, h, d, ragged, seed=1)
+    m = jnp.asarray(np.asarray(valid)[:, :, None, None], jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((_xla_ref(q, k, v, valid) * m) ** 2)
+
+    def loss_pl(q, k, v):
+        return jnp.sum((window_attention(q, k, v, valid, True) * m) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ref, g_pl, "qkv"):
+        # grads w.r.t. invalid rows feed discarded outputs; mask them
+        np.testing.assert_allclose(
+            np.asarray(b) * m, np.asarray(a) * m, atol=1e-4, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_segment_attention_dispatch_forced_pallas():
+    """impl='pallas' routes through the kernel; CPU runs it via interpret
+    only when forced explicitly (auto keeps XLA off-TPU)."""
+    q, k, v, valid = _case(4, 32, 2, 64, ragged=True)
+    ref = segment_attention(q, k, v, valid, impl="xla")
+    out = window_attention(q, k, v, valid, True)
+    m = np.asarray(valid)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, atol=2e-5, rtol=2e-5
+    )
+
+
+def test_bf16_forward_close():
+    q, k, v, valid = _case(4, 64, 4, 80, ragged=True, seed=2)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ref = _xla_ref(q, k, v, valid)
+    out = window_attention(qb, kb, vb, valid, True)
+    assert out.dtype == jnp.bfloat16
+    m = np.asarray(valid)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32) * m, np.asarray(ref) * m, atol=3e-2
+    )
+
+
+def test_vision_padded_layout_matches_gather_path():
+    """The padded window layout (one entry/exit gather, reshape segments)
+    must equal the gather/scatter SegmentSpec path bit-for-tolerance —
+    including ragged edge windows (9x12 merged grid at win=4 -> 64/64/16
+    segments) and the global full-attention layers."""
+    import dataclasses
+    import os
+
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+    from open_o3_video_tpu.models.qwen25vl.vision import (
+        compute_vision_spec,
+        vision_forward,
+    )
+    from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
+
+    cfg = Qwen25VLConfig.tiny(dtype=jnp.float32)
+    vcfg = dataclasses.replace(
+        cfg.vision, depth=3, fullatt_block_indexes=(1,),
+    )
+    rng = np.random.default_rng(0)
+    # 252x336 at patch 14 -> 18x24 patches = 9x12 merged -> ragged windows
+    frames = rng.integers(0, 255, size=(2, 3, 252, 336), dtype=np.uint8)
+    patches, grid = frames_as_images_patches(
+        frames, patch_size=vcfg.patch_size,
+        temporal_patch_size=vcfg.temporal_patch_size,
+        merge_size=vcfg.spatial_merge_size,
+    )
+    params = P.init(dataclasses.replace(cfg, vision=vcfg), seed=0)["visual"]
+    spec = compute_vision_spec([tuple(g) for g in grid], vcfg)
+    assert spec.padded_index is not None  # uniform grids -> padded layout
+
+    os.environ["O3V_VIT_PADDED"] = "1"
+    try:
+        out_pad = vision_forward(params, jnp.asarray(patches), spec, vcfg)
+    finally:
+        del os.environ["O3V_VIT_PADDED"]
+    out_gather = vision_forward(params, jnp.asarray(patches), spec, vcfg)
+    np.testing.assert_allclose(
+        np.asarray(out_pad), np.asarray(out_gather), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_vision_mixed_grids_keep_gather_path():
+    """Heterogeneous grids in one call fall back to the SegmentSpec path."""
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig
+    from open_o3_video_tpu.models.qwen25vl.vision import compute_vision_spec
+
+    vcfg = Qwen25VLConfig.tiny().vision
+    spec = compute_vision_spec([(1, 4, 8), (1, 8, 4)], vcfg)
+    assert spec.padded_index is None
