@@ -22,9 +22,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.attention import segment_attention
+from ...ops.attention import segment_attention, use_pallas_window
 from ...ops.rope import apply_rope_vision, vision_pos_freqs
 from .config import VisionConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedSeg:
+    """Per-layer plan for the fused rope+attention kernel (padded layout).
+
+    The sequence is padded so every segment is a contiguous ``w``-token run;
+    cos/sin are the rotary tables pre-shaped to (N, w, head_dim) and valid
+    is the (N, w) padding mask (see ops/window_attention.py
+    fused_window_attention)."""
+
+    w: int
+    cos: jnp.ndarray  # (N, w, head_dim) f32
+    sin: jnp.ndarray  # (N, w, head_dim) f32
+    valid: jnp.ndarray  # (N, w) bool
 
 
 @dataclasses.dataclass(frozen=True)
@@ -146,20 +161,35 @@ def compute_vision_spec(grid_thw: Sequence[tuple[int, int, int]], cfg: VisionCon
         full_sizes = [int(h) * int(w) for t, h, w in grid_thw for _ in range(int(t))]
         ident = np.arange(seq_len // unit, dtype=np.int32)
         full_seg = _make_segment_spec(np.asarray(full_sizes, dtype=np.int64))
-        freqs = vision_pos_freqs(grid_thw, merge, cfg.head_dim)
+        freqs = vision_pos_freqs(grid_thw, merge, cfg.head_dim).astype(np.float32)
         pos_idx = pos_w = None
         if cfg.num_position_embeddings:
             side = int(cfg.num_position_embeddings ** 0.5)
             pos_idx, pos_w = _pos_interp_plan(grid_thw, side, merge)
+        padded = {}
+        if len(set(full_sizes)) == 1:
+            # Uniform grids: per-frame segments are already contiguous,
+            # equal-length runs — the "padded" layout is the identity (no
+            # pad rows), enabling the fused rope+attention kernel.
+            fw = int(full_sizes[0])
+            padded = dict(
+                padded_index=np.arange(seq_len, dtype=np.int32),
+                padded_valid=np.ones(seq_len, dtype=bool),
+                padded_freqs=freqs,
+                win_w=fw,
+                frame_w=fw,
+                merged_out_index=np.arange(seq_len // unit, dtype=np.int32),
+            )
         return VisionSpec(
             window_index=ident,
             reverse_index=ident,
             window_seg=full_seg,
             full_seg=full_seg,
-            freqs=freqs.astype(np.float32),
+            freqs=freqs,
             seq_len=seq_len,
             pos_idx=pos_idx,
             pos_w=pos_w,
+            **padded,
         )
 
     win = cfg.window_patches // merge  # window side in merged positions (112/14/2 = 4)
@@ -294,14 +324,22 @@ def _segmented_attention(q, k, v, spec):
     return out[jnp.asarray(spec.seg_ids), jnp.asarray(spec.offsets)]  # (S, H, D)
 
 
-def _block(params: dict, x: jnp.ndarray, freqs: jnp.ndarray, spec: SegmentSpec, cfg: VisionConfig):
+def _block(params: dict, x: jnp.ndarray, freqs: jnp.ndarray, spec, cfg: VisionConfig):
     h = _norm(params, "norm1", x, cfg)
     qkv = h @ params["qkv_w"] + params["qkv_b"]
     S = x.shape[0]
-    qkv = qkv.reshape(S, 3, cfg.num_heads, cfg.head_dim)
-    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
-    q, k = apply_rope_vision(q, k, freqs)
-    attn = _segmented_attention(q, k, v, spec).reshape(S, cfg.hidden_size)
+    if isinstance(spec, FusedSeg):
+        from ...ops.window_attention import fused_window_attention
+
+        attn = fused_window_attention(
+            qkv.reshape(S // spec.w, spec.w, -1),
+            spec.cos, spec.sin, spec.valid, cfg.num_heads,
+        ).reshape(S, cfg.hidden_size)
+    else:
+        qkv = qkv.reshape(S, 3, cfg.num_heads, cfg.head_dim)
+        q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+        q, k = apply_rope_vision(q, k, freqs)
+        attn = _segmented_attention(q, k, v, spec).reshape(S, cfg.hidden_size)
     x = x + (attn @ params["proj_w"] + params["proj_b"])
 
     h = _norm(params, "norm2", x, cfg)
@@ -366,16 +404,39 @@ def vision_forward(
 
     import os
 
-    # Padded layout default OFF pending the fused rope+attention kernel:
-    # measured on v5e (scripts/profile_vision.py, 32 layers, S=61440) the
-    # un-fused padded path is 1530 ms vs 1281 ms for gather+Pallas — the
-    # rope->pallas_call boundary forces f32 q/k materializations that eat
-    # the gather savings, and padding inflates rows 33%. The in-context
-    # ablation (pad_qkv 528 / pad_rope 778 / pad_full_norope 864 ms) shows
-    # the win only arrives when rope+attention fuse into one kernel.
+    # Layout selection, measured on v5e (scripts/profile_vision.py, 32
+    # blocks, S=61440, in-context ablations):
+    #   gather + XLA attention          1380 ms   (r2 baseline)
+    #   gather + Pallas window kernel   1281 ms
+    #   padded + Pallas (un-fused)      1530 ms   <- rope's f32 (S,H,D)
+    #       intermediates and the pallas_call boundary relayouts cost more
+    #       than the gathers they replace (pad_qkv 528 / pad_rope 778 /
+    #       pad_full_norope 864 ms decomposition)
+    #   padded + FUSED rope+attention   one qkv read, one attn write/layer
+    # So: padded layout is used exactly when the fused kernel will consume
+    # it (Pallas dispatch active), unless forced via O3V_VIT_PADDED=0/1.
+    # O3V_VIT_FUSED=0 keeps the padded layout but uses the un-fused path
+    # (ablation/debugging).
+    from ...ops.window_attention import fused_window_fits
+
+    forced = os.environ.get("O3V_VIT_PADDED")
+    fused = (
+        spec.padded_index is not None
+        and use_pallas_window()
+        and os.environ.get("O3V_VIT_FUSED", "1") != "0"
+        and fused_window_fits(spec.win_w, cfg.num_heads, cfg.head_dim)
+    )
     padded = (
         spec.padded_index is not None
-        and os.environ.get("O3V_VIT_PADDED", "0") != "0"
+        and (forced != "0" if forced is not None else fused)
+    )
+    fused = fused and padded
+    # Whole-frame (global) segments can exceed VMEM at large resolutions;
+    # those layers then fall back to the un-fused window kernel while the
+    # 8x8 windowed layers stay fused.
+    fuse_frames = fused and (
+        spec.frame_w == spec.win_w
+        or fused_window_fits(spec.frame_w, cfg.num_heads, cfg.head_dim)
     )
     if padded:
         # Padded window layout: ONE gather applies the window permutation
@@ -386,8 +447,35 @@ def vision_forward(
         x = x[jnp.asarray(spec.padded_index)]
         x = jnp.where(jnp.asarray(valid_np)[:, None], x, 0)
         freqs = jnp.asarray(spec.padded_freqs)
-        win_seg = (spec.win_w, jnp.asarray(valid_np.reshape(-1, spec.win_w)))
-        full_seg = (spec.frame_w, jnp.asarray(valid_np.reshape(-1, spec.frame_w)))
+        if fused:
+            # Host-precomputed rotary tables in the kernel's layout: emb =
+            # concat([freqs, freqs]) -> cos/sin (S_pad, head_dim), reshaped
+            # per segment width. One pair of constants for the whole tower.
+            emb = np.concatenate([spec.padded_freqs, spec.padded_freqs], -1)
+            cos_np = np.cos(emb).astype(np.float32)
+            sin_np = np.sin(emb).astype(np.float32)
+
+            def _fused_seg(w):
+                return FusedSeg(
+                    w=w,
+                    cos=jnp.asarray(cos_np.reshape(-1, w, cos_np.shape[-1])),
+                    sin=jnp.asarray(sin_np.reshape(-1, w, sin_np.shape[-1])),
+                    valid=jnp.asarray(valid_np.reshape(-1, w)),
+                )
+
+            win_seg = _fused_seg(spec.win_w)
+            if spec.frame_w == spec.win_w:
+                full_seg = win_seg
+            elif fuse_frames:
+                full_seg = _fused_seg(spec.frame_w)
+            else:
+                full_seg = (
+                    spec.frame_w,
+                    jnp.asarray(valid_np.reshape(-1, spec.frame_w)),
+                )
+        else:
+            win_seg = (spec.win_w, jnp.asarray(valid_np.reshape(-1, spec.win_w)))
+            full_seg = (spec.frame_w, jnp.asarray(valid_np.reshape(-1, spec.frame_w)))
     else:
         window_index = jnp.asarray(spec.window_index)
         x = x.reshape(S // unit, unit, -1)[window_index].reshape(S, -1)

@@ -28,6 +28,15 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 # O3V_ATTN_IMPL=xla|pallas|auto.
 ATTN_IMPL = os.environ.get("O3V_ATTN_IMPL", "auto")
 
+
+def use_pallas_window(impl: Optional[str] = None) -> bool:
+    """Whether segment/window attention dispatches to the Pallas kernels.
+
+    Reads O3V_ATTN_IMPL at call time so tests can flip the path without
+    module reloads."""
+    impl = impl or os.environ.get("O3V_ATTN_IMPL", ATTN_IMPL)
+    return impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu")
+
 # Decode (short-query) attention against a KV buffer at least this long
 # scans the buffer in DECODE_CHUNK-key chunks with online softmax, casting
 # each chunk to the compute dtype block-locally. Rationale: the decode body
@@ -225,11 +234,7 @@ def segment_attention(
     — XLA's lowering of these small-window shapes is ~2% efficient and
     dominated the vision tower's runtime (see that module's docstring).
     O3V_ATTN_IMPL=xla forces the XLA path."""
-    impl = impl or ATTN_IMPL
-    use_pallas = impl == "pallas" or (
-        impl == "auto" and jax.default_backend() == "tpu"
-    )
-    if use_pallas:
+    if use_pallas_window(impl):
         from .window_attention import window_attention
 
         return window_attention(q, k, v, valid)

@@ -138,8 +138,16 @@ def _prep(q, valid, gn):
     return qt, n_pad
 
 
+def _resolve_interpret(interpret):
+    """None -> env default (O3V_PALLAS_INTERPRET=1 runs kernels in interpret
+    mode, letting CPU tests exercise the dispatch paths end to end)."""
+    if interpret is None:
+        return os.environ.get("O3V_PALLAS_INTERPRET", "0") == "1"
+    return interpret
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def window_attention(q, k, v, valid, interpret=False):
+def window_attention(q, k, v, valid, interpret=None):
     """Bidirectional masked attention within same-size segments.
 
     q/k/v: (N, W, H, D); valid: (N, W) bool. Returns (N, W, H, D) in the
@@ -149,6 +157,7 @@ def window_attention(q, k, v, valid, interpret=False):
 
 
 def _fwd(q, k, v, valid, interpret):
+    interpret = _resolve_interpret(interpret)
     n, w, h, d = q.shape
     scale = d ** -0.5
     gn, gh = _block_shape(n, w, h, d)
@@ -181,6 +190,7 @@ def _fwd_vjp(q, k, v, valid, interpret):
 
 
 def _bwd_vjp(interpret, res, g):
+    interpret = _resolve_interpret(interpret)
     q, k, v, valid = res
     n, w, h, d = q.shape
     scale = d ** -0.5
@@ -215,3 +225,223 @@ def _bwd_vjp(interpret, res, g):
 
 
 window_attention.defvjp(_fwd_vjp, _bwd_vjp)
+
+
+# ---------------------------------------------------------------------------
+# Fused rope + window attention
+#
+# Measured in-context on v5e (scripts/profile_vision.py, 32 blocks,
+# S=61440): the un-fused chain  qkv-slice -> f32 rope -> pallas attention
+# cost ~31 ms/layer even though the attention kernel alone runs in ~4 ms —
+# the rope's f32 (S, H, D) intermediates and the (N,W,H,D) relayouts
+# around the pallas_call boundary each force full HBM round trips. This
+# kernel consumes the RAW qkv projection output (N, W, 3*H*D) — the exact
+# layout the matmul produces — applies rope per head on the VMEM tile,
+# runs masked window attention, and emits (N, W, H*D), the exact layout
+# the output projection wants. One HBM read of qkv + one write of attn per
+# layer; no XLA-side transposes, slices, or f32 intermediates survive.
+# ---------------------------------------------------------------------------
+
+
+def _fused_per_window_bytes(w: int, h: int, d: int, bwd: bool) -> int:
+    d_pad = max(d, 128)
+    w_pad = max(w, 128)
+    hd = h * d
+    per_w = (4 if bwd else 2) * 3 * hd * w * 2  # qkv in (+ dqkv out, dout in)
+    per_w += 2 * w * hd * 2  # out tile (+ rounding slack)
+    per_w += 4 * w * d_pad * 4  # cos/sin f32
+    per_w += (4 if bwd else 3) * w * w_pad * 4  # per-head score transients
+    return per_w
+
+
+def fused_window_fits(w: int, heads: int, d: int, bwd: bool = True) -> bool:
+    """Whether a fused-kernel program at segment width ``w`` fits VMEM.
+
+    Large whole-frame segments (Qwen2-VL full attention, the ViT's global
+    layers at high resolutions) can exceed the ~16 MB/core VMEM at gn=1;
+    callers fall back to the un-fused window kernel for those layers.
+    ``bwd`` guards the training path (the backward holds ~2x the tensors)."""
+    return _fused_per_window_bytes(w, heads, d, bwd) <= _VMEM_BUDGET
+
+
+def _fused_block_shape(n: int, w: int, h: int, d: int, bwd: bool) -> int:
+    """windows-per-program for the fused kernel, sized to the VMEM budget."""
+    gn = max(1, _VMEM_BUDGET // _fused_per_window_bytes(w, h, d, bwd))
+    return min(n, gn)
+
+
+def _rope_tile(x, cos, sin, d):
+    x1 = x[..., : d // 2]
+    x2 = x[..., d // 2 :]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos + rot * sin
+
+
+def _fused_fwd_kernel(valid_ref, qkv_ref, cos_ref, sin_ref, o_ref, *, heads, scale):
+    gn, w, three_hd = qkv_ref.shape
+    hd = three_hd // 3
+    d = hd // heads
+    cos = cos_ref[...]  # (gn, w, d) f32
+    sin = sin_ref[...]
+    val = valid_ref[...]  # (gn, 1, w) int32
+    outs = []
+    for h in range(heads):
+        q = qkv_ref[:, :, h * d : (h + 1) * d].astype(jnp.float32)
+        k = qkv_ref[:, :, hd + h * d : hd + (h + 1) * d].astype(jnp.float32)
+        v = qkv_ref[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d]
+        # rope in f32, cast back to the compute dtype (reference semantics)
+        q = _rope_tile(q, cos, sin, d).astype(v.dtype)
+        k = _rope_tile(k, cos, sin, d).astype(v.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (gn, Wq, Wk)
+        s = jnp.where(val != 0, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o.astype(o_ref.dtype))
+    # single aligned full-tile store (per-head lane offsets are 80-wide and
+    # would otherwise be unaligned partial stores)
+    o_ref[...] = jnp.concatenate(outs, axis=-1)
+
+
+def _fused_bwd_kernel(valid_ref, qkv_ref, cos_ref, sin_ref, do_ref, dqkv_ref,
+                      *, heads, scale):
+    gn, w, three_hd = qkv_ref.shape
+    hd = three_hd // 3
+    d = hd // heads
+    cos = cos_ref[...]
+    sin = sin_ref[...]
+    val = valid_ref[...]
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        q0 = qkv_ref[:, :, h * d : (h + 1) * d].astype(jnp.float32)
+        k0 = qkv_ref[:, :, hd + h * d : hd + (h + 1) * d].astype(jnp.float32)
+        v = qkv_ref[:, :, 2 * hd + h * d : 2 * hd + (h + 1) * d]
+        q = _rope_tile(q0, cos, sin, d).astype(v.dtype)
+        k = _rope_tile(k0, cos, sin, d).astype(v.dtype)
+        do = do_ref[:, :, h * d : (h + 1) * d].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(val != 0, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (gn, Wq, Wk) f32
+        dv = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        dqr = jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dkr = jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # rope transpose: y = x*cos + rot(x)*sin, rot([x1,x2]) = [-x2, x1]
+        # => dx = dy*cos + rot_inv(dy*sin), rot_inv([y1,y2]) = [y2, -y1]
+        def rope_t(dy):
+            a = dy * sin
+            a1 = a[..., : d // 2]
+            a2 = a[..., d // 2 :]
+            return dy * cos + jnp.concatenate([a2, -a1], axis=-1)
+
+        dqs.append(rope_t(dqr).astype(dqkv_ref.dtype))
+        dks.append(rope_t(dkr).astype(dqkv_ref.dtype))
+        dvs.append(dv.astype(dqkv_ref.dtype))
+    dqkv_ref[...] = jnp.concatenate(dqs + dks + dvs, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_window_attention(qkv, cos, sin, valid, heads, interpret=None):
+    """Rope + bidirectional masked window attention in one kernel.
+
+    qkv: (N, W, 3*H*D) — raw qkv projection output over contiguous W-token
+    segments (the padded ViT window layout; see VisionSpec.padded_index).
+    cos/sin: (N, W, D) float32 rotary tables (cos(emb), sin(emb) with
+    emb = concat([freqs, freqs], -1)). valid: (N, W) bool.
+    Returns (N, W, H*D) in the qkv dtype; invalid rows are unspecified.
+    """
+    out, _ = _fused_fwd(qkv, cos, sin, valid, heads, interpret)
+    return out
+
+
+def _fused_fwd(qkv, cos, sin, valid, heads, interpret):
+    interpret = _resolve_interpret(interpret)
+    n, w, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // heads
+    gn = _fused_block_shape(n, w, heads, d, bwd=False)
+    n_pad = -(-n // gn) * gn
+    if n_pad != n:
+        qkv = jnp.pad(qkv, ((0, n_pad - n), (0, 0), (0, 0)))
+        cos = jnp.pad(cos, ((0, n_pad - n), (0, 0), (0, 0)))
+        sin = jnp.pad(sin, ((0, n_pad - n), (0, 0), (0, 0)))
+    val = jnp.pad(valid.astype(jnp.int32), ((0, n_pad - n), (0, 0)))[:, None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, heads=heads, scale=d ** -0.5),
+        grid=(n_pad // gn,),
+        in_specs=[
+            pl.BlockSpec((gn, 1, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gn, w, three_hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gn, w, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gn, w, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((gn, w, hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, w, hd), qkv.dtype),
+        interpret=interpret,
+    )(val, qkv, cos, sin)
+    return out[:n], (qkv[:n], cos[:n], sin[:n], valid)
+
+
+def _fused_fwd_vjp(qkv, cos, sin, valid, heads, interpret):
+    return _fused_fwd(qkv, cos, sin, valid, heads, interpret)
+
+
+def _fused_bwd_vjp(heads, interpret, res, g):
+    interpret = _resolve_interpret(interpret)
+    qkv, cos, sin, valid = res
+    n, w, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // heads
+    gn = _fused_block_shape(n, w, heads, d, bwd=True)
+    n_pad = -(-n // gn) * gn
+    if n_pad != n:
+        qkv = jnp.pad(qkv, ((0, n_pad - n), (0, 0), (0, 0)))
+        cos = jnp.pad(cos, ((0, n_pad - n), (0, 0), (0, 0)))
+        sin = jnp.pad(sin, ((0, n_pad - n), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, n_pad - n), (0, 0), (0, 0)))
+    val = jnp.pad(valid.astype(jnp.int32), ((0, n_pad - n), (0, 0)))[:, None, :]
+
+    dqkv = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, heads=heads, scale=d ** -0.5),
+        grid=(n_pad // gn,),
+        in_specs=[
+            pl.BlockSpec((gn, 1, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gn, w, three_hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gn, w, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gn, w, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gn, w, hd), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((gn, w, three_hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, w, three_hd), qkv.dtype),
+        interpret=interpret,
+    )(val, qkv, cos, sin, g)
+    return dqkv[:n], None, None, None
+
+
+fused_window_attention.defvjp(_fused_fwd_vjp, _fused_bwd_vjp)

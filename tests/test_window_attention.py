@@ -152,3 +152,128 @@ def test_vision_mixed_grids_keep_gather_path():
     vcfg = Qwen25VLConfig.tiny().vision
     spec = compute_vision_spec([(1, 4, 8), (1, 8, 4)], vcfg)
     assert spec.padded_index is None
+
+
+# --- fused rope + attention kernel -----------------------------------------
+
+
+def _fused_ref(qkv, cos, sin, valid, heads):
+    """XLA reference for fused_window_attention: slice -> rope -> attention."""
+    n, w, three_hd = qkv.shape
+    d = three_hd // 3 // heads
+    x = qkv.reshape(n, w, 3, heads, d)
+    q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+
+    def rope(t):
+        t = t.astype(jnp.float32)
+        c = cos[:, :, None, :]
+        s = sin[:, :, None, :]
+        t1, t2 = jnp.split(t, 2, axis=-1)
+        rot = jnp.concatenate([-t2, t1], axis=-1)
+        return (t * c + rot * s).astype(qkv.dtype)
+
+    out = _xla_ref(rope(q), rope(k), v, valid)
+    return out.reshape(n, w, heads * d)
+
+
+def _fused_case(n, w, heads, d, ragged=True, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    qkv = jnp.asarray(rng.standard_normal((n, w, 3 * heads * d)), dtype)
+    freqs = rng.standard_normal((n, w, d // 2)).astype(np.float32)
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    cos = jnp.asarray(np.cos(emb))
+    sin = jnp.asarray(np.sin(emb))
+    valid = np.ones((n, w), bool)
+    if ragged:
+        for i in range(n):
+            valid[i, rng.integers(w // 4, w + 1):] = False
+    return qkv, cos, sin, jnp.asarray(valid)
+
+
+@pytest.mark.parametrize("n,w,heads,d", [(6, 64, 4, 80), (3, 144, 2, 80),
+                                         (5, 16, 3, 32)])
+def test_fused_forward_matches_xla(n, w, heads, d):
+    qkv, cos, sin, valid = _fused_case(n, w, heads, d)
+    from open_o3_video_tpu.ops.window_attention import fused_window_attention
+
+    ref = _fused_ref(qkv, cos, sin, valid, heads)
+    out = fused_window_attention(qkv, cos, sin, valid, heads, True)
+    m = np.asarray(valid)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, atol=3e-5, rtol=3e-5
+    )
+
+
+@pytest.mark.parametrize("n,w,heads,d", [(4, 64, 4, 80), (3, 48, 2, 32)])
+def test_fused_backward_matches_xla(n, w, heads, d):
+    qkv, cos, sin, valid = _fused_case(n, w, heads, d, seed=3)
+    from open_o3_video_tpu.ops.window_attention import fused_window_attention
+
+    m = jnp.asarray(np.asarray(valid)[:, :, None], jnp.float32)
+
+    def loss_ref(qkv):
+        return jnp.sum((_fused_ref(qkv, cos, sin, valid, heads) * m) ** 2)
+
+    def loss_pl(qkv):
+        return jnp.sum(
+            (fused_window_attention(qkv, cos, sin, valid, heads, True) * m) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref)(qkv)
+    g_pl = jax.grad(loss_pl)(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_ref), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_vision_fused_path_matches_gather(monkeypatch):
+    """The full fused tower (padded layout + fused rope+attention kernel,
+    interpret mode) must match the default gather/XLA tower — windowed
+    ragged grids AND the global whole-frame layers."""
+    import dataclasses
+
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+    from open_o3_video_tpu.models.qwen25vl.vision import (
+        compute_vision_spec,
+        vision_forward,
+    )
+    from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
+
+    cfg = Qwen25VLConfig.tiny(dtype=jnp.float32)
+    vcfg = dataclasses.replace(cfg.vision, depth=3, fullatt_block_indexes=(1,))
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(2, 3, 252, 336), dtype=np.uint8)
+    patches, grid = frames_as_images_patches(
+        frames, patch_size=vcfg.patch_size,
+        temporal_patch_size=vcfg.temporal_patch_size,
+        merge_size=vcfg.spatial_merge_size,
+    )
+    params = P.init(dataclasses.replace(cfg, vision=vcfg), seed=0)["visual"]
+    spec = compute_vision_spec([tuple(g) for g in grid], vcfg)
+
+    out_ref = vision_forward(params, jnp.asarray(patches), spec, vcfg)
+    monkeypatch.setenv("O3V_ATTN_IMPL", "pallas")
+    monkeypatch.setenv("O3V_PALLAS_INTERPRET", "1")
+    out_fused = vision_forward(params, jnp.asarray(patches), spec, vcfg)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_vision_nowindow_uniform_gets_padded_identity():
+    """Qwen2/Qwen3-VL (no window partition): uniform grids expose the
+    identity padded layout so frame segments can use the fused kernel."""
+    import dataclasses
+
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig
+    from open_o3_video_tpu.models.qwen25vl.vision import compute_vision_spec
+
+    vcfg = dataclasses.replace(Qwen25VLConfig.tiny().vision, use_windows=False)
+    spec = compute_vision_spec([(2, 4, 8), (2, 4, 8)], vcfg)
+    assert spec.padded_index is not None
+    assert spec.win_w == spec.frame_w == 32
+    np.testing.assert_array_equal(spec.padded_index, np.arange(128))
+    assert spec.padded_valid.all()
+    # heterogeneous stays gather-only
+    spec2 = compute_vision_spec([(1, 4, 8), (1, 8, 8)], vcfg)
+    assert spec2.padded_index is None
