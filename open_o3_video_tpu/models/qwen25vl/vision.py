@@ -52,8 +52,12 @@ class SegmentSpec:
     offsets: np.ndarray  # (S,) int32 — slot of each sequence position
 
 
-def _make_segment_spec(seg_sizes: np.ndarray) -> SegmentSpec:
-    """Contiguous segments (sizes summing to S) -> static batched layout."""
+def _make_segment_spec(seg_sizes: np.ndarray, valid_mask: "np.ndarray | None" = None) -> SegmentSpec:
+    """Contiguous segments (sizes summing to S) -> static batched layout.
+
+    ``valid_mask`` (length S) marks positions that are themselves padding
+    inside the segments (the padded window layout's pad rows) so they stay
+    masked as attention keys."""
     n = len(seg_sizes)
     w = int(seg_sizes.max())
     s = int(seg_sizes.sum())
@@ -65,7 +69,9 @@ def _make_segment_spec(seg_sizes: np.ndarray) -> SegmentSpec:
     for i, size in enumerate(seg_sizes):
         size = int(size)
         indices[i, :size] = np.arange(pos, pos + size)
-        valid[i, :size] = True
+        valid[i, :size] = (
+            True if valid_mask is None else valid_mask[pos : pos + size]
+        )
         seg_ids[pos : pos + size] = i
         offsets[pos : pos + size] = np.arange(size)
         pos += size
@@ -97,8 +103,11 @@ class VisionSpec:
     padded_valid: "np.ndarray | None" = None  # (S_pad,) bool
     padded_freqs: "np.ndarray | None" = None  # (S_pad, head_dim//2)
     win_w: int = 0  # padded window length (unmerged tokens)
-    frame_w: int = 0  # padded per-frame length (full-attention layers)
+    frame_w: int = 0  # padded per-frame length (0 = heterogeneous frames)
     merged_out_index: "np.ndarray | None" = None  # (S_merged,) exit gather
+    # Global layers over the padded sequence when frames are heterogeneous
+    # (frame_w == 0): masked segment attention instead of a free reshape.
+    full_seg_pad: "SegmentSpec | None" = None
 
 
 def _pos_interp_plan(grid_thw, side: int, merge: int):
@@ -197,6 +206,7 @@ def compute_vision_spec(grid_thw: Sequence[tuple[int, int, int]], cfg: VisionCon
     window_index = []
     window_sizes = []  # per-window size in unmerged patches
     full_sizes = []  # per (grid, t) segment size in unmerged patches
+    frame_win_counts = []  # per (grid, t) count of nonzero windows
     offset = 0
     for t, h, w in grid_thw:
         lh, lw = h // merge, w // merge
@@ -217,6 +227,9 @@ def compute_vision_spec(grid_thw: Sequence[tuple[int, int, int]], cfg: VisionCon
         window_index.append(flat[flat != -100] + offset)
         window_sizes.extend(int(s) * unit for s in seqlens if s > 0)
         full_sizes.extend([h * w] * t)
+        frame_win_counts.extend(
+            int(c) for c in (seqlens.reshape(t, -1) > 0).sum(axis=1)
+        )
         offset += t * lh * lw
     window_index = np.concatenate(window_index).astype(np.int32)
     reverse_index = np.argsort(window_index).astype(np.int32)
@@ -230,45 +243,57 @@ def compute_vision_spec(grid_thw: Sequence[tuple[int, int, int]], cfg: VisionCon
     freqs = freqs.reshape(seq_len // unit, unit, -1)[window_index].reshape(seq_len, -1)
     freqs = freqs.astype(np.float32)
 
-    padded = {}
-    uniform = len({(int(h), int(w)) for _, h, w in grid_thw}) == 1
+    # Padded layout: each window occupies exactly win_w_m merged slots
+    # (pad slots marked -1). Window sizes and pads are multiples of the
+    # merge unit, so merge blocks stay intact. Windows are win x win merged
+    # positions for EVERY grid, so this works for heterogeneous-resolution
+    # batches too (the case every real eval batch hits) — only the
+    # whole-frame global layers then need the masked-SegmentSpec fallback
+    # (full_seg_pad) instead of a free reshape.
+    win_w_m = win * win
+    sizes_m = [s // unit for s in window_sizes]
+    n_win = len(sizes_m)
+    pad_blocks = np.full(n_win * win_w_m, -1, dtype=np.int64)
+    pos = 0
+    for i, s in enumerate(sizes_m):
+        pad_blocks[i * win_w_m : i * win_w_m + s] = np.arange(pos, pos + s)
+        pos += s
+    s_pad = n_win * win_w_m * unit
+    j = np.arange(s_pad)
+    blk = pad_blocks[j // unit]
+    valid = blk >= 0
+    src_blk = np.where(valid, blk, 0)
+    # row-level source through the window permutation
+    padded_index = (window_index[src_blk].astype(np.int64) * unit
+                    + j % unit).astype(np.int32)
+    padded_freqs = np.where(
+        valid[:, None], freqs[src_blk * unit + j % unit], 0.0
+    ).astype(np.float32)
+    # exit gather: original merged block -> its padded-merged slot
+    merged_out_index = np.empty(seq_len // unit, dtype=np.int32)
+    jm = np.arange(n_win * win_w_m)
+    real = pad_blocks >= 0
+    merged_out_index[window_index[pad_blocks[real]]] = jm[real]
+    n_frames = len(full_sizes)
+    uniform = len({(int(h), int(w), int(t)) for t, h, w in grid_thw}) == 1
+    padded = dict(
+        padded_index=padded_index,
+        padded_valid=valid,
+        padded_freqs=padded_freqs,
+        win_w=win_w_m * unit,
+        merged_out_index=merged_out_index,
+    )
     if uniform:
-        # Padded layout: each window occupies exactly win_w_m merged slots
-        # (pad slots marked -1). Window sizes and pads are multiples of the
-        # merge unit, so merge blocks stay intact.
-        win_w_m = win * win
-        sizes_m = [s // unit for s in window_sizes]
-        n_win = len(sizes_m)
-        pad_blocks = np.full(n_win * win_w_m, -1, dtype=np.int64)
-        pos = 0
-        for i, s in enumerate(sizes_m):
-            pad_blocks[i * win_w_m : i * win_w_m + s] = np.arange(pos, pos + s)
-            pos += s
-        s_pad = n_win * win_w_m * unit
-        j = np.arange(s_pad)
-        blk = pad_blocks[j // unit]
-        valid = blk >= 0
-        src_blk = np.where(valid, blk, 0)
-        # row-level source through the window permutation
-        padded_index = (window_index[src_blk].astype(np.int64) * unit
-                        + j % unit).astype(np.int32)
-        padded_freqs = np.where(
-            valid[:, None], freqs[src_blk * unit + j % unit], 0.0
-        ).astype(np.float32)
-        # exit gather: original merged block -> its padded-merged slot
-        merged_out_index = np.empty(seq_len // unit, dtype=np.int32)
-        jm = np.arange(n_win * win_w_m)
-        real = pad_blocks >= 0
-        merged_out_index[window_index[pad_blocks[real]]] = jm[real]
-        n_frames = len(full_sizes)
         assert n_win % n_frames == 0
-        padded = dict(
-            padded_index=padded_index,
-            padded_valid=valid,
-            padded_freqs=padded_freqs,
-            win_w=win_w_m * unit,
-            frame_w=(n_win // n_frames) * win_w_m * unit,
-            merged_out_index=merged_out_index,
+        padded["frame_w"] = (n_win // n_frames) * win_w_m * unit
+    else:
+        # Heterogeneous frames: global layers run masked segment attention
+        # over the padded sequence (frames are contiguous window runs).
+        frame_pad_sizes = (
+            np.asarray(frame_win_counts, dtype=np.int64) * win_w_m * unit
+        )
+        padded["full_seg_pad"] = _make_segment_spec(
+            frame_pad_sizes, valid_mask=valid
         )
 
     return VisionSpec(
@@ -431,10 +456,11 @@ def vision_forward(
         and (forced != "0" if forced is not None else fused)
     )
     fused = fused and padded
-    # Whole-frame (global) segments can exceed VMEM at large resolutions;
-    # those layers then fall back to the un-fused window kernel while the
-    # 8x8 windowed layers stay fused.
-    fuse_frames = fused and (
+    # Whole-frame (global) segments can exceed VMEM at large resolutions or
+    # be heterogeneous (frame_w == 0, mixed-resolution batches); those
+    # layers then fall back to masked segment attention over the padded
+    # sequence while the 8x8 windowed layers stay fused.
+    fuse_frames = fused and spec.frame_w > 0 and (
         spec.frame_w == spec.win_w
         or fused_window_fits(spec.frame_w, cfg.num_heads, cfg.head_dim)
     )
@@ -468,14 +494,22 @@ def vision_forward(
                 full_seg = win_seg
             elif fuse_frames:
                 full_seg = _fused_seg(spec.frame_w)
-            else:
+            elif spec.frame_w > 0:
                 full_seg = (
                     spec.frame_w,
                     jnp.asarray(valid_np.reshape(-1, spec.frame_w)),
                 )
+            else:
+                full_seg = spec.full_seg_pad
         else:
             win_seg = (spec.win_w, jnp.asarray(valid_np.reshape(-1, spec.win_w)))
-            full_seg = (spec.frame_w, jnp.asarray(valid_np.reshape(-1, spec.frame_w)))
+            if spec.frame_w > 0:
+                full_seg = (
+                    spec.frame_w,
+                    jnp.asarray(valid_np.reshape(-1, spec.frame_w)),
+                )
+            else:
+                full_seg = spec.full_seg_pad
     else:
         window_index = jnp.asarray(spec.window_index)
         x = x.reshape(S // unit, unit, -1)[window_index].reshape(S, -1)

@@ -144,14 +144,61 @@ def test_vision_padded_layout_matches_gather_path():
     )
 
 
-def test_vision_mixed_grids_keep_gather_path():
-    """Heterogeneous grids in one call fall back to the SegmentSpec path."""
+def test_vision_mixed_grids_padded_layout():
+    """Heterogeneous grids still get the padded WINDOW layout (the window
+    is win x win for every grid); only the whole-frame global layers fall
+    back to masked segment attention over the padded sequence."""
     from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig
     from open_o3_video_tpu.models.qwen25vl.vision import compute_vision_spec
 
     vcfg = Qwen25VLConfig.tiny().vision
     spec = compute_vision_spec([(1, 4, 8), (1, 8, 4)], vcfg)
-    assert spec.padded_index is None
+    assert spec.padded_index is not None
+    assert spec.frame_w == 0 and spec.full_seg_pad is not None
+    # padded gather covers every real token exactly once
+    idx = spec.padded_index[spec.padded_valid]
+    assert sorted(idx.tolist()) == list(range(spec.seq_len))
+
+
+def test_vision_fused_heterogeneous_matches_gather(monkeypatch):
+    """Mixed-resolution batches (every real eval batch) run the fused
+    windowed layers + masked-segment global layers; must equal the plain
+    gather/XLA tower."""
+    import dataclasses
+
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+    from open_o3_video_tpu.models.qwen25vl.vision import (
+        compute_vision_spec,
+        vision_forward,
+    )
+    from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
+
+    cfg = Qwen25VLConfig.tiny(dtype=jnp.float32)
+    vcfg = dataclasses.replace(cfg.vision, depth=3, fullatt_block_indexes=(1,))
+    rng = np.random.default_rng(1)
+    batches = []
+    grids = []
+    for hw in ((252, 336), (140, 196)):
+        frames = rng.integers(0, 255, size=(2, 3, *hw), dtype=np.uint8)
+        p, g = frames_as_images_patches(
+            frames, patch_size=vcfg.patch_size,
+            temporal_patch_size=vcfg.temporal_patch_size,
+            merge_size=vcfg.spatial_merge_size,
+        )
+        batches.append(p)
+        grids.extend(tuple(r) for r in g)
+    patches = np.concatenate(batches, axis=0)
+    params = P.init(dataclasses.replace(cfg, vision=vcfg), seed=0)["visual"]
+    spec = compute_vision_spec(grids, vcfg)
+    assert spec.frame_w == 0  # heterogeneous frames
+
+    out_ref = vision_forward(params, jnp.asarray(patches), spec, vcfg)
+    monkeypatch.setenv("O3V_ATTN_IMPL", "pallas")
+    monkeypatch.setenv("O3V_PALLAS_INTERPRET", "1")
+    out_fused = vision_forward(params, jnp.asarray(patches), spec, vcfg)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), atol=2e-5, rtol=2e-5
+    )
 
 
 # --- fused rope + attention kernel -----------------------------------------
