@@ -225,18 +225,21 @@ def segment_attention(
     q: jnp.ndarray,  # (N, W, H, D) — N segments of W tokens
     k: jnp.ndarray,
     v: jnp.ndarray,
-    valid: jnp.ndarray,  # (N, W) bool — padding mask
+    valid: jnp.ndarray,  # (N, W) bool padding mask or int32 segment ids
     impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Bidirectional attention within each segment, masked for padding.
 
-    On TPU dispatches to the Pallas window kernel (ops/window_attention.py)
-    — XLA's lowering of these small-window shapes is ~2% efficient and
-    dominated the vision tower's runtime (see that module's docstring).
-    O3V_ATTN_IMPL=xla forces the XLA path."""
+    ``valid`` is a bool padding mask or int32 segment ids (0 = pad): tokens
+    attend iff ids match and are nonzero — the packed window layout's
+    several-windows-per-row case. On TPU dispatches to the Pallas window
+    kernel (ops/window_attention.py) — XLA's lowering of these small-window
+    shapes is ~2% efficient and dominated the vision tower's runtime (see
+    that module's docstring). O3V_ATTN_IMPL=xla forces the XLA path."""
     if use_pallas_window(impl):
         from .window_attention import window_attention
 
         return window_attention(q, k, v, valid)
-    mask = (valid[:, None, :] & valid[:, :, None])[:, None, :, :]  # (N, 1, W, W)
-    return jax.nn.dot_product_attention(q, k, v, mask=mask)
+    g = valid.astype(jnp.int32)
+    mask = ((g[:, :, None] == g[:, None, :]) & (g[:, None, :] != 0))
+    return jax.nn.dot_product_attention(q, k, v, mask=mask[:, None, :, :])

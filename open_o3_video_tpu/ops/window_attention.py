@@ -21,9 +21,14 @@ reference's HF vision tower (SURVEY §2.3; window partition at
 transformers Qwen2.5-VL get_window_index).
 
 Layout contract: q/k/v (N, W, H, D), valid (N, W) — ``segment_attention``'s
-native shapes. Padded rows (valid == 0) produce garbage outputs that the
-caller's scatter-back never reads; masked softmax uses a finite NEG_INF so
-fully-masked rows stay NaN-free.
+native shapes. ``valid`` is either a bool padding mask or int32 SEGMENT IDS
+(0 = pad): tokens attend iff their ids match and are nonzero, which lets the
+packed window layout place several small edge windows in one W-token row
+(VisionSpec packing — cuts pad inflation from ~33% to ~4% at production
+grids). A bool mask is the special case of ids in {0, 1}. Padded rows
+(id == 0) produce garbage outputs that the caller's scatter-back never
+reads; masked softmax uses a finite NEG_INF so fully-masked rows stay
+NaN-free.
 """
 
 from __future__ import annotations
@@ -59,6 +64,15 @@ def _block_shape(n: int, w: int, h: int, d: int) -> tuple[int, int]:
     return gn, gh
 
 
+def _seg_mask(val, gn, gh, w):
+    """(Gn, 1, W) int32 segment ids -> (Gn*Gh, Wq, Wk) bool attention mask.
+
+    Pairwise id equality (nonzero) — for 0/1 ids this reduces to the plain
+    key-side padding mask; distinct ids keep packed windows independent."""
+    g = jnp.broadcast_to(val, (gn, gh, w)).reshape(gn * gh, w)
+    return (g[:, :, None] == g[:, None, :]) & (g[:, None, :] != 0)
+
+
 def _fwd_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
     # Mosaic matmuls support one batch dim: fold (Gn, Gh) -> B.
     gn, gh, w, d = q_ref.shape
@@ -70,9 +84,7 @@ def _fwd_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale  # (B, Wq, Wk)
-    val = valid_ref[...]  # (Gn, 1, W) int32
-    val = jnp.broadcast_to(val, (gn, gh, w)).reshape(b, 1, w)
-    s = jnp.where(val != 0, s, NEG_INF)
+    s = jnp.where(_seg_mask(valid_ref[...], gn, gh, w), s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -96,9 +108,7 @@ def _bwd_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref,
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale
-    val = valid_ref[...]  # (Gn, 1, W) int32
-    val = jnp.broadcast_to(val, (gn, gh, w)).reshape(b, 1, w)
-    s = jnp.where(val != 0, s, NEG_INF)
+    s = jnp.where(_seg_mask(valid_ref[...], gn, gh, w), s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     l = jnp.sum(e, axis=-1, keepdims=True)
@@ -150,8 +160,10 @@ def _resolve_interpret(interpret):
 def window_attention(q, k, v, valid, interpret=None):
     """Bidirectional masked attention within same-size segments.
 
-    q/k/v: (N, W, H, D); valid: (N, W) bool. Returns (N, W, H, D) in the
-    input dtype. Padded (invalid) rows return unspecified values."""
+    q/k/v: (N, W, H, D); valid: (N, W) bool padding mask or int32 segment
+    ids (0 = pad; tokens attend iff ids match — the packed window layout).
+    Returns (N, W, H, D) in the input dtype. Padded (invalid) rows return
+    unspecified values."""
     out, _ = _fwd(q, k, v, valid, interpret)
     return out
 
@@ -283,7 +295,7 @@ def _fused_fwd_kernel(valid_ref, qkv_ref, cos_ref, sin_ref, o_ref, *, heads, sca
     d = hd // heads
     cos = cos_ref[...]  # (gn, w, d) f32
     sin = sin_ref[...]
-    val = valid_ref[...]  # (gn, 1, w) int32
+    mask = _seg_mask(valid_ref[...], gn, 1, w)  # (gn, Wq, Wk)
     outs = []
     for h in range(heads):
         q = qkv_ref[:, :, h * d : (h + 1) * d].astype(jnp.float32)
@@ -296,7 +308,7 @@ def _fused_fwd_kernel(valid_ref, qkv_ref, cos_ref, sin_ref, o_ref, *, heads, sca
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale  # (gn, Wq, Wk)
-        s = jnp.where(val != 0, s, NEG_INF)
+        s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
@@ -317,7 +329,7 @@ def _fused_bwd_kernel(valid_ref, qkv_ref, cos_ref, sin_ref, do_ref, dqkv_ref,
     d = hd // heads
     cos = cos_ref[...]
     sin = sin_ref[...]
-    val = valid_ref[...]
+    mask = _seg_mask(valid_ref[...], gn, 1, w)
     dqs, dks, dvs = [], [], []
     for h in range(heads):
         q0 = qkv_ref[:, :, h * d : (h + 1) * d].astype(jnp.float32)
@@ -330,7 +342,7 @@ def _fused_bwd_kernel(valid_ref, qkv_ref, cos_ref, sin_ref, do_ref, dqkv_ref,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
-        s = jnp.where(val != 0, s, NEG_INF)
+        s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)  # (gn, Wq, Wk) f32
@@ -372,7 +384,9 @@ def fused_window_attention(qkv, cos, sin, valid, heads, interpret=None):
     qkv: (N, W, 3*H*D) — raw qkv projection output over contiguous W-token
     segments (the padded ViT window layout; see VisionSpec.padded_index).
     cos/sin: (N, W, D) float32 rotary tables (cos(emb), sin(emb) with
-    emb = concat([freqs, freqs], -1)). valid: (N, W) bool.
+    emb = concat([freqs, freqs], -1)). valid: (N, W) bool padding mask or
+    int32 segment ids (0 = pad; tokens attend iff ids match — the packed
+    window layout places several small edge windows in one row).
     Returns (N, W, H*D) in the qkv dtype; invalid rows are unspecified.
     """
     out, _ = _fused_fwd(qkv, cos, sin, valid, heads, interpret)

@@ -324,3 +324,179 @@ def test_vision_nowindow_uniform_gets_padded_identity():
     # heterogeneous stays gather-only
     spec2 = compute_vision_spec([(1, 4, 8), (1, 8, 8)], vcfg)
     assert spec2.padded_index is None
+
+
+# --- packed window layout (segment ids) --------------------------------------
+
+
+def _gid_ref(q, k, v, gids):
+    g = gids.astype(jnp.int32)
+    mask = ((g[:, :, None] == g[:, None, :]) & (g[:, None, :] != 0))
+    return jax.nn.dot_product_attention(q, k, v, mask=mask[:, None, :, :])
+
+
+def _gid_case(n, w, h, d, seed=0):
+    """Rows holding several independent segments (packed windows) + pads."""
+    rng = np.random.default_rng(seed)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((n, w, h, d)), jnp.float32)
+        for _ in range(3)
+    )
+    gids = np.zeros((n, w), np.int32)
+    for i in range(n):
+        pos, g = 0, 1
+        while pos < w:
+            size = int(rng.integers(1, w - pos + 1))
+            if rng.random() < 0.15:  # leave a pad hole
+                pos += size
+                continue
+            gids[i, pos : pos + size] = g
+            g += 1
+            pos += size
+    gids[0, :] = 0  # fully padded row
+    return q, k, v, jnp.asarray(gids)
+
+
+@pytest.mark.parametrize("n,w,h,d", [(6, 64, 4, 80), (5, 16, 3, 32)])
+def test_forward_group_ids(n, w, h, d):
+    q, k, v, gids = _gid_case(n, w, h, d)
+    ref = _gid_ref(q, k, v, gids)
+    out = window_attention(q, k, v, gids, True)
+    m = (np.asarray(gids) != 0)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, atol=2e-5, rtol=2e-5
+    )
+
+
+def test_backward_group_ids():
+    q, k, v, gids = _gid_case(4, 64, 2, 80, seed=3)
+    m = jnp.asarray((np.asarray(gids) != 0)[:, :, None, None], jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((_gid_ref(q, k, v, gids) * m) ** 2)
+
+    def loss_pl(q, k, v):
+        return jnp.sum((window_attention(q, k, v, gids, True) * m) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ref, g_pl, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(b) * m, np.asarray(a) * m, atol=1e-4, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_fused_group_ids():
+    from open_o3_video_tpu.ops.window_attention import fused_window_attention
+
+    n, w, heads, d = 5, 64, 4, 80
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.standard_normal((n, w, 3 * heads * d)), jnp.float32)
+    freqs = rng.standard_normal((n, w, d // 2)).astype(np.float32)
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    cos, sin = jnp.asarray(np.cos(emb)), jnp.asarray(np.sin(emb))
+    _, _, _, gids = _gid_case(n, w, 1, 1, seed=9)
+
+    def ref(qkv):
+        x = qkv.reshape(n, w, 3, heads, d)
+        q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+
+        def rope(t):
+            c, s = cos[:, :, None, :], sin[:, :, None, :]
+            t1, t2 = jnp.split(t, 2, axis=-1)
+            return t * c + jnp.concatenate([-t2, t1], axis=-1) * s
+
+        return _gid_ref(rope(q), rope(k), v, gids).reshape(n, w, heads * d)
+
+    def fused(qkv):
+        return fused_window_attention(qkv, cos, sin, gids, heads, True)
+
+    m = jnp.asarray((np.asarray(gids) != 0)[:, :, None], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fused(qkv) * m), np.asarray(ref(qkv) * m),
+        atol=3e-5, rtol=3e-5,
+    )
+    g_ref = jax.grad(lambda x: jnp.sum((ref(x) * m) ** 2))(qkv)
+    g_pl = jax.grad(lambda x: jnp.sum((fused(x) * m) ** 2))(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_ref), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_vision_packing_layout():
+    """First-fit-decreasing packing at the production 18x24-patch grid:
+    9 windows (6x64 + 3x16 tokens) pack into 7 rows, 3.7% pad inflation,
+    every token covered exactly once, ids unique per window within a row."""
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig
+    from open_o3_video_tpu.models.qwen25vl.vision import compute_vision_spec
+
+    vcfg = Qwen25VLConfig.tiny().vision  # win=4 merged, unit=4
+    spec = compute_vision_spec([(2, 18, 24)], vcfg)
+    win_w = spec.win_w
+    assert spec.padded_gids is not None
+    n_rows = len(spec.padded_gids) // win_w
+    assert n_rows == 2 * 7  # per frame: 9 windows -> 6 full rows + 1 packed row
+    # coverage: every real token exactly once
+    idx = spec.padded_index[spec.padded_valid]
+    assert sorted(idx.tolist()) == list(range(spec.seq_len))
+    # the packed row holds 3 independent windows
+    gids = spec.padded_gids.reshape(n_rows, win_w)
+    assert gids.max() == 3
+    assert (spec.padded_gids != 0).tolist() == spec.padded_valid.tolist()
+    # frame stays one contiguous run for the global layers
+    assert spec.frame_w == 7 * win_w
+
+    # O3V_VIT_PACK=0 restores one window per row
+    import os
+
+    os.environ["O3V_VIT_PACK"] = "0"
+    try:
+        spec0 = compute_vision_spec([(2, 18, 24)], vcfg)
+    finally:
+        del os.environ["O3V_VIT_PACK"]
+    assert len(spec0.padded_gids) // win_w == 2 * 9
+    assert spec0.padded_gids.max() == 1
+
+
+def test_vision_pack_on_off_equal(monkeypatch):
+    """Packed tower == unpacked tower == gather tower (fused interpret)."""
+    import dataclasses
+
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+    from open_o3_video_tpu.models.qwen25vl.vision import (
+        compute_vision_spec,
+        vision_forward,
+    )
+    from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
+
+    cfg = Qwen25VLConfig.tiny(dtype=jnp.float32)
+    vcfg = dataclasses.replace(cfg.vision, depth=3, fullatt_block_indexes=(1,))
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(2, 3, 252, 336), dtype=np.uint8)
+    patches, grid = frames_as_images_patches(
+        frames, patch_size=vcfg.patch_size,
+        temporal_patch_size=vcfg.temporal_patch_size,
+        merge_size=vcfg.spatial_merge_size,
+    )
+    params = P.init(dataclasses.replace(cfg, vision=vcfg), seed=0)["visual"]
+    grids = [tuple(g) for g in grid]
+
+    out_ref = vision_forward(
+        params, jnp.asarray(patches), compute_vision_spec(grids, vcfg), vcfg
+    )
+    monkeypatch.setenv("O3V_ATTN_IMPL", "pallas")
+    monkeypatch.setenv("O3V_PALLAS_INTERPRET", "1")
+    spec_pack = compute_vision_spec(grids, vcfg)
+    assert spec_pack.padded_gids.max() > 1  # packing engaged
+    out_pack = vision_forward(params, jnp.asarray(patches), spec_pack, vcfg)
+    monkeypatch.setenv("O3V_VIT_PACK", "0")
+    spec_nopack = compute_vision_spec(grids, vcfg)
+    out_nopack = vision_forward(params, jnp.asarray(patches), spec_nopack, vcfg)
+    assert len(spec_pack.padded_gids) < len(spec_nopack.padded_gids)
+    np.testing.assert_allclose(
+        np.asarray(out_pack), np.asarray(out_ref), atol=2e-5, rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_nopack), np.asarray(out_ref), atol=2e-5, rtol=2e-5
+    )
