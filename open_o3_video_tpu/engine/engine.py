@@ -43,6 +43,8 @@ between fitting next to 9.5 GB of int8 weights on a 16 GB v5e or not);
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 
 from typing import Any, Optional, Sequence
 
@@ -120,6 +122,7 @@ class InferenceEngine:
         long_prefill_threshold: int = 32768,
         long_prefill_chunk: int = 8192,
         max_kv_gb: Optional[float] = None,
+        a8_prefill: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -147,6 +150,16 @@ class InferenceEngine:
         # gpu_memory_utilization analog. Excess requests queue; None = no
         # cap (the pre-existing behavior).
         self.max_kv_gb = max_kv_gb
+        # w8a8 prefill: trace the COMPUTE-BOUND programs (admission/prefill/
+        # vision encode) with int8 activations so QuantizedLinear matmuls run
+        # on the MXU's 2x int8 path (ops/quant.py a8_acts). Decode stays
+        # w8-bf16 — it is HBM-bound, so a8 would change numerics for no
+        # speed. No-op unless the params are int8-quantized. Env default
+        # O3V_A8 (off): quality-gated by the bench's teacher-forced
+        # agreement check before being defaulted on.
+        if a8_prefill is None:
+            a8_prefill = os.environ.get("O3V_A8", "0") == "1"
+        self.a8_prefill = bool(a8_prefill)
         # DP fleet mode: shard the slot-row dimension of every batch array
         # over this mesh axis, so each chip decodes its own rows — the
         # TPU-native replacement for the reference's process-per-GPU eval
@@ -231,6 +244,22 @@ class InferenceEngine:
             )
         )
 
+        # Compute-bound (prefill-side) programs optionally trace under w8a8;
+        # functools.wraps keeps the signature so donate_argnames resolve.
+        def _a8(fn):
+            if not self.a8_prefill:
+                return fn
+            from ..ops.quant import a8_acts
+
+            @functools.wraps(fn)
+            def wrapped(*args, **kwargs):
+                with a8_acts(True):
+                    return fn(*args, **kwargs)
+
+            return wrapped
+
+        self._a8_wrap = _a8
+
         # Donation lets XLA reuse the arena/state buffers in place; the CPU
         # backend does not implement donation and would warn per call.
         donate = jax.default_backend() != "cpu"
@@ -242,12 +271,12 @@ class InferenceEngine:
 
             out_kw["out_shardings"] = NamedSharding(mesh, P_())
         self._admit = jax.jit(
-            self._admit_impl,
+            _a8(self._admit_impl),
             donate_argnames=("arena_k", "arena_v") if donate else (),
             **out_kw,
         )
         self._admit_full = jax.jit(
-            self._admit_full_impl,
+            _a8(self._admit_full_impl),
             donate_argnames=("arena_k", "arena_v") if donate else (),
             **out_kw,
         )
@@ -260,19 +289,19 @@ class InferenceEngine:
             prefix_out_kw = {"out_shardings": NamedSharding(mesh, P_())}
         else:
             prefix_out_kw = out_kw
-        self._prefill_prefix = jax.jit(self._prefill_prefix_impl, **prefix_out_kw)
+        self._prefill_prefix = jax.jit(_a8(self._prefill_prefix_impl), **prefix_out_kw)
         self._admit_suffix = jax.jit(
-            self._admit_suffix_impl,
+            _a8(self._admit_suffix_impl),
             donate_argnames=("arena_k", "arena_v") if donate else (),
             **out_kw,
         )
         self._admit_suffix_full = jax.jit(
-            self._admit_suffix_full_impl,
+            _a8(self._admit_suffix_full_impl),
             donate_argnames=("arena_k", "arena_v") if donate else (),
             **out_kw,
         )
         self._prefill_chunk_fn = jax.jit(
-            self._prefill_chunk_impl,
+            _a8(self._prefill_chunk_impl),
             donate_argnames=("rows_k", "rows_v") if donate else (),
             **out_kw,
         )
@@ -736,7 +765,9 @@ class InferenceEngine:
                 prog_key = (grid_key, len(group))
                 if prog_key not in self._vision_fns:
                     self._vision_fns[prog_key] = jax.jit(
-                        lambda p, x, g=all_grid: encode_vision(p, self.cfg, x, g)
+                        self._a8_wrap(
+                            lambda p, x, g=all_grid: encode_vision(p, self.cfg, x, g)
+                        )
                     )
                 all_vis = self._vision_fns[prog_key](
                     self.params, jnp.concatenate([pd for _, pd, _ in group], axis=0)

@@ -46,12 +46,15 @@ class QwenVLEngine:
         self.max_num_seqs = llm_args.pop("max_num_seqs", 5)
 
         load_in_int8 = llm_args.pop("load_in_int8", False)
+        quantize_vision = llm_args.pop("quantize_vision", False)
         if isinstance(llm_name_or_params, str):
             print("Start initialize the model.")
             # int8 streams decoder weights to ~9.5 GB so the full 7B + KV
-            # arena fits one 16 GB chip (load_pretrained quantize_text).
+            # arena fits one 16 GB chip (load_pretrained quantize_text);
+            # quantize_vision pairs with a8_prefill for the 2x MXU tower.
             params, cfg = P.load_pretrained(
-                llm_name_or_params, cfg, quantize_text=load_in_int8
+                llm_name_or_params, cfg,
+                quantize_text=load_in_int8, quantize_vision=quantize_vision,
             )
             processor = processor or O3VideoProcessor.from_pretrained(llm_name_or_params)
         else:
@@ -74,7 +77,7 @@ class QwenVLEngine:
         for k in ("prompt_buckets", "cache_dtype", "decode_segment",
                   "prefill_chunk", "prefix_cache_min", "suffix_buckets",
                   "prefix_cache_entries", "decode_attn_impl", "max_kv_gb",
-                  "long_prefill_threshold", "long_prefill_chunk"):
+                  "long_prefill_threshold", "long_prefill_chunk", "a8_prefill"):
             if k in llm_args:
                 engine_kw[k] = llm_args.pop(k)
         if isinstance(engine_kw.get("cache_dtype"), str):

@@ -27,7 +27,12 @@ import numpy as np
 from .config import Qwen25VLConfig
 
 
-def init(cfg: Qwen25VLConfig, seed: int = 0, quantize_text: bool = False) -> dict:
+def init(
+    cfg: Qwen25VLConfig,
+    seed: int = 0,
+    quantize_text: bool = False,
+    quantize_vision: bool = False,
+) -> dict:
     """Random normal(0.02) init, matching the HF initializer scale.
 
     Weights are generated on-device with jax.random (host numpy generation
@@ -35,7 +40,8 @@ def init(cfg: Qwen25VLConfig, seed: int = 0, quantize_text: bool = False) -> dic
 
     ``quantize_text=True`` int8-quantizes each decoder layer *as it is
     built*, so a full 7B never materializes in bf16 — required to stand up
-    the 28-layer model on a single 16 GB chip.
+    the 28-layer model on a single 16 GB chip. ``quantize_vision=True``
+    does the same for ViT block matmuls (the w8a8 prefill path).
     """
     std = 0.02
     v, t = cfg.vision, cfg.text
@@ -47,14 +53,17 @@ def init(cfg: Qwen25VLConfig, seed: int = 0, quantize_text: bool = False) -> dic
         counter[0] += 1
         return (std * jax.random.normal(jax.random.fold_in(key, counter[0]), shape)).astype(dt)
 
-    def maybe_q(leaf):
-        if not quantize_text:
+    def maybe_q(leaf, enabled=None):
+        if not (quantize_text if enabled is None else enabled):
             return leaf
         from ...ops.quant import quantize_weight
 
         out = quantize_weight(leaf)
         leaf.delete()
         return out
+
+    def vw(*shape):
+        return maybe_q(w(*shape), enabled=quantize_vision)
 
     def zeros(*shape):
         return jnp.zeros(shape, dtype=dt)
@@ -65,26 +74,26 @@ def init(cfg: Qwen25VLConfig, seed: int = 0, quantize_text: bool = False) -> dic
     def block():
         b = {
             "norm1": ones(v.hidden_size),
-            "qkv_w": w(v.hidden_size, 3 * v.hidden_size),
+            "qkv_w": vw(v.hidden_size, 3 * v.hidden_size),
             "qkv_b": zeros(3 * v.hidden_size),
-            "proj_w": w(v.hidden_size, v.hidden_size),
+            "proj_w": vw(v.hidden_size, v.hidden_size),
             "proj_b": zeros(v.hidden_size),
             "norm2": ones(v.hidden_size),
         }
         if v.act_type in ("quickgelu", "gelu_tanh"):  # Qwen2/Qwen3-VL fc1/fc2
             b.update(
-                fc1_w=w(v.hidden_size, v.intermediate_size),
+                fc1_w=vw(v.hidden_size, v.intermediate_size),
                 fc1_b=zeros(v.intermediate_size),
-                fc2_w=w(v.intermediate_size, v.hidden_size),
+                fc2_w=vw(v.intermediate_size, v.hidden_size),
                 fc2_b=zeros(v.hidden_size),
             )
         else:
             b.update(
-                gate_w=w(v.hidden_size, v.intermediate_size),
+                gate_w=vw(v.hidden_size, v.intermediate_size),
                 gate_b=zeros(v.intermediate_size),
-                up_w=w(v.hidden_size, v.intermediate_size),
+                up_w=vw(v.hidden_size, v.intermediate_size),
                 up_b=zeros(v.intermediate_size),
-                down_w=w(v.intermediate_size, v.hidden_size),
+                down_w=vw(v.intermediate_size, v.hidden_size),
                 down_b=zeros(v.hidden_size),
             )
         if v.norm_type == "layernorm":  # Qwen2-VL LayerNorm biases
@@ -182,17 +191,26 @@ _QUANT_TEXT_LEAVES = frozenset(
     {"q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w", "lm_head"}
 )
 
+# ViT block matmuls (attention + all three MLP variants). Quantizing these
+# matters for COMPUTE (w8a8 prefill, ops/quant.py a8_acts), not HBM; the
+# patch embed and merger stay bf16.
+_QUANT_VISION_LEAVES = frozenset(
+    {"qkv_w", "proj_w", "fc1_w", "fc2_w", "gate_w", "up_w", "down_w"}
+)
+
 
 def from_named_arrays(
     named: Iterator[tuple[str, np.ndarray]],
     cfg: Qwen25VLConfig,
     quantize_text: bool = False,
+    quantize_vision: bool = False,
 ) -> dict:
     """Build the param tree from (hf_name, numpy array) pairs.
 
     ``quantize_text=True`` int8-quantizes each decoder matmul weight AS IT
     STREAMS IN, so loading the released 7B checkpoint never materializes a
     full bf16 decoder on-chip (same leaves as ``init(quantize_text=True)``).
+    ``quantize_vision=True`` does the same for the ViT block matmuls.
     """
     v, t = cfg.vision, cfg.text
     dt = cfg.dtype
@@ -205,6 +223,12 @@ def from_named_arrays(
             quantize_text
             and path[0] == "text"
             and path[-1] in _QUANT_TEXT_LEAVES
+        ) or (
+            quantize_vision
+            and path[0] == "visual"
+            and len(path) > 2
+            and path[1] == "blocks"
+            and path[-1] in _QUANT_VISION_LEAVES
         ):
             from ...ops.quant import quantize_weight
 
@@ -413,13 +437,20 @@ def _check_complete(params: Any, path: str = ""):
         raise ValueError(f"missing parameter: {path}")
 
 
-def from_torch_state_dict(state_dict, cfg: Qwen25VLConfig, quantize_text: bool = False) -> dict:
+def from_torch_state_dict(
+    state_dict,
+    cfg: Qwen25VLConfig,
+    quantize_text: bool = False,
+    quantize_vision: bool = False,
+) -> dict:
     """Import from an in-memory torch state dict (tests / conversions)."""
     def gen():
         for key, tensor in state_dict.items():
             yield key, tensor.detach().to("cpu").float().numpy()
 
-    return from_named_arrays(gen(), cfg, quantize_text=quantize_text)
+    return from_named_arrays(
+        gen(), cfg, quantize_text=quantize_text, quantize_vision=quantize_vision
+    )
 
 
 def iter_safetensors(model_dir: str) -> Iterator[tuple[str, np.ndarray]]:
@@ -444,15 +475,24 @@ def load_pretrained(
     model_dir: str,
     cfg: Qwen25VLConfig | None = None,
     quantize_text: bool = False,
+    quantize_vision: bool = False,
 ) -> tuple[dict, Qwen25VLConfig]:
     """Load from an HF model directory of safetensors shards.
 
     ``quantize_text=True`` streams each decoder matmul to int8 during the
     shard read — the full 7B loads into ~9.5 GB instead of 16.6 GB bf16
-    (which would not fit a single 16 GB chip alongside a KV cache)."""
+    (which would not fit a single 16 GB chip alongside a KV cache).
+    ``quantize_vision=True`` streams the ViT block matmuls to int8 (pairs
+    with the engine's a8_prefill for 2x MXU throughput in the tower)."""
     if cfg is None:
         cfg = Qwen25VLConfig.from_pretrained(model_dir)
-    return from_named_arrays(iter_safetensors(model_dir), cfg, quantize_text=quantize_text), cfg
+    return (
+        from_named_arrays(
+            iter_safetensors(model_dir), cfg,
+            quantize_text=quantize_text, quantize_vision=quantize_vision,
+        ),
+        cfg,
+    )
 
 
 def save_safetensors(params: dict, cfg: Qwen25VLConfig, out_path: str):

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.attention import segment_attention, use_pallas_window
+from ...ops.quant import dense
 from ...ops.rope import apply_rope_vision, vision_pos_freqs
 from .config import VisionConfig
 
@@ -404,7 +405,7 @@ def _segmented_attention(q, k, v, spec):
 
 def _block(params: dict, x: jnp.ndarray, freqs: jnp.ndarray, spec, cfg: VisionConfig):
     h = _norm(params, "norm1", x, cfg)
-    qkv = h @ params["qkv_w"] + params["qkv_b"]
+    qkv = dense(h, params["qkv_w"]) + params["qkv_b"]
     S = x.shape[0]
     if isinstance(spec, FusedSeg):
         from ...ops.window_attention import fused_window_attention
@@ -418,23 +419,23 @@ def _block(params: dict, x: jnp.ndarray, freqs: jnp.ndarray, spec, cfg: VisionCo
         q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
         q, k = apply_rope_vision(q, k, freqs)
         attn = _segmented_attention(q, k, v, spec).reshape(S, cfg.hidden_size)
-    x = x + (attn @ params["proj_w"] + params["proj_b"])
+    x = x + (dense(attn, params["proj_w"]) + params["proj_b"])
 
     h = _norm(params, "norm2", x, cfg)
     if cfg.act_type == "quickgelu":
         # Qwen2-VL VisionMlp: fc1 -> quick_gelu -> fc2.
-        a = h @ params["fc1_w"] + params["fc1_b"]
+        a = dense(h, params["fc1_w"]) + params["fc1_b"]
         a = a * jax.nn.sigmoid(1.702 * a)
-        x = x + (a @ params["fc2_w"] + params["fc2_b"])
+        x = x + (dense(a, params["fc2_w"]) + params["fc2_b"])
     elif cfg.act_type == "gelu_tanh":
         # Qwen3-VL VisionMLP: linear_fc1 -> gelu_pytorch_tanh -> linear_fc2.
-        a = h @ params["fc1_w"] + params["fc1_b"]
+        a = dense(h, params["fc1_w"]) + params["fc1_b"]
         a = jax.nn.gelu(a, approximate=True)
-        x = x + (a @ params["fc2_w"] + params["fc2_b"])
+        x = x + (dense(a, params["fc2_w"]) + params["fc2_b"])
     else:
-        gate = jax.nn.silu(h @ params["gate_w"] + params["gate_b"])
-        up = h @ params["up_w"] + params["up_b"]
-        x = x + ((gate * up) @ params["down_w"] + params["down_b"])
+        gate = jax.nn.silu(dense(h, params["gate_w"]) + params["gate_b"])
+        up = dense(h, params["up_w"]) + params["up_b"]
+        x = x + (dense(gate * up, params["down_w"]) + params["down_b"])
     return x
 
 

@@ -32,6 +32,8 @@ def _load():
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH):
+        _try_build()
+    if not os.path.exists(_LIB_PATH):
         raise FileNotFoundError(
             f"native decoder not built: {_LIB_PATH} (run open_o3_video_tpu/native/build.sh)"
         )
@@ -61,7 +63,38 @@ def _load():
     return lib
 
 
+def _try_build() -> None:
+    """Best-effort first-use build (the .so is not checked in).
+
+    Serialized across processes with an exclusive lockfile so concurrent
+    workers don't race the compiler; failures fall through to _load()'s
+    FileNotFoundError with the manual build command.
+    """
+    import subprocess
+
+    script = os.path.join(os.path.dirname(__file__), "build.sh")
+    if not os.path.exists(script):
+        return
+    lock_path = _LIB_PATH + ".buildlock"
+    try:
+        with open(lock_path, "w") as lock:
+            try:
+                import fcntl
+
+                fcntl.flock(lock, fcntl.LOCK_EX)
+            except ImportError:
+                pass
+            if not os.path.exists(_LIB_PATH):  # may have been built while waiting
+                subprocess.run(
+                    ["bash", script], check=False, capture_output=True, timeout=300
+                )
+    except OSError:
+        pass
+
+
 def available() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        _try_build()
     return os.path.exists(_LIB_PATH)
 
 

@@ -11,11 +11,52 @@ The reference exposes only a commented-out bitsandbytes 4-bit path
 
 from __future__ import annotations
 
+import contextlib
 import re
 from typing import Any
 
 import jax
 import jax.numpy as jnp
+
+# Trace-time switch for w8a8 matmuls (see a8_acts). Read inside dense(), so
+# the mode a program was TRACED under is baked into that executable; flipping
+# the flag never affects already-compiled programs.
+_A8_ACTIVE = False
+
+
+@contextlib.contextmanager
+def a8_acts(enabled: bool = True):
+    """Compile QuantizedLinear matmuls as int8 x int8 (w8a8) inside this scope.
+
+    The MXU runs int8 x int8 -> int32 at 2x its bf16 FLOP rate (v5e: ~394
+    TOPS vs ~197 TFLOP/s), so compute-bound programs — engine prefill and the
+    vision tower — nearly double their matmul throughput. Activations are
+    dynamically quantized per row (per-token symmetric absmax, the standard
+    w8a8 recipe); weights must already be int8 (quantize_params). Serving
+    only: training paths never enter this scope (round() has no gradient).
+    """
+    global _A8_ACTIVE
+    prev = _A8_ACTIVE
+    _A8_ACTIVE = bool(enabled)
+    try:
+        yield
+    finally:
+        _A8_ACTIVE = prev
+
+
+def a8_active() -> bool:
+    return _A8_ACTIVE
+
+
+def quantize_acts(x: jnp.ndarray):
+    """Per-row (last-dim) symmetric int8 quantization; returns (x_q, scale).
+
+    scale has shape x.shape[:-1] + (1,) in float32.
+    """
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return x_q, scale
 
 
 @jax.tree_util.register_pytree_with_keys_class
@@ -108,6 +149,17 @@ def dense(x: jnp.ndarray, w) -> jnp.ndarray:
         delta = (x @ w.a.astype(x.dtype)) @ w.b.astype(x.dtype)
         return dense(x, w.base) + delta * jnp.asarray(w.scale, x.dtype)
     if isinstance(w, QuantizedLinear):
+        if _A8_ACTIVE:
+            x_q, sx = quantize_acts(x)
+            y = jax.lax.dot_general(
+                x_q,
+                w.w_q,
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (y.astype(jnp.float32) * sx * w.scale.astype(jnp.float32)).astype(
+                x.dtype
+            )
         y = jax.lax.dot_general(
             x,
             w.w_q.astype(x.dtype),
@@ -122,6 +174,13 @@ def dense(x: jnp.ndarray, w) -> jnp.ndarray:
 DEFAULT_QUANT_PATTERNS = (
     r"text/layers/\d+/(q_w|k_w|v_w|o_w|gate_w|up_w|down_w)$",
     r"text/lm_head$",
+)
+
+# Vision-tower matrices: quantizing these matters for COMPUTE (the tower is
+# MXU-bound; w8a8 under a8_acts runs its matmuls at 2x), not HBM. The patch
+# embed and merger stay bf16 (first/last-layer sensitivity, negligible FLOPs).
+VISION_QUANT_PATTERNS = (
+    r"visual/blocks/\d+/(qkv_w|proj_w|fc1_w|fc2_w|gate_w|up_w|down_w)$",
 )
 
 

@@ -91,7 +91,12 @@ PARAM_RULES: list[tuple[str, P]] = [
     (r"text/embed_tokens$", P("tensor", "fsdp")),
     (r"text/lm_head(/base)?$", P("fsdp", "tensor")),
     (r"text/final_norm$", P()),
-    # vision tower: fsdp-shard the big matrices, replicate the rest
+    # vision tower: fsdp-shard the big matrices, replicate the rest.
+    # Quantized (w8a8 serving) block leaves shard like their bf16 parents.
+    (r"visual/blocks/\d+/(qkv_w|gate_w|up_w|fc1_w)/w_q$", P("fsdp", "tensor")),
+    (r"visual/blocks/\d+/(proj_w|down_w|fc2_w)/w_q$", P("tensor", "fsdp")),
+    (r"visual/blocks/\d+/(qkv_w|gate_w|up_w|fc1_w)/scale$", P(None, "tensor")),
+    (r"visual/blocks/\d+/(proj_w|down_w|fc2_w)/scale$", P(None, "fsdp")),
     (r"visual/blocks/\d+/qkv_w$", P("fsdp", "tensor")),
     (r"visual/blocks/\d+/qkv_b$", P("tensor")),
     (r"visual/blocks/\d+/proj_w$", P("tensor", "fsdp")),
