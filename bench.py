@@ -105,7 +105,9 @@ def bench_quant_agreement(frames_u8, grid_thw, prompt):
     patches, grid = frames_as_images_patches(frames_u8)
     Lp = len(prompt)
 
-    def completion_argmax(params, full_ids):
+    from open_o3_video_tpu.ops.quant import a8_acts
+
+    def completion_argmax(params, full_ids, a8=False):
         """Per-position argmax over the completion slice (teacher-forced)."""
         ids = np.asarray(full_ids)[None]
         pos, _ = get_rope_index(cfg, ids, image_grid_thw=grid)
@@ -120,21 +122,32 @@ def bench_quant_agreement(frames_u8, grid_thw, prompt):
                 p["text"], hidden[:, Lp - 1 : -1]
             ).argmax(-1)
 
-        out = np.asarray(fn(params, jnp.asarray(ids), jnp.asarray(pos),
-                            jnp.asarray(patches)))[0]
+        with a8_acts(a8):  # trace-time switch (no-op for bf16/w8 trees)
+            out = np.asarray(fn(params, jnp.asarray(ids), jnp.asarray(pos),
+                                jnp.asarray(patches)))[0]
         return [int(t) for t in out]
 
+    # Three configurations, same random weights: bf16 reference, w8
+    # (int8 weights, bf16 activations — the decode path), and w8a8
+    # (int8 ViT weights too, int8 activations — the a8_prefill path).
+    modes = {
+        "bf16": dict(quantize_text=False, quantize_vision=False, a8=False),
+        "w8": dict(quantize_text=True, quantize_vision=False, a8=False),
+        "a8": dict(quantize_text=True, quantize_vision=True, a8=True),
+    }
     streams, forced = {}, {}
     ref_tokens = None
-    for quant in (False, True):
-        params = P.init(cfg, seed=0, quantize_text=quant)
-        eng = InferenceEngine(params, cfg, prompt_buckets=(bucket,))
+    for mode, mk in modes.items():
+        params = P.init(cfg, seed=0, quantize_text=mk["quantize_text"],
+                        quantize_vision=mk["quantize_vision"])
+        eng = InferenceEngine(params, cfg, prompt_buckets=(bucket,),
+                              a8_prefill=mk["a8"])
         out = eng.generate(
             [Request(input_ids=prompt, frames=frames_u8, grid_thw=grid_thw,
                      vision_token_id=cfg.image_token_id)],
             sampling,
         )[0]
-        streams[quant] = out["token_ids"]
+        streams[mode] = out["token_ids"]
         if ref_tokens is None:
             ref_tokens = out["token_ids"]
         eng.release_memory()
@@ -143,13 +156,15 @@ def bench_quant_agreement(frames_u8, grid_thw, prompt):
         # without a gc pass its arenas/buffers survive into the next phase
         # and the chip OOMs next to the ~10 GB bf16 tree.
         gc.collect()
-        forced[quant] = completion_argmax(params, list(prompt) + ref_tokens)
+        forced[mode] = completion_argmax(params, list(prompt) + ref_tokens,
+                                         a8=mk["a8"])
         del params
         gc.collect()
         jax.clear_caches()  # drop the per-iteration forward executable
     n = len(ref_tokens)
-    tf_agree = [a == b for a, b in zip(forced[False], forced[True])]
-    bf16, int8 = streams[False], streams[True]
+    tf_agree = [a == b for a, b in zip(forced["bf16"], forced["w8"])]
+    tf_agree_a8 = [a == b for a, b in zip(forced["bf16"], forced["a8"])]
+    bf16, int8 = streams["bf16"], streams["w8"]
     m = min(len(bf16), len(int8))
     fr_agree = [a == b for a, b in zip(bf16[:m], int8[:m])]
     return {
@@ -157,6 +172,8 @@ def bench_quant_agreement(frames_u8, grid_thw, prompt):
         "tokens": n,
         "teacher_forced_agreement": round(float(np.mean(tf_agree)), 4),
         "teacher_forced_disagreements": int(np.sum(~np.asarray(tf_agree))),
+        "teacher_forced_agreement_a8": round(float(np.mean(tf_agree_a8)), 4),
+        "teacher_forced_disagreements_a8": int(np.sum(~np.asarray(tf_agree_a8))),
         "freerun_agreement": round(float(np.mean(fr_agree)), 4) if m else 0.0,
         "freerun_first_divergence": (
             fr_agree.index(False) if False in fr_agree else None
