@@ -123,6 +123,8 @@ class InferenceEngine:
         long_prefill_chunk: int = 8192,
         max_kv_gb: Optional[float] = None,
         a8_prefill: Optional[bool] = None,
+        spec_decode: Optional[bool] = None,
+        spec_draft: int = 7,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -160,6 +162,23 @@ class InferenceEngine:
         if a8_prefill is None:
             a8_prefill = os.environ.get("O3V_A8", "0") == "1"
         self.a8_prefill = bool(a8_prefill)
+        # Prompt-lookup speculative decoding (bs=1, greedy): each decode
+        # step verifies a draft_k-token draft continued from the most
+        # recent n-gram match in the prompt+generated history. Acceptance
+        # replicates the sequential sampler exactly (penalty-adjusted
+        # argmax, seen-set order, eos/budget truncation) — in exact
+        # arithmetic outputs are bit-identical to the plain path (pinned in
+        # f32, tests/test_spec_decode.py). On bf16 hardware the multi-token
+        # verify reduces in a different order than the S=1 step, so argmax
+        # near-ties can resolve differently (inherent to all speculative
+        # decoders). Measured on v5e 28L int8: a (draft_k+1)-token verify
+        # step costs ~1.02x a single decode step (weight-HBM-bound), so
+        # throughput scales with mean(accepted+1). Single-row greedy groups
+        # only. Env default O3V_SPEC.
+        if spec_decode is None:
+            spec_decode = os.environ.get("O3V_SPEC", "0") == "1"
+        self.spec_decode = bool(spec_decode)
+        self.spec_draft = int(os.environ.get("O3V_SPEC_DRAFT", str(spec_draft)))
         # DP fleet mode: shard the slot-row dimension of every batch array
         # over this mesh axis, so each chip decodes its own rows — the
         # TPU-native replacement for the reference's process-per-GPU eval
@@ -317,6 +336,18 @@ class InferenceEngine:
             donate_argnames=(
                 ("arena_k", "arena_v", "seen", "attn_valid",
                  "mrope_cur", "remaining", "done")
+                if donate
+                else ()
+            ),
+            **out_kw,
+        )
+        self._segment_spec = jax.jit(
+            self._segment_spec_impl,
+            static_argnames=("temperature", "top_p", "repetition_penalty",
+                             "n_steps", "prompt_len", "draft_k"),
+            donate_argnames=(
+                ("arena_k", "arena_v", "seen", "attn_valid",
+                 "mrope_cur", "remaining", "done", "hist")
                 if donate
                 else ()
             ),
@@ -635,6 +666,157 @@ class InferenceEngine:
          mrope_cur, remaining, toks, lps, emitted) = st
         return (toks, lps, emitted, token, arena_k, arena_v, seen, attn_valid,
                 done, rng, cursor, mrope_cur, remaining)
+
+    def _segment_spec_impl(
+        self,
+        params,
+        token,  # (1,) last sampled, not yet fed
+        arena_k,
+        arena_v,
+        seen,  # (1, V) bool
+        attn_valid,  # (1, T)
+        done,  # (1,)
+        rng,
+        cursor,  # () fed-token counter (monotonic; NO ring in this path)
+        mrope_cur,  # (1,)
+        remaining,  # (1,)
+        hist,  # (1, T) int32 — fed tokens by buffer column (prompt + decode)
+        *,
+        temperature: float,
+        top_p: float,
+        repetition_penalty: float,
+        n_steps: int,
+        prompt_len: int,
+        draft_k: int,
+    ):
+        """Prompt-lookup speculative decode segment (single row, greedy).
+
+        Each iteration drafts ``draft_k`` tokens by bigram lookup — the most
+        recent earlier occurrence of (last fed token, pending token) in
+        ``hist`` — then runs ONE (draft_k+1)-token cached forward (the same
+        default buffer-column==position layout admissions use; cache_offset
+        advances by the accepted count, so rejected drafts' stale KV/hist
+        entries sit entirely inside the NEXT iteration's write window and
+        are overwritten before they can be read). Acceptance replicates the
+        sequential sampler exactly (penalty-adjusted argmax, seen-set
+        updates, eos and budget truncation), so in exact arithmetic the
+        emitted tokens are bit-identical to _segment_impl's — only the
+        step count changes. (On bf16 hardware the block forward can
+        resolve argmax near-ties differently; see __init__.)
+
+        Unlike the ring path, columns are consumed monotonically: the caller
+        allocates the arena with ``max_tokens + draft_k + 1`` decode columns
+        so the final verify block never clamps.
+        """
+        cfg = self.cfg
+        T = attn_valid.shape[1]
+        pad = cfg.pad_token_id
+        eos = cfg.eos_token_id
+        K1 = draft_k + 1
+        out_w = n_steps + draft_k  # emission buffer, clamp-free tail writes
+        toks = jnp.full((1, out_w), pad, jnp.int32)
+        lps = jnp.zeros((1, out_w), jnp.float32)
+        emitted = jnp.zeros((), jnp.int32)
+        col_idx = jnp.arange(T)
+
+        def cond(st):
+            emitted, done = st[0], st[7]
+            return jnp.logical_and(emitted < n_steps, ~jnp.all(done))
+
+        def body(st):
+            (emitted, token, ak, av, seen, attn_valid, hist, done, rng,
+             cursor, mrope_cur, remaining, toks, lps) = st
+            p = prompt_len + cursor  # column where `token` is fed
+
+            # ---- draft: most recent earlier (hist[p-1], token) bigram.
+            h = hist[0]
+            u = jax.lax.dynamic_index_in_dim(h, p - 1, keepdims=False)
+            match = (
+                (h == u)
+                & (jnp.roll(h, -1) == token[0])
+                & (col_idx < p - 1)
+            )
+            j = jnp.max(jnp.where(match, col_idx, -1))
+            draft = jax.lax.dynamic_slice(h, (jnp.maximum(j, 0) + 2,), (draft_k,))
+            draft = jnp.where(j >= 0, draft, pad)
+            fed = jnp.concatenate([token, draft]).astype(jnp.int32)[None]  # (1, K1)
+
+            # ---- verify: one cached multi-token forward at columns [p, p+K1).
+            hist = jax.lax.dynamic_update_slice(hist, fed, (0, p))
+            attn_valid = jax.lax.dynamic_update_slice(
+                attn_valid, jnp.ones((1, K1), bool), (0, p)
+            )
+            embeds = embed_tokens(params, fed)
+            block = jnp.arange(K1, dtype=jnp.int32)
+            position_ids = jnp.broadcast_to(
+                (mrope_cur[0] + block)[None, None, :], (3, 1, K1)
+            )
+            hidden, cache = text_forward(
+                params["text"],
+                cfg.text,
+                embeds,
+                position_ids,
+                seq_positions=(p + block)[None, :],
+                attn_valid=attn_valid,
+                cache={"k": ak, "v": av},
+                cache_offset=p,
+                attn_impl=self.decode_attn_impl,
+            )
+            ak, av = cache["k"], cache["v"]
+            logits = logits_from_hidden(params["text"], hidden[0])  # (K1, V)
+
+            # ---- sequential-equivalent acceptance scan (python-unrolled:
+            # draft_k is small and static).
+            ok = jnp.ones((), bool)  # all drafts so far accepted
+            blk_done = done[0]
+            out_t = []
+            out_lp = []
+            n_emit = jnp.zeros((), jnp.int32)
+            rem = remaining[0]
+            for i in range(K1):
+                li = logits[i][None]  # (1, V)
+                nxt = sample_token(
+                    rng, li, temperature=temperature, top_p=top_p,
+                    seen_mask=seen, repetition_penalty=repetition_penalty,
+                )[0]
+                emit = ok & ~blk_done & (rem > 0)
+                lp = jax.nn.log_softmax(logits[i])[nxt]
+                out_t.append(jnp.where(emit, nxt, pad))
+                out_lp.append(jnp.where(emit, lp, 0.0))
+                seen = jnp.where(emit, seen.at[0, nxt].set(True), seen)
+                n_emit = n_emit + emit.astype(jnp.int32)
+                rem = rem - emit.astype(jnp.int32)
+                blk_done = blk_done | (emit & (nxt == eos)) | (rem <= 0)
+                if i < draft_k:
+                    ok = ok & emit & (draft[i] == nxt)
+
+            outs = jnp.stack(out_t).astype(jnp.int32)[None]  # (1, K1)
+            outlps = jnp.stack(out_lp)[None]
+            toks = jax.lax.dynamic_update_slice(toks, outs, (0, emitted))
+            lps = jax.lax.dynamic_update_slice(lps, outlps, (0, emitted))
+            emitted = emitted + n_emit
+            # next pending token = last emitted (verified but not yet fed)
+            token = jnp.full(
+                (1,),
+                jax.lax.dynamic_index_in_dim(
+                    outs[0], jnp.maximum(n_emit - 1, 0), keepdims=False
+                ),
+                jnp.int32,
+            )
+            done = (blk_done | (n_emit == 0))[None]
+            mrope_cur = mrope_cur + n_emit
+            remaining = remaining - n_emit
+            cursor = cursor + n_emit
+            return (emitted, token, ak, av, seen, attn_valid, hist, done, rng,
+                    cursor, mrope_cur, remaining, toks, lps)
+
+        st = (emitted, token, arena_k, arena_v, seen, attn_valid, hist, done,
+              rng, jnp.asarray(cursor), mrope_cur, remaining, toks, lps)
+        st = jax.lax.while_loop(cond, body, st)
+        (emitted, token, arena_k, arena_v, seen, attn_valid, hist, done, rng,
+         cursor, mrope_cur, remaining, toks, lps) = st
+        return (toks, lps, emitted[None], token, arena_k, arena_v, seen,
+                attn_valid, hist, done, rng, cursor, mrope_cur, remaining)
 
     def _bind_impl(self, token, mrope_cur, remaining, done, attn_valid, seen,
                    slots, first, next_pos, attn_rows, seen_rows, row_done,
@@ -1165,7 +1347,18 @@ class InferenceEngine:
             # single request must not pay 8 rows of KV traffic + sampling
             # per step.
             B = min(self.max_slots, len(idxs))
-        T = L + sampling.max_tokens
+        # Prompt-lookup speculative decoding applies to single-row greedy
+        # groups; its verify blocks consume columns monotonically (no ring),
+        # so the arena gets draft_k+1 extra columns of headroom.
+        spec_active = (
+            self.spec_decode
+            and not self._dp
+            and B == 1
+            and sampling.temperature == 0.0
+            and sampling.max_tokens > 1
+        )
+        draft_k = self.spec_draft
+        T = L + sampling.max_tokens + (draft_k + 1 if spec_active else 0)
         if self.max_kv_gb and not self._dp:
             # Long-context admission control: cap concurrent slots so the
             # arena fits the KV budget; the remaining requests stream
@@ -1193,6 +1386,9 @@ class InferenceEngine:
         lp_acc: dict = {}
         vis_cache: dict = {}
         qpos = 0
+        # Fed-token history for speculative drafting (prompt + generated by
+        # buffer column); rebuilt host-side at each (single-row) admission.
+        hist = self._put(np.zeros((B, T), np.int32)) if spec_active else None
 
         def finalize(s):
             rid = slot_rid[s]
@@ -1215,30 +1411,54 @@ class InferenceEngine:
         def run_segment(n_steps):
             """One decode segment over the active slots + harvest."""
             nonlocal token, seen, attn_valid, done, rng, cursor, mrope_cur
-            nonlocal remaining, arena
+            nonlocal remaining, arena, hist
             active = [s for s in range(B) if slot_rid[s] is not None]
             if not active:
                 return
             with self.timer.stage("decode"), trace_annotation("engine.decode"):
-                (toks, lps, emitted_n, token, ak, av, seen, attn_valid, done,
-                 rng, cursor, mrope_cur, remaining) = self._segment(
-                    self.params,
-                    token,
-                    arena["k"],
-                    arena["v"],
-                    seen,
-                    attn_valid,
-                    done,
-                    rng,
-                    cursor,
-                    mrope_cur,
-                    remaining,
-                    temperature=sampling.temperature,
-                    top_p=sampling.top_p,
-                    repetition_penalty=sampling.repetition_penalty,
-                    n_steps=n_steps,
-                    prompt_len=L,
-                )
+                if spec_active:
+                    (toks, lps, emitted_n, token, ak, av, seen, attn_valid,
+                     hist, done, rng, cursor, mrope_cur,
+                     remaining) = self._segment_spec(
+                        self.params,
+                        token,
+                        arena["k"],
+                        arena["v"],
+                        seen,
+                        attn_valid,
+                        done,
+                        rng,
+                        cursor,
+                        mrope_cur,
+                        remaining,
+                        hist,
+                        temperature=sampling.temperature,
+                        top_p=sampling.top_p,
+                        repetition_penalty=sampling.repetition_penalty,
+                        n_steps=n_steps,
+                        prompt_len=L,
+                        draft_k=draft_k,
+                    )
+                else:
+                    (toks, lps, emitted_n, token, ak, av, seen, attn_valid,
+                     done, rng, cursor, mrope_cur, remaining) = self._segment(
+                        self.params,
+                        token,
+                        arena["k"],
+                        arena["v"],
+                        seen,
+                        attn_valid,
+                        done,
+                        rng,
+                        cursor,
+                        mrope_cur,
+                        remaining,
+                        temperature=sampling.temperature,
+                        top_p=sampling.top_p,
+                        repetition_penalty=sampling.repetition_penalty,
+                        n_steps=n_steps,
+                        prompt_len=L,
+                    )
                 arena = {"k": ak, "v": av}
                 # one batched host fetch; doubles as the device sync for the
                 # stage timer
@@ -1298,6 +1518,20 @@ class InferenceEngine:
                     lp_acc[rid] = [float(first_lp_h[j])]
                     if row_done[j]:
                         finalize(s)
+                if spec_active:
+                    # Rebuild the drafting history for the (single) fresh
+                    # row and restart its monotonic column cursor — the
+                    # admission rewrote columns [0, L), so the decode
+                    # region starts clean. Layout-agnostic: a row's VALID
+                    # prompt columns hold its tokens in order (true for
+                    # plain left-padding and for the prefix+suffix layout).
+                    nonlocal hist, cursor
+                    row = np.full((1, T), cfg.pad_token_id, np.int32)
+                    ids0 = np.asarray(requests[rids[0]].input_ids, np.int32)
+                    cols = np.nonzero(np.asarray(attn_rows[0, :L]))[0]
+                    row[0, cols] = ids0
+                    hist = self._put(row)
+                    cursor = self._put(np.asarray(0))
 
         def bind_wave(slots, rids, logits, seen_rows, attn_rows_dev, next_pos):
             """Sample + bind a full DP wave (every slot row replaced);

@@ -77,7 +77,8 @@ class QwenVLEngine:
         for k in ("prompt_buckets", "cache_dtype", "decode_segment",
                   "prefill_chunk", "prefix_cache_min", "suffix_buckets",
                   "prefix_cache_entries", "decode_attn_impl", "max_kv_gb",
-                  "long_prefill_threshold", "long_prefill_chunk", "a8_prefill"):
+                  "long_prefill_threshold", "long_prefill_chunk", "a8_prefill",
+                  "spec_decode", "spec_draft"):
             if k in llm_args:
                 engine_kw[k] = llm_args.pop(k)
         if isinstance(engine_kw.get("cache_dtype"), str):

@@ -30,6 +30,17 @@ def main():
         "--tiny-demo", action="store_true",
         help="run with a tiny random-weight model (pipeline smoke test, no checkpoint needed)",
     )
+    parser.add_argument(
+        "--greedy", action="store_true",
+        help="temperature 0 (enables prompt-lookup speculative decoding "
+        "when --spec is on)",
+    )
+    parser.add_argument(
+        "--spec", action="store_true",
+        help="prompt-lookup speculative decoding for single-request greedy "
+        "runs — same sampling rule in fewer decode steps (exact-arithmetic "
+        "lossless; bf16 argmax near-ties may resolve differently)",
+    )
     parser.add_argument("--questions", nargs="+", default=[
         "What is the color of the bowling ball?",
         "What is the first scene about?",
@@ -67,9 +78,14 @@ def main():
     import jax.numpy as _jnp
 
     cache_dtype = _jnp.float8_e4m3fn if args.kv_cache == "fp8" else _jnp.bfloat16
-    engine = InferenceEngine(params, cfg, cache_dtype=cache_dtype)
+    engine = InferenceEngine(params, cfg, cache_dtype=cache_dtype,
+                             spec_decode=args.spec)
+    # Reference sampling (eval/inference_example.py:23-29): temperature 0.7
+    # with top_p 0.001 — effectively greedy; --greedy makes that exact
+    # (temperature 0), which is what the speculative path requires.
     sampling = SamplingParams(
-        temperature=0.7, top_p=0.001, repetition_penalty=1.05, max_tokens=max_tokens
+        temperature=0.0 if args.greedy else 0.7, top_p=0.001,
+        repetition_penalty=1.05, max_tokens=max_tokens,
     )
 
     system_message = SYSTEM_PROMPT["temporal-spatial free-form QA"]
