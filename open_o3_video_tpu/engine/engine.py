@@ -179,6 +179,9 @@ class InferenceEngine:
             spec_decode = os.environ.get("O3V_SPEC", "0") == "1"
         self.spec_decode = bool(spec_decode)
         self.spec_draft = int(os.environ.get("O3V_SPEC_DRAFT", str(spec_draft)))
+        # Cumulative spec telemetry: tokens emitted per verify forward =
+        # emitted / verify_steps (1.0 = no drafts accepted).
+        self.spec_stats = {"verify_steps": 0, "emitted": 0}
         # DP fleet mode: shard the slot-row dimension of every batch array
         # over this mesh axis, so each chip decodes its own rows — the
         # TPU-native replacement for the reference's process-per-GPU eval
@@ -717,18 +720,30 @@ class InferenceEngine:
         toks = jnp.full((1, out_w), pad, jnp.int32)
         lps = jnp.zeros((1, out_w), jnp.float32)
         emitted = jnp.zeros((), jnp.int32)
+        n_verify = jnp.zeros((), jnp.int32)  # forward passes (telemetry)
         col_idx = jnp.arange(T)
 
         def cond(st):
-            emitted, done = st[0], st[7]
+            emitted, done = st[0], st[8]
             return jnp.logical_and(emitted < n_steps, ~jnp.all(done))
 
         def body(st):
-            (emitted, token, ak, av, seen, attn_valid, hist, done, rng,
-             cursor, mrope_cur, remaining, toks, lps) = st
+            (emitted, n_verify, token, ak, av, seen, attn_valid, hist, done,
+             rng, cursor, mrope_cur, remaining, toks, lps) = st
             p = prompt_len + cursor  # column where `token` is fed
 
-            # ---- draft: most recent earlier (hist[p-1], token) bigram.
+            # ---- draft: most recent earlier (hist[p-1], token) bigram,
+            # extrapolated periodically. The pending token is written into
+            # hist FIRST so the last d columns (p-d, p] are all known; the
+            # draft then cycles through that window (period d = distance to
+            # the match). For a distant match (d > draft_k) this reduces to
+            # the classic copy of the k tokens after the match; for a
+            # looping stream (d <= draft_k) it predicts whole periods —
+            # without this, the nearest match's continuation would run into
+            # not-yet-generated columns and never accept.
+            hist = jax.lax.dynamic_update_slice(
+                hist, token.astype(jnp.int32)[None], (0, p)
+            )
             h = hist[0]
             u = jax.lax.dynamic_index_in_dim(h, p - 1, keepdims=False)
             match = (
@@ -737,7 +752,10 @@ class InferenceEngine:
                 & (col_idx < p - 1)
             )
             j = jnp.max(jnp.where(match, col_idx, -1))
-            draft = jax.lax.dynamic_slice(h, (jnp.maximum(j, 0) + 2,), (draft_k,))
+            d = jnp.maximum((p - 1) - j, 1)  # match distance == period
+            off = jnp.arange(draft_k, dtype=jnp.int32)
+            off = off - (off // d) * d  # off mod d
+            draft = jnp.take(h, (p + 1 - d) + off)
             draft = jnp.where(j >= 0, draft, pad)
             fed = jnp.concatenate([token, draft]).astype(jnp.int32)[None]  # (1, K1)
 
@@ -807,16 +825,18 @@ class InferenceEngine:
             mrope_cur = mrope_cur + n_emit
             remaining = remaining - n_emit
             cursor = cursor + n_emit
-            return (emitted, token, ak, av, seen, attn_valid, hist, done, rng,
-                    cursor, mrope_cur, remaining, toks, lps)
+            return (emitted, n_verify + 1, token, ak, av, seen, attn_valid,
+                    hist, done, rng, cursor, mrope_cur, remaining, toks, lps)
 
-        st = (emitted, token, arena_k, arena_v, seen, attn_valid, hist, done,
-              rng, jnp.asarray(cursor), mrope_cur, remaining, toks, lps)
+        st = (emitted, n_verify, token, arena_k, arena_v, seen, attn_valid,
+              hist, done, rng, jnp.asarray(cursor), mrope_cur, remaining,
+              toks, lps)
         st = jax.lax.while_loop(cond, body, st)
-        (emitted, token, arena_k, arena_v, seen, attn_valid, hist, done, rng,
-         cursor, mrope_cur, remaining, toks, lps) = st
-        return (toks, lps, emitted[None], token, arena_k, arena_v, seen,
-                attn_valid, hist, done, rng, cursor, mrope_cur, remaining)
+        (emitted, n_verify, token, arena_k, arena_v, seen, attn_valid, hist,
+         done, rng, cursor, mrope_cur, remaining, toks, lps) = st
+        return (toks, lps, emitted[None], n_verify, token, arena_k, arena_v,
+                seen, attn_valid, hist, done, rng, cursor, mrope_cur,
+                remaining)
 
     def _bind_impl(self, token, mrope_cur, remaining, done, attn_valid, seen,
                    slots, first, next_pos, attn_rows, seen_rows, row_done,
@@ -1417,8 +1437,8 @@ class InferenceEngine:
                 return
             with self.timer.stage("decode"), trace_annotation("engine.decode"):
                 if spec_active:
-                    (toks, lps, emitted_n, token, ak, av, seen, attn_valid,
-                     hist, done, rng, cursor, mrope_cur,
+                    (toks, lps, emitted_n, n_verify, token, ak, av, seen,
+                     attn_valid, hist, done, rng, cursor, mrope_cur,
                      remaining) = self._segment_spec(
                         self.params,
                         token,
@@ -1465,6 +1485,11 @@ class InferenceEngine:
                 toks_h, lps_h, emitted_h, done_h = jax.device_get(
                     (toks, lps, emitted_n, done)
                 )
+                if spec_active:
+                    self.spec_stats["verify_steps"] += int(
+                        jax.device_get(n_verify)
+                    )
+                    self.spec_stats["emitted"] += int(emitted_h.sum())
             for s in active:
                 rid = slot_rid[s]
                 n = int(emitted_h[s])
