@@ -139,6 +139,20 @@ class TestSpecEquivalence:
         for x, y, p in zip(a, b, prompts):
             assert x["token_ids"] == y["token_ids"], p
 
+    def test_tiny_token_budget(self, cfg_params):
+        """max_tokens smaller than the draft block: the budget gate must
+        truncate emission inside the verify scan exactly like the plain
+        path, even while drafts are being accepted (cycling stream)."""
+        cfg, params = cfg_params
+        plain, spec = _engines(cfg, params)
+        for mt in (2, 3, 5):
+            samp = SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                                  max_tokens=mt)
+            a = _gen(plain, [[7, 7, 7, 7]], samp)[0]
+            b = _gen(spec, [[7, 7, 7, 7]], samp)[0]
+            assert a["token_ids"] == b["token_ids"], mt
+            assert len(b["token_ids"]) <= mt
+
     def test_spec_inactive_for_batches_and_sampling(self, cfg_params):
         """Groups with >1 row or temperature > 0 must take the plain path
         (and still work) even when spec_decode is on."""
