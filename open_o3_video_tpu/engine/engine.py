@@ -259,6 +259,16 @@ class InferenceEngine:
         # per call would re-trace every request, and each eager op in the
         # prep path is a full round trip on a tunneled TPU.
         self._patchify_fn = jax.jit(self._patchify_impl)
+        # Batched variants: N same-shape videos ride ONE host->device
+        # transfer and ONE dispatch (tuple output = one round trip). On a
+        # tunneled/remote backend each extra round trip costs whole
+        # milliseconds (and ~100+ ms once the relay degrades after the
+        # first scan-bearing program runs), so per-request puts dominate
+        # vis_upload without this.
+        self._patchify_batch_fn = jax.jit(
+            lambda x: tuple(jax.vmap(self._patchify_impl)(x))
+        )
+        self._split_rows_fn = jax.jit(lambda x: tuple(x))
         self._embed_fn = jax.jit(lambda p, ids: embed_tokens(p, ids))
         self._embed_merge_fn = jax.jit(
             lambda p, ids, vis, row_index: merge_vision_embeddings_by_index(
@@ -935,7 +945,7 @@ class InferenceEngine:
             # Host->device frame/patch transfer + on-device patchify. Its
             # own stage: on a tunneled TPU the upload can rival the tower
             # compute, and lumping them misattributes "vision" time.
-            jobs: list[tuple] = []  # (vis_key, patches_dev, grid)
+            pending: list[tuple] = []  # (vis_key, r, grid)
             seen_keys = set()
             for r in reqs:
                 if r.pixel_patches is None and r.frames is None:
@@ -946,11 +956,44 @@ class InferenceEngine:
                 if vis_key in vis_cache or vis_key in seen_keys:
                     continue
                 seen_keys.add(vis_key)
+                pending.append((vis_key, r, grid))
+            # Same-shape uploads are stacked into ONE transfer + ONE
+            # batched dispatch; per-request round trips only for odd
+            # one-off shapes. (See _patchify_batch_fn note above.)
+            patches_by_key: dict = {}
+            frame_groups: dict = {}
+            patch_groups: dict = {}
+            for vis_key, r, _ in pending:
                 if r.frames is not None:
-                    patches_dev = self._frames_to_patches(r.frames)
+                    frame_groups.setdefault(np.asarray(r.frames).shape, []).append(
+                        (vis_key, r)
+                    )
                 else:
-                    patches_dev = self._put(r.pixel_patches)
-                jobs.append((vis_key, patches_dev, grid))
+                    patch_groups.setdefault(
+                        np.asarray(r.pixel_patches).shape, []
+                    ).append((vis_key, r))
+            for shape, group in frame_groups.items():
+                if len(group) == 1:
+                    vis_key, r = group[0]
+                    patches_by_key[vis_key] = self._frames_to_patches(r.frames)
+                    continue
+                stacked = np.stack([np.asarray(r.frames) for _, r in group])
+                parts = self._patchify_batch_fn(self._put(stacked))
+                for (vis_key, _), p in zip(group, parts):
+                    patches_by_key[vis_key] = p
+            for shape, group in patch_groups.items():
+                if len(group) == 1:
+                    vis_key, r = group[0]
+                    patches_by_key[vis_key] = self._put(r.pixel_patches)
+                    continue
+                stacked = np.stack([np.asarray(r.pixel_patches) for _, r in group])
+                parts = self._split_rows_fn(self._put(stacked))
+                for (vis_key, _), p in zip(group, parts):
+                    patches_by_key[vis_key] = p
+            jobs = [
+                (vis_key, patches_by_key[vis_key], grid)
+                for vis_key, _, grid in pending
+            ]
             if jobs:
                 jax.block_until_ready([pd for _, pd, _ in jobs])
         with self.timer.stage("vision"):
