@@ -177,8 +177,10 @@ def _read_video_cv2(ele: dict) -> tuple[np.ndarray, float]:
 
     frames = []
     # Sequential grab/retrieve is robust across codecs; seek only when the
-    # sampled set is sparse enough that skipping decodes wins.
-    sparse = total_frames > 4 * nframes
+    # sampled set is sparse enough that skipping decodes wins. The
+    # sequential path must decode up to the END of the trim window, so
+    # that — not total_frames — is the cost to beat.
+    sparse = (start_idx + window) > 4 * nframes
     if sparse:
         for i in idx:
             cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
@@ -188,12 +190,22 @@ def _read_video_cv2(ele: dict) -> tuple[np.ndarray, float]:
             frames.append(frame)
     if len(frames) != nframes:
         frames = []
-        cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
         cap.release()
         cap = cv2.VideoCapture(video_path)
+        pos = 0
+        if start_idx > 0:
+            # One coarse seek to the trim start so a deep video_start
+            # window doesn't decode the whole preamble; verified via
+            # POS_FRAMES — codecs whose seeking is unreliable (why this
+            # fallback exists at all) still decode from 0.
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(start_idx))
+            if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) == int(start_idx):
+                pos = int(start_idx)
+            else:
+                cap.release()
+                cap = cv2.VideoCapture(video_path)
         want = set(int(i) for i in idx)
         counts = {int(i): int(np.sum(idx == i)) for i in idx}
-        pos = 0
         while len(frames) < nframes:
             ok = cap.grab()
             if not ok:

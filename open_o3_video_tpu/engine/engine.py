@@ -45,6 +45,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import weakref
 
 from typing import Any, Optional, Sequence
 
@@ -124,7 +125,7 @@ class InferenceEngine:
         max_kv_gb: Optional[float] = None,
         a8_prefill: Optional[bool] = None,
         spec_decode: Optional[bool] = None,
-        spec_draft: int = 7,
+        spec_draft: Optional[int] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -178,7 +179,9 @@ class InferenceEngine:
         if spec_decode is None:
             spec_decode = os.environ.get("O3V_SPEC", "0") == "1"
         self.spec_decode = bool(spec_decode)
-        self.spec_draft = int(os.environ.get("O3V_SPEC_DRAFT", str(spec_draft)))
+        if spec_draft is None:
+            spec_draft = int(os.environ.get("O3V_SPEC_DRAFT", "7"))
+        self.spec_draft = int(spec_draft)
         # Cumulative spec telemetry: tokens emitted per verify forward =
         # emitted / verify_steps (1.0 = no drafts accepted).
         self.spec_stats = {"verify_steps": 0, "emitted": 0}
@@ -1014,9 +1017,15 @@ class InferenceEngine:
                             lambda p, x, g=all_grid: encode_vision(p, self.cfg, x, g)
                         )
                     )
-                all_vis = self._vision_fns[prog_key](
-                    self.params, jnp.concatenate([pd for _, pd, _ in group], axis=0)
-                )
+                # Serving never differentiates the tower: trace with the
+                # forward-only VMEM budget so frame-sized global segments
+                # the backward-safe check rejects still run fused.
+                from ..ops.window_attention import vit_inference_scope
+
+                with vit_inference_scope():
+                    all_vis = self._vision_fns[prog_key](
+                        self.params, jnp.concatenate([pd for _, pd, _ in group], axis=0)
+                    )
                 fresh_vis.append(all_vis)
                 n_tok = int(np.prod(grid, axis=1).sum()) // cfg.vision.merge_unit
                 for j, (vis_key, _, _) in enumerate(group):
@@ -1196,38 +1205,40 @@ class InferenceEngine:
         Prefix clustering keys on CONTENT, not object identity, so
         equal-but-recomputed frames (e.g. the same video decoded again for
         a later eval stage) still share their prefix KV. Digests memoize by
-        id() with a strong ref (bounded LRU) so each array hashes once."""
+        id() holding only a WEAK ref (a strong ref would pin up to 64
+        ~20 MB frame arrays — or device vision_embeds in HBM — for the
+        engine's lifetime); a dead referent means the id may be reused, so
+        the entry is dropped and the newcomer re-hashed."""
         if arr is None:
             return None
         memo = self._vis_digests
+        entry = memo.get(id(arr))
+        if entry is not None and entry[1]() is arr:
+            memo.move_to_end(id(arr))
+            return entry[0]
         if not isinstance(arr, np.ndarray):
             # Device arrays (e.g. precomputed Aria vision_embeds) would
             # cost a host transfer to hash — keep identity semantics via a
             # per-object token (monotonic, so a freed id can never alias
             # an old cache entry).
-            entry = memo.get(id(arr))
-            if entry is not None and entry[1] is arr:
-                memo.move_to_end(id(arr))
-                return entry[0]
             self._vis_obj_counter += 1
             digest = f"obj:{self._vis_obj_counter}"
-            memo[id(arr)] = (digest, arr)
-            while len(memo) > 64:
-                memo.popitem(last=False)
-            return digest
-        entry = memo.get(id(arr))
-        if entry is not None and entry[1] is arr:
-            memo.move_to_end(id(arr))
-            return entry[0]
-        import hashlib
+        else:
+            import hashlib
 
-        a = np.asarray(arr)
-        h = hashlib.sha1()
-        h.update(str(a.shape).encode())
-        h.update(str(a.dtype).encode())
-        h.update(np.ascontiguousarray(a).tobytes())
-        digest = h.hexdigest()
-        memo[id(arr)] = (digest, arr)
+            a = np.asarray(arr)
+            h = hashlib.sha1()
+            h.update(str(a.shape).encode())
+            h.update(str(a.dtype).encode())
+            h.update(np.ascontiguousarray(a).tobytes())
+            digest = h.hexdigest()
+        try:
+            memo[id(arr)] = (digest, weakref.ref(arr))
+        except TypeError:
+            # Non-weakref-able object: keep the old strong-ref behavior
+            # (a fresh token per lookup would break clustering/vis_cache
+            # hits for requests sharing this very object).
+            memo[id(arr)] = (digest, lambda a=arr: a)
         while len(memo) > 64:
             memo.popitem(last=False)
         return digest
@@ -1413,25 +1424,36 @@ class InferenceEngine:
         # Prompt-lookup speculative decoding applies to single-row greedy
         # groups; its verify blocks consume columns monotonically (no ring),
         # so the arena gets draft_k+1 extra columns of headroom.
-        spec_active = (
-            self.spec_decode
-            and not self._dp
-            and B == 1
-            and sampling.temperature == 0.0
-            and sampling.max_tokens > 1
-        )
         draft_k = self.spec_draft
-        T = L + sampling.max_tokens + (draft_k + 1 if spec_active else 0)
+
+        def _spec_ok(b: int) -> bool:
+            return (
+                self.spec_decode
+                and not self._dp
+                and b == 1
+                and sampling.temperature == 0.0
+                and sampling.max_tokens > 1
+            )
+
         if self.max_kv_gb and not self._dp:
             # Long-context admission control: cap concurrent slots so the
             # arena fits the KV budget; the remaining requests stream
             # through as slots free up.
             tcfg = cfg.text
-            per_slot = (
-                2 * tcfg.num_hidden_layers * T * tcfg.num_key_value_heads
-                * tcfg.head_dim * jnp.dtype(self.cache_dtype).itemsize
-            )
-            B = max(1, min(B, int(self.max_kv_gb * 1e9 / per_slot)))
+
+            def _cap(b: int) -> int:
+                t = L + sampling.max_tokens + (draft_k + 1 if _spec_ok(b) else 0)
+                per_slot = (
+                    2 * tcfg.num_hidden_layers * t * tcfg.num_key_value_heads
+                    * tcfg.head_dim * jnp.dtype(self.cache_dtype).itemsize
+                )
+                return max(1, min(b, int(self.max_kv_gb * 1e9 / per_slot)))
+
+            # Capping to one slot can newly enable speculative decoding;
+            # re-cap with its draft columns included so the budget holds.
+            B = _cap(_cap(B))
+        spec_active = _spec_ok(B)
+        T = L + sampling.max_tokens + (draft_k + 1 if spec_active else 0)
         V = cfg.text.vocab_size
         arena = self._get_arena(B, T)
 

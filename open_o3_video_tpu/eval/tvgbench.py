@@ -112,31 +112,53 @@ def evaluate(
             ))
 
     prefetch = ThreadPoolExecutor(max_workers=1)
-    fut = prefetch.submit(prep_chunk, chunks[0]) if chunks else None
-    for ci, chunk in enumerate(chunks):
-        try:
-            inputs = fut.result()
-        except Exception as e:  # noqa: BLE001 — re-prep inline
-            print(f"[warn] chunk prefetch failed ({e!r}); inline prep")
-            inputs = prep_chunk(chunk)
-        if ci + 1 < len(chunks):
-            fut = prefetch.submit(prep_chunk, chunks[ci + 1])
-        live = [(it, inp) for it, inp in zip(chunk, inputs) if inp is not None]
-        if not live:
+    errors: list = []
+    try:
+        fut = prefetch.submit(prep_chunk, chunks[0]) if chunks else None
+        for ci, chunk in enumerate(chunks):
+            try:
+                inputs = fut.result()
+            except Exception as e:  # noqa: BLE001 — re-prep inline
+                print(f"[warn] chunk prefetch failed ({e!r}); inline prep")
+                inputs = prep_chunk(chunk)
+            if ci + 1 < len(chunks):
+                fut = prefetch.submit(prep_chunk, chunks[ci + 1])
+            live = [(it, inp) for it, inp in zip(chunk, inputs) if inp is not None]
+            if not live:
+                done += len(chunk)
+                continue
+            # Skip-and-record (same contract as the other harnesses): one
+            # bad item falls back per-item, not a benchmark abort.
+            try:
+                if hasattr(model, "inference_wo_process_batch"):
+                    raws = model.inference_wo_process_batch(
+                        [inp for _, inp in live]
+                    )
+                else:
+                    raws = [model.inference_wo_process([inp]) for _, inp in live]
+            except Exception as batch_err:  # noqa: BLE001
+                print(f"[warn] batched chunk failed ({batch_err!r}); "
+                      "per-item fallback")
+                raws = []
+                for it, inp in live:
+                    try:
+                        raws.append(model.inference_wo_process([inp]))
+                    except Exception as e:  # noqa: BLE001
+                        vid = it.get("video") or it.get("video_path")
+                        print(f"[warn] item {vid} failed ({e!r}); skipping")
+                        errors.append({"video": vid, "error": repr(e)})
+                        raws.append(None)
             done += len(chunk)
-            continue
-        if hasattr(model, "inference_wo_process_batch"):
-            raws = model.inference_wo_process_batch([inp for _, inp in live])
-        else:
-            raws = [model.inference_wo_process([inp]) for _, inp in live]
-        done += len(chunk)
-        for (item, _), raw in zip(live, raws):
-            pred = refined_timestamps(raw)
-            iou = temporal_iou(item["timestamps"], pred) if pred else 0.0
-            ious.append(iou)
-            results.append({**item, "prediction_raw": raw, "prediction": pred, "tIoU": iou})
-            print(f"{done}/{len(items)} tIoU={iou:.3f}")
-    prefetch.shutdown(wait=False)
+            for (item, _), raw in zip(live, raws):
+                if raw is None:
+                    continue
+                pred = refined_timestamps(raw)
+                iou = temporal_iou(item["timestamps"], pred) if pred else 0.0
+                ious.append(iou)
+                results.append({**item, "prediction_raw": raw, "prediction": pred, "tIoU": iou})
+                print(f"{done}/{len(items)} tIoU={iou:.3f}")
+    finally:
+        prefetch.shutdown(wait=False)
 
     scores = {
         "R1@0.3": recall_at(ious, 0.3),
@@ -146,6 +168,7 @@ def evaluate(
         "num_items": len(ious),
     }
     with open(output_file, "w") as f:
-        json.dump({"scores": scores, "results": results}, f, indent=2)
+        json.dump({"scores": scores, "results": results, "errors": errors},
+                  f, indent=2)
     print(f"TVGBench done in {time.time() - t0:.1f}s: {scores}")
     return scores

@@ -113,6 +113,10 @@ def evaluate(
         except Exception as batch_err:
             print(f"[warn] batched eval failed ({batch_err!r}); per-item fallback")
             for j, (vp, img, txt, doc) in enumerate(chunk):
+                if preds[j] is not None:
+                    continue  # e.g. the MCQ half landed before the
+                    # open-ended half raised — don't redo (and re-sample)
+                    # items that already have results
                 try:
                     preds[j] = _run_item(model, vp, txt, img, doc,
                                          N=N, vote=vote, think_mode=think_mode)

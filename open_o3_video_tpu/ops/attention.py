@@ -237,9 +237,13 @@ def segment_attention(
     shapes is ~2% efficient and dominated the vision tower's runtime (see
     that module's docstring). O3V_ATTN_IMPL=xla forces the XLA path."""
     if use_pallas_window(impl):
-        from .window_attention import window_attention
+        from .window_attention import window_attention, window_attention_fits
 
-        return window_attention(q, k, v, valid)
+        if window_attention_fits(q.shape[1], q.shape[2], q.shape[3]):
+            return window_attention(q, k, v, valid)
+        # One program tile must hold a whole (W, W) score matrix — huge
+        # whole-frame segments (high-resolution images near max_pixels)
+        # cannot compile; XLA handles them, just less efficiently.
     g = valid.astype(jnp.int32)
     mask = ((g[:, :, None] == g[:, None, :]) & (g[:, None, :] != 0))
     return jax.nn.dot_product_attention(q, k, v, mask=mask[:, None, :, :])

@@ -42,9 +42,45 @@ from jax.experimental import pallas as pl
 
 NEG_INF = -0.7 * float(np.finfo(np.float32).max)
 
+import contextlib
+import contextvars
 import os
 
 _VMEM_BUDGET = int(os.environ.get("O3V_WINATTN_VMEM_MB", "8")) * 1024 * 1024
+# Hard ceiling for a single (gn=1, gh=1) program tile of the un-fused
+# kernel. _block_shape shrinks the grid but never splits W inside a
+# window, so one oversized whole-frame segment cannot compile at all.
+# Measured on v5e: W=1920 (tile ~31 MB) compiles, W=2047 (~36 MB) fails
+# Mosaic — 24 MB keeps margin. Beyond it segment_attention falls back to
+# the XLA path (which handled these shapes before the kernel existed).
+_MAX_TILE = int(os.environ.get("O3V_WINATTN_MAX_TILE_MB", "24")) * 1024 * 1024
+
+# Inference-scope flag: the backward holds ~2x the tensors, so the fused
+# eligibility check is conservative by default. Serving paths (the engine)
+# never differentiate the tower — inside this scope the fits check uses
+# the forward-only footprint, fusing frame-sized segments the bwd budget
+# would reject. ContextVar (not os.environ) so a GSPO process can serve
+# rollouts with the relaxed budget while its training trace, built outside
+# the scope, keeps the backward-safe one.
+_INFERENCE_SCOPE = contextvars.ContextVar("o3v_vit_inference", default=False)
+
+
+@contextlib.contextmanager
+def vit_inference_scope():
+    """Trace vision towers without backward-VMEM headroom (serving only)."""
+    token = _INFERENCE_SCOPE.set(True)
+    try:
+        yield
+    finally:
+        _INFERENCE_SCOPE.reset(token)
+
+
+def window_attention_fits(w: int, h: int, d: int) -> bool:
+    """Whether the un-fused kernel can compile at segment width ``w``."""
+    d_pad = max(d, 128)
+    w_pad = max(w, 128)
+    per_wh = 4 * w * d_pad * 2 + 2 * w * w_pad * 4
+    return per_wh <= _MAX_TILE
 
 
 def _block_shape(n: int, w: int, h: int, d: int) -> tuple[int, int]:
@@ -138,8 +174,9 @@ def _bwd_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref,
     dv_ref[...] = dv.reshape(gn, gh, w, d).astype(dv_ref.dtype)
 
 
-def _prep(q, valid, gn):
-    """(N, W, H, D) -> (N_pad, H, W, D) + int32 valid padded to gn."""
+def _prep(q, gn):
+    """(N, W, H, D) -> (N_pad, H, W, D), N padded to a multiple of gn.
+    ``valid`` is padded separately at each call site (different dtype/rank)."""
     n = q.shape[0]
     n_pad = -(-n // gn) * gn
     qt = q.transpose(0, 2, 1, 3)
@@ -173,9 +210,9 @@ def _fwd(q, k, v, valid, interpret):
     n, w, h, d = q.shape
     scale = d ** -0.5
     gn, gh = _block_shape(n, w, h, d)
-    qt, n_pad = _prep(q, valid, gn)
-    kt, _ = _prep(k, valid, gn)
-    vt, _ = _prep(v, valid, gn)
+    qt, n_pad = _prep(q, gn)
+    kt, _ = _prep(k, gn)
+    vt, _ = _prep(v, gn)
     val = jnp.pad(valid.astype(jnp.int32), ((0, n_pad - n), (0, 0)))[:, None, :]
 
     grid = (n_pad // gn, h // gh)
@@ -209,10 +246,10 @@ def _bwd_vjp(interpret, res, g):
     gn, gh = _block_shape(n, w, h, d)
     # backward holds ~2x the tensors of forward; halve the window block
     gn = max(1, gn // 2)
-    qt, n_pad = _prep(q, valid, gn)
-    kt, _ = _prep(k, valid, gn)
-    vt, _ = _prep(v, valid, gn)
-    gt, _ = _prep(g, valid, gn)
+    qt, n_pad = _prep(q, gn)
+    kt, _ = _prep(k, gn)
+    vt, _ = _prep(v, gn)
+    gt, _ = _prep(g, gn)
     val = jnp.pad(valid.astype(jnp.int32), ((0, n_pad - n), (0, 0)))[:, None, :]
 
     grid = (n_pad // gn, h // gh)
@@ -266,13 +303,18 @@ def _fused_per_window_bytes(w: int, h: int, d: int, bwd: bool) -> int:
     return per_w
 
 
-def fused_window_fits(w: int, heads: int, d: int, bwd: bool = True) -> bool:
+def fused_window_fits(
+    w: int, heads: int, d: int, bwd: "bool | None" = None
+) -> bool:
     """Whether a fused-kernel program at segment width ``w`` fits VMEM.
 
     Large whole-frame segments (Qwen2-VL full attention, the ViT's global
     layers at high resolutions) can exceed the ~16 MB/core VMEM at gn=1;
     callers fall back to the un-fused window kernel for those layers.
-    ``bwd`` guards the training path (the backward holds ~2x the tensors)."""
+    ``bwd`` guards the training path (the backward holds ~2x the tensors);
+    default: backward-safe, unless tracing under ``vit_inference_scope``."""
+    if bwd is None:
+        bwd = not _INFERENCE_SCOPE.get()
     return _fused_per_window_bytes(w, heads, d, bwd) <= _VMEM_BUDGET
 
 

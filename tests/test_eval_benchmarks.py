@@ -17,7 +17,10 @@ def _load_ref(name):
     if not os.path.isdir(REF_DATALOADER):
         return None
     if "loguru" not in sys.modules:
+        import importlib.machinery
+
         loguru = types.ModuleType("loguru")
+        loguru.__spec__ = importlib.machinery.ModuleSpec("loguru", None)
         loguru.logger = types.SimpleNamespace(info=lambda *a, **k: None)
         sys.modules["loguru"] = loguru
     sys.path.insert(0, REF_DATALOADER)

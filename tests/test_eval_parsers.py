@@ -21,7 +21,10 @@ def _load_ref_videomme():
     if not os.path.isdir(REF_DATALOADER):
         return None
     if "loguru" not in sys.modules:
+        import importlib.machinery
+
         loguru = types.ModuleType("loguru")
+        loguru.__spec__ = importlib.machinery.ModuleSpec("loguru", None)
 
         class _L:
             def info(self, *a, **k):

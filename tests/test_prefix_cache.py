@@ -283,3 +283,40 @@ def test_equal_content_recomputed_frames_share_prefix(setup):
     out_p = plain.generate(reqs, sampling)
     for a, b in zip(out_p, out_c):
         assert a["token_ids"] == b["token_ids"]
+
+
+def test_vis_digest_memo_does_not_pin_arrays(setup):
+    """The digest memo must hold only weak refs: a strong ref would pin up
+    to 64 ~20 MB frame arrays (or device embeds in HBM) for the engine's
+    lifetime, immune to release_memory()."""
+    import gc
+
+    _, _, _, cached = setup
+    a = np.random.default_rng(0).random((4, 64), np.float32)
+    d1 = cached._vis_digest(a)
+    assert cached._vis_digest(a) == d1  # memo hit while alive
+    key = id(a)
+    assert cached._vis_digests[key][1]() is a
+    del a
+    gc.collect()
+    assert cached._vis_digests[key][1]() is None  # referent freed
+    # Equal content re-hashes to the same digest even via a fresh object.
+    b = np.random.default_rng(0).random((4, 64), np.float32)
+    assert cached._vis_digest(b) == d1
+
+
+def test_spec_draft_constructor_arg_beats_env(setup, monkeypatch):
+    """An explicit spec_draft must not be silently overridden by a stray
+    O3V_SPEC_DRAFT left in the environment (it changes arena sizing)."""
+    cfg, params, _, _ = setup
+    monkeypatch.setenv("O3V_SPEC_DRAFT", "15")
+    eng = InferenceEngine(
+        params, cfg, prompt_buckets=(64,), cache_dtype=jnp.float32,
+        spec_decode=True, spec_draft=3,
+    )
+    assert eng.spec_draft == 3
+    eng2 = InferenceEngine(
+        params, cfg, prompt_buckets=(64,), cache_dtype=jnp.float32,
+        spec_decode=True,
+    )
+    assert eng2.spec_draft == 15  # env applies only when unspecified

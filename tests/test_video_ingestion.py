@@ -19,15 +19,21 @@ def _load_reference_vision():
     if not os.path.isdir(REF_OPEN_R1):
         return None
     if "torchvision" not in sys.modules:
+        import importlib.machinery
+
         tv = types.ModuleType("torchvision")
         tv.__version__ = "0.0.0"
         tv.io = types.ModuleType("torchvision.io")
         tv.transforms = types.ModuleType("torchvision.transforms")
         tv.transforms.InterpolationMode = types.SimpleNamespace(BICUBIC="bicubic")
         tv.transforms.functional = types.SimpleNamespace()
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.io"] = tv.io
-        sys.modules["torchvision.transforms"] = tv.transforms
+        # A stub without __spec__ breaks importlib.util.find_spec for any
+        # LATER import of transformers (its availability probe raises
+        # "torchvision.__spec__ is None") — test-order-dependent failures.
+        for name, mod in (("torchvision", tv), ("torchvision.io", tv.io),
+                          ("torchvision.transforms", tv.transforms)):
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
     sys.path.insert(0, REF_OPEN_R1)
     try:
         import vision_process as ref

@@ -500,3 +500,51 @@ def test_vision_pack_on_off_equal(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out_nopack), np.asarray(out_ref), atol=2e-5, rtol=2e-5
     )
+
+
+def test_oversized_window_falls_back_to_xla():
+    """_block_shape never splits W, so beyond the per-tile ceiling the
+    kernel cannot compile at all (measured on v5e: W=2047 fails Mosaic);
+    segment_attention must route those shapes to the XLA path even when
+    Pallas is forced."""
+    from open_o3_video_tpu.ops.window_attention import window_attention_fits
+
+    assert window_attention_fits(64, 16, 80)
+    assert window_attention_fits(576, 16, 80)  # 24x24-patch frame
+    assert not window_attention_fits(2047, 16, 80)
+    assert not window_attention_fits(5408, 16, 80)  # ~1030px square frame
+    # Forced-pallas dispatch on an oversized window: must not attempt the
+    # kernel (CPU has no interpret env set here, so a kernel attempt would
+    # fail) and must equal the XLA reference.
+    q, k, v, valid = _case(1, 2048, 2, 16, ragged=True)
+    ref = segment_attention(q, k, v, valid, impl="xla")
+    out = segment_attention(q, k, v, valid, impl="pallas")
+    m = np.asarray(valid)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, atol=2e-5, rtol=2e-5
+    )
+
+
+def test_inference_scope_relaxes_fused_budget():
+    """fused_window_fits defaults to the backward-safe footprint; inside
+    vit_inference_scope (the serving engine's trace context) it uses the
+    forward-only footprint, admitting frame widths the bwd budget
+    rejects."""
+    from open_o3_video_tpu.ops.window_attention import (
+        _fused_per_window_bytes,
+        _VMEM_BUDGET,
+        fused_window_fits,
+        vit_inference_scope,
+    )
+
+    heads, d = 16, 80
+    # Find a width in the gap: forward-only fits, backward does not.
+    w = next(
+        w for w in range(64, 4096, 16)
+        if _fused_per_window_bytes(w, heads, d, bwd=False) <= _VMEM_BUDGET
+        < _fused_per_window_bytes(w, heads, d, bwd=True)
+    )
+    assert not fused_window_fits(w, heads, d)
+    with vit_inference_scope():
+        assert fused_window_fits(w, heads, d)
+    assert not fused_window_fits(w, heads, d)  # scope exited
