@@ -555,24 +555,30 @@ def main():
 
         def decode_wave():
             with ThreadPoolExecutor(max_workers=min(4, N_VIDEOS)) as pool:
-                return list(pool.map(
+                frame_sets = list(pool.map(
                     lambda _: fetch_video_fast({"video": VIDEO, "nframes": 16})[0],
                     range(N_VIDEOS),
                 ))
+            for f in frame_sets:  # single prefetch worker: counter is safe
+                _distinct(f)
+            # Pre-upload from the prefetch thread: the host->device frame
+            # transfer (tunnel-bandwidth-bound, ~0.8 s/wave) overlaps the
+            # previous wave's device compute instead of serializing in
+            # vis_upload.
+            return engine.prestage_frames(frame_sets)
 
         t0_ = time.time()
         with ThreadPoolExecutor(max_workers=1) as prefetch:
             fut = prefetch.submit(decode_wave)
             for w in range(waves):
-                frame_sets = fut.result()
-                for f in frame_sets:  # watermark on main thread (counter race)
-                    _distinct(f)
+                patch_bufs = fut.result()
                 if w + 1 < waves:
                     fut = prefetch.submit(decode_wave)
                 engine.generate(
-                    [Request(input_ids=prompt, frames=f, grid_thw=grid_thw,
+                    [Request(input_ids=prompt, pixel_patches=buf,
+                             grid_thw=grid_thw,
                              vision_token_id=cfg.image_token_id)
-                     for f in frame_sets],
+                     for buf in patch_bufs],
                     sampling,
                 )
         return (waves * N_VIDEOS) / (time.time() - t0_)

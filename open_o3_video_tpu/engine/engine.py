@@ -896,6 +896,52 @@ class InferenceEngine:
     def _frames_to_patches(self, frames: np.ndarray) -> jnp.ndarray:
         return self._patchify_fn(self._put(frames))
 
+    def prestage_frames(self, frames_list: Sequence[np.ndarray]) -> list:
+        """Upload + patchify frame arrays AHEAD of their generate() call.
+
+        Call from a prefetch thread while the engine runs the previous
+        wave: device transfers are async DMA, so the upload (which can
+        rival the vision tower's compute through a tunneled backend)
+        overlaps device time instead of serializing in vis_upload. Pass
+        each returned device buffer as ``Request.pixel_patches``; the
+        admission path recognizes device-resident patches and skips the
+        transfer. Same-shape entries share one stacked transfer +
+        dispatch, like the in-call path."""
+        groups: dict = {}
+        for i, f in enumerate(frames_list):
+            groups.setdefault(np.shape(f), []).append(i)
+        out: list = [None] * len(frames_list)
+        for _, idxs in groups.items():
+            if len(idxs) == 1:
+                out[idxs[0]] = self._frames_to_patches(frames_list[idxs[0]])
+                continue
+            stacked = np.stack([np.asarray(frames_list[i]) for i in idxs])
+            parts = self._patchify_batch_fn(self._put(stacked))
+            for i, p in zip(idxs, parts):
+                out[i] = p
+        return out
+
+    def prestage_patches(self, patches_list: Sequence) -> list:
+        """Like :meth:`prestage_frames` for already-patchified host arrays
+        (the processor path the eval wrapper uses). No device patchify —
+        just the stacked transfer. ``None`` entries pass through (text-only
+        requests)."""
+        groups: dict = {}
+        for i, p in enumerate(patches_list):
+            if p is None or isinstance(p, jax.Array):
+                continue
+            groups.setdefault(np.shape(p), []).append(i)
+        out: list = list(patches_list)
+        for _, idxs in groups.items():
+            if len(idxs) == 1:
+                out[idxs[0]] = self._put(patches_list[idxs[0]])
+                continue
+            stacked = np.stack([np.asarray(patches_list[i]) for i in idxs])
+            parts = self._split_rows_fn(self._put(stacked))
+            for i, p in zip(idxs, parts):
+                out[i] = p
+        return out
+
     # --------------------------------------------------------------- host prep
 
     def _prepare_rows(self, reqs: Sequence[Request], L: int, T: int, vis_cache: dict,
@@ -968,12 +1014,16 @@ class InferenceEngine:
             patch_groups: dict = {}
             for vis_key, r, _ in pending:
                 if r.frames is not None:
-                    frame_groups.setdefault(np.asarray(r.frames).shape, []).append(
+                    frame_groups.setdefault(np.shape(r.frames), []).append(
                         (vis_key, r)
                     )
+                elif isinstance(r.pixel_patches, jax.Array):
+                    # Already on device (prestage_frames from a prefetch
+                    # thread): the transfer overlapped the previous wave.
+                    patches_by_key[vis_key] = r.pixel_patches
                 else:
                     patch_groups.setdefault(
-                        np.asarray(r.pixel_patches).shape, []
+                        np.shape(r.pixel_patches), []
                     ).append((vis_key, r))
             for shape, group in frame_groups.items():
                 if len(group) == 1:

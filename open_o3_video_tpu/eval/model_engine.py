@@ -225,7 +225,19 @@ class QwenVLEngine:
             return req, frames, fps, frame_shape
 
         with ThreadPoolExecutor(max_workers=min(4, max(1, len(items)))) as pool:
-            return list(pool.map(prep, items))
+            prepped = list(pool.map(prep, items))
+        # Pre-upload the patch tensors from this (prefetch) thread: the
+        # host->device transfer then overlaps the engine's device phase of
+        # the PREVIOUS item batch instead of serializing in vis_upload.
+        import dataclasses
+
+        bufs = self.engine.prestage_patches(
+            [req.pixel_patches for req, _, _, _ in prepped]
+        )
+        return [
+            (dataclasses.replace(req, pixel_patches=buf), frames, fps, shape)
+            for (req, frames, fps, shape), buf in zip(prepped, bufs)
+        ]
 
     def generate_paths_prepared(self, prepped: Sequence[tuple], n_paths: int):
         """Device phase of ``generate_paths_batch``: run the prepared

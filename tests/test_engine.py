@@ -173,3 +173,36 @@ def test_frames_request_matches_patches_request(engine_pair):
     b = engine.generate([Request(input_ids=prompt, frames=frames, grid_thw=grid,
                                  vision_token_id=cfg.image_token_id)], samp)
     assert a[0]["token_ids"] == b[0]["token_ids"]
+
+
+def test_prestaged_frames_match_inline_upload(engine_pair):
+    """prestage_frames (prefetch-thread upload) must be byte-equivalent to
+    passing raw frames: same patchify program, just issued earlier."""
+    _, engine, cfg = engine_pair
+    from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 255, (2, 3, 56, 56), dtype=np.uint8)
+              for _ in range(3)]
+    # heterogeneous shape exercises the single-item path too
+    frames.append(rng.integers(0, 255, (2, 3, 28, 28), dtype=np.uint8))
+    grids = [frames_as_images_patches(f)[1] for f in frames]
+    prompts = []
+    for g in grids:
+        n_tok = int(np.prod(g, axis=1).sum()) // 4
+        prompts.append([5, 6, cfg.vision_start_token_id]
+                       + [cfg.image_token_id] * n_tok
+                       + [cfg.vision_end_token_id, 7])
+    samp = SamplingParams(temperature=0.0, repetition_penalty=1.0, max_tokens=6)
+    a = engine.generate(
+        [Request(input_ids=p, frames=f, grid_thw=g,
+                 vision_token_id=cfg.image_token_id)
+         for p, f, g in zip(prompts, frames, grids)], samp)
+    bufs = engine.prestage_frames(frames)
+    assert all(isinstance(b, jax.Array) for b in bufs)
+    b = engine.generate(
+        [Request(input_ids=p, pixel_patches=buf, grid_thw=g,
+                 vision_token_id=cfg.image_token_id)
+         for p, buf, g in zip(prompts, bufs, grids)], samp)
+    for x, y in zip(a, b):
+        assert x["token_ids"] == y["token_ids"]
