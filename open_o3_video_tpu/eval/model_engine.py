@@ -14,6 +14,7 @@ penalty 1.05).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Optional, Sequence
 
 import numpy as np
@@ -229,8 +230,6 @@ class QwenVLEngine:
         # Pre-upload the patch tensors from this (prefetch) thread: the
         # host->device transfer then overlaps the engine's device phase of
         # the PREVIOUS item batch instead of serializing in vis_upload.
-        import dataclasses
-
         bufs = self.engine.prestage_patches(
             [req.pixel_patches for req, _, _, _ in prepped]
         )
@@ -279,10 +278,37 @@ class QwenVLEngine:
             for o in outs
         ]
 
+    def prestage_raw_inputs(self, inputs_list: Sequence[dict]) -> None:
+        """Patchify + pre-upload the image payloads of raw vLLM-style
+        inputs IN PLACE, from a prefetch thread (see prepare_paths_batch's
+        rationale): each dict gains ``_precomputed_vision`` with a
+        device-resident patch buffer that ``_request_from_raw`` picks up.
+        Inputs sharing one image list (V-STAR's 5 queries per item) share
+        one buffer, preserving the engine's vision dedup."""
+        staged: dict[int, Any] = {}
+        order: list[int] = []
+        for item in inputs_list:
+            images = item.get("multi_modal_data", {}).get("image")
+            if images is None or id(images) in staged:
+                continue
+            staged[id(images)] = self.processor.process_images(images)
+            order.append(id(images))
+        if not order:
+            return
+        bufs = self.engine.prestage_patches(
+            [staged[k].pixel_patches for k in order]
+        )
+        for k, buf in zip(order, bufs):
+            staged[k] = dataclasses.replace(staged[k], pixel_patches=buf)
+        for item in inputs_list:
+            images = item.get("multi_modal_data", {}).get("image")
+            if images is not None:
+                item["_precomputed_vision"] = staged[id(images)]
+
     def _request_from_raw(self, item: dict, vis_memo: Optional[dict] = None) -> Request:
         images = item.get("multi_modal_data", {}).get("image")
-        pv = None
-        if images is not None and vis_memo is not None:
+        pv = item.get("_precomputed_vision")
+        if pv is None and images is not None and vis_memo is not None:
             # Queries sharing one frame list (V-STAR's 5 per item) reuse ONE
             # patchify; identical array objects then let the engine encode
             # the vision tower once for all of them.

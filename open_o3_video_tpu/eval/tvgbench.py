@@ -106,10 +106,15 @@ def evaluate(
         # Host-only (decode + resize + prompt build); runs one chunk ahead
         # on a background thread while the engine executes the current one.
         with ThreadPoolExecutor(max_workers=min(4, len(chunk))) as pool:
-            return list(pool.map(
+            inputs = list(pool.map(
                 lambda it: _prepare_tvg_item(it, video_folder, model, think_mode),
                 chunk,
             ))
+        if hasattr(model, "prestage_raw_inputs"):
+            # Pre-upload from the prefetch thread (overlaps device compute
+            # of the previous chunk).
+            model.prestage_raw_inputs([i for i in inputs if i is not None])
+        return inputs
 
     prefetch = ThreadPoolExecutor(max_workers=1)
     errors: list = []

@@ -410,6 +410,11 @@ def prep_items_host(
             return (data, None, None, {"vid": vid, "error": "video not found"})
         try:
             inputs, frame_size = prepare_item_inputs(data, video_path, model, think_mode)
+            if hasattr(model, "prestage_raw_inputs"):
+                # Pre-upload the item's (shared) frames from this prefetch
+                # thread so the transfer overlaps the engine's device phase
+                # of the previous slice.
+                model.prestage_raw_inputs(list(inputs.values()))
         except Exception as e:
             return (data, None, None, {"vid": vid, "error": repr(e)})
         return (data, inputs, frame_size, None)
