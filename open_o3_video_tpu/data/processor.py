@@ -145,8 +145,23 @@ class O3VideoProcessor:
                  temporal_patch_size: int = 2, merge_size: int = 2):
         self.tokenizer = tokenizer or ByteTokenizer()
         self.patch_size = patch_size
+        # The id the processor expands IMAGE_PAD to — callers tag samples
+        # with it instead of hardcoding 151655 (remapped under
+        # ByteTokenizer.for_config tiny-vocab setups).
+        self.image_token_id = self._special_id(IMAGE_PAD, 151655)
+        self.video_token_id = self._special_id(VIDEO_PAD, 151656)
         self.temporal_patch_size = temporal_patch_size
         self.merge_size = merge_size
+
+    def _special_id(self, token: str, default: int) -> int:
+        tk = self.tokenizer
+        if hasattr(tk, "_specials"):  # ByteTokenizer (possibly remapped)
+            return tk._specials.get(token, default)
+        if hasattr(tk, "convert_tokens_to_ids"):  # HF tokenizer
+            tid = tk.convert_tokens_to_ids(token)
+            if tid is not None and tid >= 0:
+                return tid
+        return default
 
     @classmethod
     def from_pretrained(cls, model_dir: str, **kw):

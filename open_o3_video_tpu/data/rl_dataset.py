@@ -105,7 +105,11 @@ def prepare_rl_sample(
             "input_ids": proc.input_ids,
             "pixel_patches": proc.pixel_patches,
             "grid_thw": proc.grid_thw,
-            "vision_token_id": 151655,
+            # From the processor, not hardcoded: remapped-id configs
+            # (tiny-vocab ByteTokenizer.for_config) would otherwise fail
+            # the trainer's placeholder-count check and silently degrade
+            # every sample.
+            "vision_token_id": getattr(processor, "image_token_id", 151655),
             "reward_kwargs": reward_kwargs,
         }
 
@@ -140,6 +144,9 @@ def prepare_rl_sample(
         "input_ids": proc.input_ids,
         "pixel_patches": proc.pixel_patches,
         "grid_thw": proc.grid_thw,
-        "vision_token_id": 151655,
+        # From the processor, not hardcoded: remapped-id configs (tiny-vocab
+        # ByteTokenizer.for_config) would otherwise fail the trainer's
+        # placeholder-count check and silently degrade every sample.
+        "vision_token_id": getattr(processor, "image_token_id", 151655),
         "reward_kwargs": reward_kwargs,
     }

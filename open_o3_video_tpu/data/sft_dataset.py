@@ -34,6 +34,22 @@ VISUAL_TOKEN_IDS = (151655,)  # Qwen2.5-VL masks the image-pad token
 IGNORE_INDEX = -100
 
 
+def visual_mask_ids(model_cfg) -> tuple[int, ...]:
+    """Which special tokens the SFT labels mask, by family.
+
+    Reference parity (sft_multi_task.py:391-396): the Qwen2-VL processor
+    branch masks vision_start/vision_end/video_pad (151652/151653/151656);
+    every other family masks only the image token the processor expands
+    (Qwen2.5-VL: 151655)."""
+    if getattr(model_cfg, "model_type", "") == "qwen2_vl":
+        return (
+            model_cfg.vision_start_token_id,
+            model_cfg.vision_end_token_id,
+            model_cfg.video_token_id,
+        )
+    return (getattr(model_cfg, "image_token_id", None) or VISUAL_TOKEN_IDS[0],)
+
+
 def load_sft_dataset(path: str) -> list[dict[str, Any]]:
     with open(path) as f:
         if path.endswith(".jsonl"):
@@ -143,7 +159,7 @@ def collate_sft(
     pad_id = getattr(processor.tokenizer, "pad_token_id", None)
     if pad_id is not None:
         labels[labels == pad_id] = IGNORE_INDEX
-    for tok in VISUAL_TOKEN_IDS:
+    for tok in visual_mask_ids(model_cfg):
         labels[labels == tok] = IGNORE_INDEX
 
     position_ids, _ = get_rope_index(

@@ -373,6 +373,11 @@ def fetch_video(
         try:
             video, sample_fps = VIDEO_READER_BACKENDS[backend](ele)
         except Exception as e:
+            if backend == "cv2":
+                # cv2 IS the fallback: retrying the same reader on the same
+                # file doubles the decode cost and reports the second
+                # attempt's traceback instead of the real one.
+                raise
             logger.warning(f"video reader backend {backend} error, falling back to cv2, msg: {e}")
             video, sample_fps = VIDEO_READER_BACKENDS["cv2"](ele)
 

@@ -153,6 +153,24 @@ def scalar(x) -> float:
         return float(x.addressable_data(0))
 
 
+def all_hosts_ok(ok: bool, tag: str = "batch") -> bool:
+    """Consensus on a host-local success flag.
+
+    Returns True only when EVERY process succeeded, so all hosts take the
+    same branch (skip or proceed). Host-local skip-on-failure without this
+    desynchronizes an SPMD fleet: one host advances to the next batch while
+    the others launch the current one, and the paired collectives deadlock.
+    Single-process: returns ``ok`` unchanged."""
+    import jax
+
+    if jax.process_count() == 1:
+        return bool(ok)
+    from jax.experimental import multihost_utils
+
+    g = multihost_utils.process_allgather(np.asarray([1 if ok else 0]))
+    return bool(np.asarray(g).min() == 1)
+
+
 def assert_in_sync(digest: np.ndarray, tag: str = "batch") -> None:
     """Fail LOUDLY if hosts disagree on ``digest`` (a small int/float array).
 

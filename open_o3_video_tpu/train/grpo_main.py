@@ -110,7 +110,9 @@ def main():
             "RL dataset is empty after the reference's multiple-of-4 train "
             "truncation (data_loader.py:53-54) — provide >= 4 examples"
         )
-    total_steps = args.max_steps if args.max_steps > 0 else int(len(dataset) * args.num_train_epochs)
+    # total_steps set after the mesh exists: each step consumes one prompt
+    # PER DATA REPLICA (TRL divides dataloader length by world size the
+    # same way), so epochs = dataset passes, not dataset-size steps.
 
     reward_funcs = [REWARD_REGISTRY[name] for name in args.reward_funcs]
     cfg = GSPOConfig(
@@ -181,6 +183,10 @@ def main():
     # One prompt per data replica per step (reference: 1 prompt/GPU x 8,
     # run_grpo_video.sh:11); prompts = B, sequences = B x num_generations.
     n_prompts = mesh.shape["data"] if mesh is not None else 1
+    total_steps = (
+        args.max_steps if args.max_steps > 0
+        else -(-int(len(dataset) * args.num_train_epochs) // n_prompts)
+    )
 
     step = start_step
     cursor = start_step * n_prompts

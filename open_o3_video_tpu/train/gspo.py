@@ -349,13 +349,29 @@ class GSPOTrainer:
         # grpo_trainer.py:452-465, 611-632): a sample whose patch count
         # disagrees with its grid or placeholder count runs as text-only
         # instead of killing the step.
-        samples = [self._degrade_invalid_vision(s) for s in samples]
+        # Truncate BEFORE the vision validation: a left-truncation that
+        # chops leading vision placeholders (prompt > max_prompt_length)
+        # would otherwise pass the count check on the full ids and then
+        # silently misalign every surviving placeholder against the first
+        # frames' features. Post-truncation the count check fails and the
+        # sample degrades to text-only (the reference errors inside the HF
+        # forward for the same input; degrade-not-crash is this module's
+        # documented failure contract).
+        def _truncate(s):
+            ids = list(s["input_ids"])
+            if len(ids) <= cfg.max_prompt_length:
+                return s
+            out = dict(s)
+            out["input_ids"] = ids[-cfg.max_prompt_length:]
+            return out
+
+        samples = [self._degrade_invalid_vision(_truncate(s)) for s in samples]
 
         # Left-pad every prompt to a common length bucket so the jitted
         # logp/update programs are reused across steps (pads are masked via
         # attn_valid; positions recomputed with the mask).
         bucket = 256
-        prompts = [list(s["input_ids"])[-cfg.max_prompt_length :] for s in samples]
+        prompts = [list(s["input_ids"]) for s in samples]
         Lp = -(-max(len(p) for p in prompts) // bucket) * bucket
 
         # 1. rollout — ONE batched engine call for all B*G sequences
@@ -539,6 +555,12 @@ class GSPOTrainer:
                     None, None, prompt_length=Lp, chunk=cfg.logp_chunk
                 )
             logps_fn = self._step_fns[("logps", nv_key)]
+            # The reference's degraded recompute drops the grid kwargs, so
+            # HF recomputes rope WITHOUT them — degraded rows must take
+            # sequential text positions (the convention stated above), not
+            # the vision-grid positions computed for the healthy path.
+            pos_nv, _ = get_rope_index(mcfg, ids, attention_mask=amask)
+            pos_d = put(pos_nv, (None, "data"))
             ref_logps = logps_fn(self.ref_params, ids_d, pos_d, None, valid_d, None)
             use_vision = False
             logps_key = nv_key

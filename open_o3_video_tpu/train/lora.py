@@ -124,10 +124,7 @@ def merge_adapters(params: dict, adapters: dict, scale: float,
         out_dtype = adapters["layers"][0][next(iter(adapters["layers"][0]))]["a"].dtype
     layers = []
     for layer, ad in zip(params["text"]["layers"], adapters["layers"]):
-        new = {
-            k: (dequant(v).astype(out_dtype) if isinstance(v, QuantizedLinear) else v)
-            for k, v in layer.items()
-        }
+        new = dict(layer)
         for name, ab in ad.items():
             base_leaf = layer[name]
             leaf_dtype = (
@@ -141,8 +138,12 @@ def merge_adapters(params: dict, adapters: dict, scale: float,
     out = dict(params)
     out["text"] = dict(params["text"])
     out["text"]["layers"] = layers
-    # Non-layer text leaves (lm_head) may be int8 too.
-    lm_head = params["text"]["lm_head"]
-    if isinstance(lm_head, QuantizedLinear):
-        out["text"]["lm_head"] = dequant(lm_head).astype(out_dtype)
-    return out
+    # EVERY remaining int8 leaf dequantizes — non-target text matmuls,
+    # lm_head, AND vision-tower blocks (quantize_vision, the w8a8 serving
+    # path) — so the export is a uniformly full-precision checkpoint.
+    return jax.tree.map(
+        lambda x: (dequant(x).astype(out_dtype)
+                   if isinstance(x, QuantizedLinear) else x),
+        out,
+        is_leaf=lambda x: isinstance(x, QuantizedLinear),
+    )

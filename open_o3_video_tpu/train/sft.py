@@ -192,8 +192,12 @@ def mask_labels(
     pad_token_id: int,
     visual_token_ids: tuple[int, ...],
 ) -> np.ndarray:
-    """labels = input_ids with pad + visual tokens ignored
-    (reference: sft_multi_task.py:387-398; visual ids 151652/151653/151656)."""
+    """labels = input_ids with pad + visual tokens ignored.
+
+    Reference: sft_multi_task.py:387-398 — which ids are "visual" is
+    family-dependent (Qwen2-VL masks 151652/151653/151656, Qwen2.5-VL
+    masks only the image token); pass data.sft_dataset.visual_mask_ids(cfg)
+    for the reference-faithful set."""
     labels = input_ids.copy()
     labels[labels == pad_token_id] = IGNORE_INDEX
     for tok in visual_token_ids:

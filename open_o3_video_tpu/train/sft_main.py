@@ -27,8 +27,17 @@ def parse_args():
     p.add_argument("--max_steps", type=int, default=-1)
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--logging_steps", type=int, default=1)
-    p.add_argument("--gradient_checkpointing", action="store_true", default=True)
-    p.add_argument("--bf16", action="store_true", default=True)
+    _bool = lambda s: str(s).lower() not in ("false", "0", "no")
+    p.add_argument(
+        "--gradient_checkpointing", type=_bool, nargs="?", const=True,
+        default=True,
+        help="remat decoder layers (run_sft_video.sh:27); 'false' disables "
+        "the backward recompute when HBM is plentiful",
+    )
+    p.add_argument(
+        "--bf16", type=_bool, nargs="?", const=True, default=True,
+        help="cast params to bfloat16 ('false' keeps the checkpoint dtype)",
+    )
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--nframes", type=int, default=None)
     p.add_argument(
@@ -77,6 +86,18 @@ def main():
     from .sft import SFTConfig, make_optimizer, make_train_step
 
     params, model_cfg = P.load_pretrained(args.model_name_or_path)
+    if args.bf16:
+        # Reference trains in bf16 (run_sft_video.sh:28); checkpoints may
+        # ship f32 — cast float leaves, leave ints (quantized) alone.
+        import jax
+        import jax.numpy as _jnp
+
+        params = jax.tree.map(
+            lambda x: x.astype(_jnp.bfloat16)
+            if hasattr(x, "dtype") and _jnp.issubdtype(x.dtype, _jnp.floating)
+            else x,
+            params,
+        )
     processor = O3VideoProcessor.from_pretrained(args.model_name_or_path)
 
     raw = load_sft_dataset(args.dataset_name)
@@ -158,7 +179,6 @@ def main():
 
     metrics = MetricsBus(use_wandb=args.report_to == "wandb", primary=D.is_primary())
     step = start_step
-    epoch = 0
     n_skipped = 0
 
     def shard_batch(batch):
@@ -198,9 +218,15 @@ def main():
             f"batch is {global_bs} (mesh data axis x per-device batch); "
             "reduce --mesh_data / --per_device_train_batch_size or add data"
         )
+    # Resume restarts data iteration where it stopped (the sampler is
+    # sequential): skip the already-trained batches of the partial epoch
+    # instead of replaying prepared[0:] and starving the dataset tail.
+    epoch = start_step // steps_per_epoch
+    resume_offset = (start_step % steps_per_epoch) * global_bs
     while step < total_steps:
         made_progress = False
-        for i in range(0, len(prepared) - global_bs + 1, global_bs):
+        start_i, resume_offset = resume_offset, 0  # only the resumed epoch
+        for i in range(start_i, len(prepared) - global_bs + 1, global_bs):
             if step >= total_steps:
                 break
             group = prepared[i : i + global_bs]
@@ -212,8 +238,13 @@ def main():
                 # Failure absorption (reference degraded-recompute pattern,
                 # grpo_trainer.py:452-465): a bad sample skips its batch
                 # instead of killing the run.
-                n_skipped += 1
+                batch = None
                 print(f"[warn] collate failed at step {step} ({e!r}); skipping batch")
+            # Multi-host: agree on the skip so one host's transient IO
+            # failure doesn't desynchronize the fleet (gspo.py guards its
+            # step inputs the same way via assert_in_sync).
+            if not D.all_hosts_ok(batch is not None, "sft collate"):
+                n_skipped += 1
                 continue
             batch = shard_batch(batch)
             if adapters is not None:
@@ -234,9 +265,10 @@ def main():
                     async_save=True,  # don't stall the train loop
                 )
         epoch += 1
-        if not made_progress:
+        if not made_progress and start_i == 0:
             # Every batch in the epoch failed collate: stop with a clear
-            # error instead of spinning epochs forever.
+            # error instead of spinning epochs forever. (A resumed partial
+            # epoch that skipped to its tail is not "no progress".)
             raise RuntimeError(
                 f"epoch {epoch - 1} made no training progress "
                 f"({n_skipped} batches skipped) — data is unusable"

@@ -160,3 +160,43 @@ class TestSFTDataset:
         text = ByteTokenizer().decode(ids.tolist())
         assert "Frame 1 at 0.0:" in text
         assert batch["position_ids"].shape == (3, 1, ids.shape[0])
+
+
+def test_rl_sample_vision_token_from_processor(data_root):
+    """vision_token_id must come from the processor's (possibly remapped)
+    specials, not a hardcoded 151655 — the trainer's placeholder-count
+    check keys on it."""
+    from open_o3_video_tpu.data.processor import ByteTokenizer
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig
+
+    cfg = Qwen25VLConfig.tiny()
+    proc = O3VideoProcessor(tokenizer=ByteTokenizer.for_config(cfg))
+    assert proc.image_token_id == cfg.image_token_id != 151655
+    ex = {
+        "task": "temporal QA", "source": "TVG_x", "answer": "[1.0, 2.0]",
+        "question": "when?", "video_path": "vid.mp4",
+    }
+    sample = RL.prepare_rl_sample(ex, proc, data_root, nframes=4)
+    assert sample["vision_token_id"] == cfg.image_token_id
+    n_ph = sum(1 for t in sample["input_ids"] if t == cfg.image_token_id)
+    assert n_ph > 0  # placeholders actually carry the advertised id
+
+
+def test_fetch_video_cv2_failure_not_retried(monkeypatch):
+    """When cv2 IS the selected backend, a decode failure must surface
+    directly instead of re-running the same reader on the same file."""
+    import pytest as _pytest
+
+    from open_o3_video_tpu.data import video as V
+
+    calls = {"n": 0}
+
+    def boom(ele):
+        calls["n"] += 1
+        raise IOError("corrupt")
+
+    monkeypatch.setitem(V.VIDEO_READER_BACKENDS, "cv2", boom)
+    monkeypatch.setattr(V, "get_video_reader_backend", lambda: "cv2")
+    with _pytest.raises(IOError):
+        V.fetch_video({"video": "/nonexistent.mp4", "nframes": 2})
+    assert calls["n"] == 1

@@ -235,3 +235,80 @@ class TestGSPOObjectiveDifferential:
         # clamp zeroes the whole branch's gradient in torch semantics too
         g = jax.grad(lambda lp: G.gspo_objective(lp, refs, mask, adv, cfg)[0])(logps)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestReviewRegressions:
+    def test_truncation_degrades_chopped_vision(self, tiny, capsys):
+        """A prompt longer than max_prompt_length whose left-truncation
+        chops vision placeholders must run text-only (degrade), never with
+        misaligned features."""
+        from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
+
+        cfg, params = tiny
+        ref_params = jax.tree.map(lambda x: x.copy(), params)
+        trainer = G.GSPOTrainer(
+            params, ref_params, cfg,
+            G.GSPOConfig(num_generations=4, max_completion_length=4,
+                         max_prompt_length=16),
+            detokenize=lambda ids: "<answer>x</answer>",
+        )
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (2, 3, 28, 28), dtype=np.uint8)
+        patches, grid = frames_as_images_patches(frames)
+        n_tok = patches.shape[0] // 4
+        # placeholders at the FRONT so a 16-token left-truncation chops them
+        ids = ([cfg.vision_start_token_id] + [cfg.image_token_id] * n_tok
+               + [cfg.vision_end_token_id] + list(range(5, 45)))
+        sample = {
+            "input_ids": ids,
+            "pixel_patches": patches, "grid_thw": grid,
+            "vision_token_id": cfg.image_token_id,
+            "reward_kwargs": {
+                "task": "temporal-spatial free-form QA", "answer": "x",
+                "key_frames": [], "key_items": {},
+                "image_size": (28, 28), "image_size_refine": (28, 28),
+            },
+        }
+        m = trainer.step(sample, global_step=0, max_steps=2)
+        assert np.isfinite(m["loss"])
+        assert "degrading sample to text-only" in capsys.readouterr().out
+
+    def test_visual_mask_ids_by_family(self):
+        import dataclasses
+
+        from open_o3_video_tpu.data.sft_dataset import visual_mask_ids
+
+        cfg = Qwen25VLConfig.tiny()
+        assert visual_mask_ids(cfg) == (cfg.image_token_id,)
+        q2 = dataclasses.replace(cfg, model_type="qwen2_vl")
+        assert visual_mask_ids(q2) == (
+            cfg.vision_start_token_id, cfg.vision_end_token_id,
+            cfg.video_token_id,
+        )
+
+    def test_all_hosts_ok_single_process(self):
+        from open_o3_video_tpu.parallel import distributed as D
+
+        assert D.all_hosts_ok(True) is True
+        assert D.all_hosts_ok(False) is False
+
+    def test_merge_adapters_dequantizes_vision_leaves(self, tiny):
+        from open_o3_video_tpu.ops.quant import (
+            DEFAULT_QUANT_PATTERNS,
+            QuantizedLinear,
+            VISION_QUANT_PATTERNS,
+            quantize_params,
+        )
+        from open_o3_video_tpu.train import lora as L
+
+        cfg, params = tiny
+        base = quantize_params(
+            params, DEFAULT_QUANT_PATTERNS + VISION_QUANT_PATTERNS
+        )
+        lcfg = L.LoraConfig(rank=2, alpha=4)
+        adapters = L.init_adapters(base, lcfg, dtype=jnp.bfloat16)
+        merged = L.merge_adapters(base, adapters, lcfg.scale)
+        leaves = jax.tree.leaves(
+            merged, is_leaf=lambda x: isinstance(x, QuantizedLinear)
+        )
+        assert not any(isinstance(x, QuantizedLinear) for x in leaves)
