@@ -43,7 +43,7 @@ def _attention(q, k, v, num_heads: int):
         return x.reshape(B, -1, num_heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = split(q), split(k), split(v)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.asarray(hd, q.dtype))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd**-0.5)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     return out.transpose(0, 2, 1, 3).reshape(B, -1, D)
@@ -61,6 +61,10 @@ def vision_tower(params: dict, cfg: AriaVisionConfig, images: jnp.ndarray) -> jn
 
     # Learned pos embed, bucketized fractional coords (Idefics3VisionEmbeddings;
     # full-image case — the Aria processor emits fixed-size square crops).
+    # NOTE: transformers 4.57.x computes frac = i/g * (1 - 1e-6) and then
+    # bucketizes; newer HF revisions switched to arange(0, 1-1e-6, 1/g), which
+    # yields DIFFERENT buckets (e.g. [0,1] vs [0,0] at g=nps=2). We match the
+    # pinned/installed 4.57 semantics, verified by tests/test_aria.py parity.
     nps = cfg.num_patches_per_side
     eps = 1e-6
     frac_h = jnp.arange(gh) / gh * (1 - eps)

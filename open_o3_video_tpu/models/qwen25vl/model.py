@@ -59,6 +59,10 @@ def get_rope_index(
         if attention_mask is not None:
             row = row[attention_mask[i] == 1]
         starts = np.where(row == cfg.vision_start_token_id)[0]
+        # A vision_start with no following token (prompt truncated right on
+        # the marker — truncation is a live upstream path here) opens no
+        # vision block; drop it instead of indexing past the row.
+        starts = starts[starts + 1 < len(row)]
         vision_tokens = row[starts + 1] if len(starts) else np.array([], dtype=row.dtype)
         image_nums = int((vision_tokens == cfg.image_token_id).sum())
         video_nums = int((vision_tokens == cfg.video_token_id).sum())

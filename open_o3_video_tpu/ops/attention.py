@@ -98,6 +98,17 @@ def causal_attention(
             q, k, v, q_positions, kv_positions, kv_mask, axis_name=axis
         )
 
+    if S <= 8 and T >= LONG_DECODE_T:
+        # Long-context decode: scan the KV buffer chunk-wise (see module
+        # constants). k/v may arrive in their STORED cache dtype. Checked
+        # BEFORE the Pallas dispatch: the flash kernel's whole-buffer cast
+        # to the compute dtype is exactly the O(T)-per-layer transient the
+        # chunked path exists to avoid.
+        mask = kv_positions[:, None, :] <= q_positions[:, :, None]  # (B, S, T)
+        if kv_mask is not None:
+            mask = mask & kv_mask[:, None, :]
+        return _decode_attention_chunked(q, k, v, mask, chunk=DECODE_CHUNK)
+
     if _use_pallas(impl, D):
         # The Pallas kernel assumes kv buffer index == kv position (true for
         # every cache layout in this codebase).
@@ -116,11 +127,6 @@ def causal_attention(
     mask = kv_positions[:, None, :] <= q_positions[:, :, None]  # (B, S, T)
     if kv_mask is not None:
         mask = mask & kv_mask[:, None, :]
-
-    if S <= 8 and T >= LONG_DECODE_T:
-        # Long-context decode: scan the KV buffer chunk-wise (see module
-        # constants). k/v may arrive in their STORED cache dtype.
-        return _decode_attention_chunked(q, k, v, mask, chunk=DECODE_CHUNK)
 
     if k.dtype != q.dtype:
         # Compute dtype for the dense paths (cache may store fp8/bf16).

@@ -84,7 +84,10 @@ def _fwd_kernel(
 
         m_prev = m_scratch[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        # where() (not bare exp): a fully-masked row has s == m_new == NEG_INF
+        # and exp(0) == 1 per key would make l = sum(p) nonzero, defeating
+        # the l==0 zero-output/NEG_INF-lse guard in _finalize.
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_scratch[:] = l_scratch[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(

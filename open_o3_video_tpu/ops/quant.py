@@ -93,8 +93,13 @@ class QuantizedLinear:
         return f"QuantizedLinear(shape={tuple(self.w_q.shape)})"
 
 
-def quantize_weight(w: jnp.ndarray, compute_dtype=jnp.bfloat16) -> QuantizedLinear:
-    """Symmetric per-output-channel int8 quantization of an (in, out) matrix."""
+def quantize_weight(w: jnp.ndarray, compute_dtype=jnp.float32) -> QuantizedLinear:
+    """Symmetric per-output-channel int8 quantization of an (in, out) matrix.
+
+    The scale stays float32: the weights are rounded against the f32 scale,
+    so dequantizing with a bf16-rounded copy would add a systematic ~2^-9
+    per-channel error on top of int8 rounding — and dense() upcasts the
+    scale to f32 for the epilogue anyway, so f32 storage costs nothing."""
     w32 = w.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(w32), axis=0, keepdims=True)  # (1, out)
     scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
