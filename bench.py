@@ -134,6 +134,9 @@ def bench_quant_agreement(frames_u8, grid_thw, prompt):
         "bf16": dict(quantize_text=False, quantize_vision=False, a8=False),
         "w8": dict(quantize_text=True, quantize_vision=False, a8=False),
         "a8": dict(quantize_text=True, quantize_vision=True, a8=True),
+        # packed int4 (ops/int4.py) — the memory-knob path (judge/KV
+        # headroom; decode-speed ceiling measured at 1.00x int8 on v5e)
+        "w4": dict(quantize_text="int4", quantize_vision=False, a8=False),
     }
     streams, forced = {}, {}
     ref_tokens = None
@@ -164,6 +167,7 @@ def bench_quant_agreement(frames_u8, grid_thw, prompt):
     n = len(ref_tokens)
     tf_agree = [a == b for a, b in zip(forced["bf16"], forced["w8"])]
     tf_agree_a8 = [a == b for a, b in zip(forced["bf16"], forced["a8"])]
+    tf_agree_w4 = [a == b for a, b in zip(forced["bf16"], forced["w4"])]
     bf16, int8 = streams["bf16"], streams["w8"]
     m = min(len(bf16), len(int8))
     fr_agree = [a == b for a, b in zip(bf16[:m], int8[:m])]
@@ -174,6 +178,8 @@ def bench_quant_agreement(frames_u8, grid_thw, prompt):
         "teacher_forced_disagreements": int(np.sum(~np.asarray(tf_agree))),
         "teacher_forced_agreement_a8": round(float(np.mean(tf_agree_a8)), 4),
         "teacher_forced_disagreements_a8": int(np.sum(~np.asarray(tf_agree_a8))),
+        "teacher_forced_agreement_w4": round(float(np.mean(tf_agree_w4)), 4),
+        "teacher_forced_disagreements_w4": int(np.sum(~np.asarray(tf_agree_w4))),
         "freerun_agreement": round(float(np.mean(fr_agree)), 4) if m else 0.0,
         "freerun_first_divergence": (
             fr_agree.index(False) if False in fr_agree else None

@@ -126,6 +126,8 @@ class InferenceEngine:
         a8_prefill: Optional[bool] = None,
         spec_decode: Optional[bool] = None,
         spec_draft: Optional[int] = None,
+        spec_sample: Optional[bool] = None,
+        spec_surplus: Optional[int] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -182,6 +184,21 @@ class InferenceEngine:
         if spec_draft is None:
             spec_draft = int(os.environ.get("O3V_SPEC_DRAFT", "7"))
         self.spec_draft = int(spec_draft)
+        # Multi-row SAMPLED speculative decoding (_segment_spec_sample_impl):
+        # verify blocks at shared columns with per-row validity holes;
+        # distributionally exact for any temperature (sample-and-match ==
+        # optimal rejection sampling for deterministic drafts), but a
+        # different rng stream than the plain path. Built for GSPO rollouts
+        # (G generations x temperature 1). Applies to single-wave groups
+        # (every request bound in the first admission round). Env default
+        # O3V_SPEC_SAMPLE; spec_surplus = extra KV columns burned by
+        # rejected drafts before falling back to the plain ring path.
+        if spec_sample is None:
+            spec_sample = os.environ.get("O3V_SPEC_SAMPLE", "0") == "1"
+        self.spec_sample = bool(spec_sample)
+        if spec_surplus is None:
+            spec_surplus = int(os.environ.get("O3V_SPEC_SURPLUS", "1024"))
+        self.spec_surplus = int(spec_surplus)
         # Cumulative spec telemetry: tokens emitted per verify forward =
         # emitted / verify_steps (1.0 = no drafts accepted).
         self.spec_stats = {"verify_steps": 0, "emitted": 0}
@@ -364,6 +381,18 @@ class InferenceEngine:
             donate_argnames=(
                 ("arena_k", "arena_v", "seen", "attn_valid",
                  "mrope_cur", "remaining", "done", "hist")
+                if donate
+                else ()
+            ),
+            **out_kw,
+        )
+        self._segment_spec_sample = jax.jit(
+            self._segment_spec_sample_impl,
+            static_argnames=("temperature", "top_p", "repetition_penalty",
+                             "n_steps", "prompt_len", "draft_k"),
+            donate_argnames=(
+                ("arena_k", "arena_v", "seen", "attn_valid",
+                 "mrope_cur", "remaining", "done", "hist", "hcount", "kv_pos")
                 if donate
                 else ()
             ),
@@ -850,6 +879,213 @@ class InferenceEngine:
         return (toks, lps, emitted[None], n_verify, token, arena_k, arena_v,
                 seen, attn_valid, hist, done, rng, cursor, mrope_cur,
                 remaining)
+
+    def _segment_spec_sample_impl(
+        self,
+        params,
+        token,  # (B,) last sampled, not yet fed
+        arena_k,
+        arena_v,
+        seen,  # (B, V) bool
+        attn_valid,  # (B, T)
+        done,  # (B,)
+        rng,
+        col_cursor,  # () decode COLUMNS consumed (monotonic, group-global)
+        kv_pos,  # (1, T) int32 — column-index positions of decode columns
+        mrope_cur,  # (B,)
+        remaining,  # (B,)
+        hist,  # (B, Hc) int32 — COMPACT per-row prompt+emitted history
+        hcount,  # (B,) int32 — tokens committed in hist (incl. pending)
+        *,
+        temperature: float,
+        top_p: float,
+        repetition_penalty: float,
+        n_steps: int,
+        prompt_len: int,
+        draft_k: int,
+    ):
+        """Multi-row SAMPLED speculative decode (prompt-lookup drafts).
+
+        Sampling-correct acceptance is "sample-and-match": position i's
+        sample is drawn from the true conditional given the draft prefix
+        (== the accepted prefix while all earlier drafts matched); it is
+        emitted either way, and drafting continues only while the sample
+        equals the draft. For a DETERMINISTIC draft distribution this IS
+        optimal speculative rejection sampling (acceptance probability
+        p(draft) in both schemes), so emitted sequences are distributed
+        exactly as the sequential sampler's — though not bit-identical to
+        the plain path, which consumes a different rng stream. At
+        temperature 0 it degenerates to the greedy scheme (bit-equal in
+        exact arithmetic; pinned in tests/test_spec_sample.py).
+
+        Rows accept different counts per iteration, so the greedy path's
+        per-emitted-column monotonic layout (which relies on overwriting
+        rejected columns) cannot be shared across rows without per-row
+        scatter. Instead every iteration writes its (B, draft_k+1) verify
+        block at SHARED columns (single-slice cache update, the only form
+        XLA keeps in place) and afterwards marks each row's rejected
+        columns INVALID — ring-decode causality is validity + explicit
+        kv_positions (column index), so holes are free. Columns are
+        consumed at draft_k+1 per iteration regardless of acceptance; the
+        loop maintains the invariant `cols_left >= live remaining` so the
+        caller can ALWAYS finish with the plain ring path (monotonic
+        continuation, no wrap) when the surplus runs out.
+
+        Rollout use (train/gspo.py): G generations of one prompt at
+        temperature 1 — grounded reasoning traces repeat tag structure
+        (`<obj>..</obj><box>..</box>at<t>T</t>s`), which prompt-lookup
+        drafts exploit; the (draft_k+1)-token verify forward costs ~1.02x
+        a single weight-HBM-bound decode step.
+        """
+        cfg = self.cfg
+        B, T = attn_valid.shape
+        ring = T - prompt_len
+        pad = cfg.pad_token_id
+        eos = cfg.eos_token_id
+        K1 = draft_k + 1
+        Hc = hist.shape[1]
+        out_w = n_steps + draft_k
+        rows = jnp.arange(B)
+        blk = jnp.arange(K1, dtype=jnp.int32)
+        toks = jnp.full((B, out_w), pad, jnp.int32)
+        lps = jnp.zeros((B, out_w), jnp.float32)
+        emitted = jnp.zeros((B,), jnp.int32)
+        n_verify = jnp.zeros((), jnp.int32)
+        hcols = jnp.arange(Hc)
+
+        def cond(st):
+            emitted, done, col_cursor, remaining = st[0], st[8], st[10], st[13]
+            live_rem = jnp.max(jnp.where(done, 0, remaining))
+            # surplus invariant: after this iteration (K1 columns, >=1 token
+            # per live row) the plain path must still fit in cols_left.
+            fits = col_cursor + K1 + jnp.maximum(live_rem - 1, 0) <= ring
+            return (~jnp.all(done)) & (jnp.max(emitted) < n_steps) & fits
+
+        def body(st):
+            (emitted, n_verify, token, ak, av, seen, attn_valid, kv_pos,
+             done, rng, col_cursor, hist, hcount, remaining, mrope_cur,
+             toks, lps) = st
+            s_col = prompt_len + col_cursor
+
+            # ---- draft per row: most recent earlier (prev, pending) bigram
+            # in the COMPACT history, extrapolated periodically (see the
+            # greedy impl above for why periodic beats literal copy).
+            e = hcount  # (B,) index past the pending token
+            prev = jnp.take_along_axis(hist, (e - 2)[:, None], axis=1)[:, 0]
+            match = (
+                (hist == prev[:, None])
+                & (jnp.roll(hist, -1, axis=1) == token[:, None])
+                & (hcols[None, :] < (e - 2)[:, None])
+            )
+            j = jnp.max(jnp.where(match, hcols[None, :], -1), axis=1)  # (B,)
+            d = jnp.maximum((e - 2) - j, 1)[:, None]  # (B, 1) period
+            off = jnp.arange(draft_k, dtype=jnp.int32)[None, :]
+            off = off - (off // d) * d
+            draft = jnp.take_along_axis(hist, (e[:, None] - d) + off, axis=1)
+            draft = jnp.where((j >= 0)[:, None], draft, pad)  # (B, K)
+            fed = jnp.concatenate([token[:, None], draft], axis=1).astype(
+                jnp.int32
+            )  # (B, K1)
+
+            # ---- verify: one cached (B, K1) forward at SHARED columns.
+            # Causality: query/key positions are COLUMN indices for decode
+            # columns (prompt columns stay 0), so intra-block order works
+            # and every earlier valid column passes; holes are invalid.
+            attn_valid = jax.lax.dynamic_update_slice(
+                attn_valid, jnp.ones((B, K1), bool), (0, s_col)
+            )
+            kv_pos = jax.lax.dynamic_update_slice(
+                kv_pos, (s_col + blk)[None, :], (0, s_col)
+            )
+            embeds = embed_tokens(params, fed)
+            position_ids = jnp.broadcast_to(
+                mrope_cur[None, :, None] + blk[None, None, :], (3, B, K1)
+            )
+            hidden, cache = text_forward(
+                params["text"],
+                cfg.text,
+                embeds,
+                position_ids,
+                seq_positions=jnp.broadcast_to((s_col + blk)[None, :], (B, K1)),
+                attn_valid=attn_valid,
+                cache={"k": ak, "v": av},
+                cache_offset=s_col,
+                kv_positions=jnp.broadcast_to(kv_pos, (B, T)),
+                attn_impl=self.decode_attn_impl,
+            )
+            ak, av = cache["k"], cache["v"]
+            logits = logits_from_hidden(params["text"], hidden)  # (B, K1, V)
+
+            # ---- sample-and-match acceptance, vectorized over rows.
+            rng, sub = jax.random.split(rng)
+            ok = jnp.ones((B,), bool)
+            blk_done = done
+            out_t, out_lp = [], []
+            n_emit = jnp.zeros((B,), jnp.int32)
+            rem = remaining
+            for i in range(K1):
+                li = logits[:, i]  # (B, V)
+                nxt = sample_token(
+                    jax.random.fold_in(sub, i), li, temperature=temperature,
+                    top_p=top_p, seen_mask=seen,
+                    repetition_penalty=repetition_penalty,
+                )
+                emit = ok & ~blk_done & (rem > 0)
+                lp = jax.nn.log_softmax(li, axis=-1)[rows, nxt]
+                out_t.append(jnp.where(emit, nxt, pad))
+                out_lp.append(jnp.where(emit, lp, 0.0))
+                seen = jnp.where(
+                    emit[:, None], seen.at[rows, nxt].set(True), seen
+                )
+                n_emit = n_emit + emit.astype(jnp.int32)
+                rem = rem - emit.astype(jnp.int32)
+                blk_done = blk_done | (emit & (nxt == eos)) | (rem <= 0)
+                if i < draft_k:
+                    ok = ok & emit & (draft[:, i] == nxt)
+
+            outs = jnp.stack(out_t, axis=1).astype(jnp.int32)  # (B, K1)
+            outlps = jnp.stack(out_lp, axis=1)
+
+            # per-row emission append (tiny buffers; scatter is fine here)
+            idx = emitted[:, None] + blk[None, :]
+            toks = toks.at[rows[:, None], idx].set(outs)
+            lps = lps.at[rows[:, None], idx].set(outlps)
+            # commit emitted tokens to the compact history (garbage past
+            # n_emit is overwritten before any read: drafting only reads
+            # columns < hcount)
+            hist = hist.at[rows[:, None], e[:, None] + blk[None, :]].set(outs)
+            hcount = hcount + n_emit
+
+            # rejected/done columns become holes: fed i stays context iff
+            # i < n_emit (fed[0] is the pending REAL token of a live row)
+            attn_valid = jax.lax.dynamic_update_slice(
+                attn_valid, blk[None, :] < n_emit[:, None], (0, s_col)
+            )
+            emitted = emitted + n_emit
+            token = jnp.where(
+                n_emit > 0,
+                jnp.take_along_axis(
+                    outs, jnp.maximum(n_emit - 1, 0)[:, None], axis=1
+                )[:, 0],
+                token,
+            )
+            done = blk_done | (n_emit == 0)
+            mrope_cur = mrope_cur + n_emit
+            remaining = remaining - n_emit
+            return (emitted, n_verify + 1, token, ak, av, seen, attn_valid,
+                    kv_pos, done, rng, col_cursor + K1, hist, hcount,
+                    remaining, mrope_cur, toks, lps)
+
+        st = (emitted, n_verify, token, arena_k, arena_v, seen, attn_valid,
+              kv_pos, done, rng, jnp.asarray(col_cursor), hist, hcount,
+              remaining, mrope_cur, toks, lps)
+        st = jax.lax.while_loop(cond, body, st)
+        (emitted, n_verify, token, arena_k, arena_v, seen, attn_valid, kv_pos,
+         done, rng, col_cursor, hist, hcount, remaining, mrope_cur,
+         toks, lps) = st
+        return (toks, lps, emitted, n_verify, token, arena_k, arena_v, seen,
+                attn_valid, kv_pos, hist, hcount, done, rng, col_cursor,
+                mrope_cur, remaining)
 
     def _bind_impl(self, token, mrope_cur, remaining, done, attn_valid, seen,
                    slots, first, next_pos, attn_rows, seen_rows, row_done,
@@ -1476,6 +1712,18 @@ class InferenceEngine:
         # so the arena gets draft_k+1 extra columns of headroom.
         draft_k = self.spec_draft
 
+        def _spec_sample_ok(b: int) -> bool:
+            # Multi-row SAMPLED speculation: single-wave groups only (every
+            # request bound in the first admission round, no mid-flight
+            # rebinding); the greedy bit-exact path wins when it applies.
+            return (
+                self.spec_sample
+                and not self._dp
+                and not _spec_ok(b)
+                and len(idxs) <= b
+                and sampling.max_tokens > 1
+            )
+
         def _spec_ok(b: int) -> bool:
             return (
                 self.spec_decode
@@ -1492,7 +1740,12 @@ class InferenceEngine:
             tcfg = cfg.text
 
             def _cap(b: int) -> int:
-                t = L + sampling.max_tokens + (draft_k + 1 if _spec_ok(b) else 0)
+                t = (
+                    L + sampling.max_tokens
+                    + (draft_k + 1 if _spec_ok(b) else 0)
+                    + (self.spec_surplus + draft_k + 1
+                       if _spec_sample_ok(b) else 0)
+                )
                 per_slot = (
                     2 * tcfg.num_hidden_layers * t * tcfg.num_key_value_heads
                     * tcfg.head_dim * jnp.dtype(self.cache_dtype).itemsize
@@ -1503,7 +1756,12 @@ class InferenceEngine:
             # re-cap with its draft columns included so the budget holds.
             B = _cap(_cap(B))
         spec_active = _spec_ok(B)
-        T = L + sampling.max_tokens + (draft_k + 1 if spec_active else 0)
+        spec_sample_active = _spec_sample_ok(B)
+        T = (
+            L + sampling.max_tokens
+            + (draft_k + 1 if spec_active else 0)
+            + (self.spec_surplus + draft_k + 1 if spec_sample_active else 0)
+        )
         V = cfg.text.vocab_size
         arena = self._get_arena(B, T)
 
@@ -1524,6 +1782,15 @@ class InferenceEngine:
         # Fed-token history for speculative drafting (prompt + generated by
         # buffer column); rebuilt host-side at each (single-row) admission.
         hist = self._put(np.zeros((B, T), np.int32)) if spec_active else None
+        # Sampled-spec state: compact per-row drafting history + committed
+        # counts (built lazily once all rows are bound) and the shared
+        # column-index kv_positions row.
+        Hc = L + sampling.max_tokens + draft_k + 2
+        kv_pos = (
+            self._put(np.zeros((1, T), np.int32)) if spec_sample_active else None
+        )
+        hist_c = None
+        hcount = None
 
         def finalize(s):
             rid = slot_rid[s]
@@ -1543,15 +1810,65 @@ class InferenceEngine:
                 out["logprobs"] = lp_acc[rid]
             results[rid] = out
 
-        def run_segment(n_steps):
+        def run_segment(n_steps, interleaved=False):
             """One decode segment over the active slots + harvest."""
             nonlocal token, seen, attn_valid, done, rng, cursor, mrope_cur
             nonlocal remaining, arena, hist
+            nonlocal kv_pos, hist_c, hcount, spec_sample_active
             active = [s for s in range(B) if slot_rid[s] is not None]
             if not active:
                 return
+            # Sampled speculation engages once every request is bound (the
+            # gate guarantees that happens in the first admission round);
+            # plain segments interleaved earlier share the same monotonic
+            # column cursor, and their columns keep kv_pos 0 (always-valid
+            # context for later verify blocks).
+            # interleaved=True marks mid-admission refill segments (chunked
+            # prefill of a not-yet-bound row): those run plain, sharing the
+            # monotonic column cursor; their columns keep kv_pos 0, which is
+            # always-valid context for later verify blocks.
+            spec_sample_now = (
+                spec_sample_active and not interleaved and qpos >= len(idxs)
+            )
             with self.timer.stage("decode"), trace_annotation("engine.decode"):
-                if spec_active:
+                if spec_sample_now:
+                    if hist_c is None:
+                        rows_np = np.full((B, Hc), cfg.pad_token_id, np.int32)
+                        counts = np.full((B,), 2, np.int32)  # done-row floor
+                        for s in range(B):
+                            rid = slot_rid[s]
+                            if rid is None:
+                                continue
+                            ids0 = list(requests[rid].input_ids) + emitted[rid]
+                            rows_np[s, : len(ids0)] = ids0
+                            counts[s] = len(ids0)
+                        hist_c = self._put(rows_np)
+                        hcount = self._put(counts, to_i32=True, row_dim=0)
+                    (toks, lps, emitted_n, n_verify, token, ak, av, seen,
+                     attn_valid, kv_pos, hist_c, hcount, done, rng, cursor,
+                     mrope_cur, remaining) = self._segment_spec_sample(
+                        self.params,
+                        token,
+                        arena["k"],
+                        arena["v"],
+                        seen,
+                        attn_valid,
+                        done,
+                        rng,
+                        cursor,
+                        kv_pos,
+                        mrope_cur,
+                        remaining,
+                        hist_c,
+                        hcount,
+                        temperature=sampling.temperature,
+                        top_p=sampling.top_p,
+                        repetition_penalty=sampling.repetition_penalty,
+                        n_steps=n_steps,
+                        prompt_len=L,
+                        draft_k=draft_k,
+                    )
+                elif spec_active:
                     (toks, lps, emitted_n, n_verify, token, ak, av, seen,
                      attn_valid, hist, done, rng, cursor, mrope_cur,
                      remaining) = self._segment_spec(
@@ -1600,7 +1917,7 @@ class InferenceEngine:
                 toks_h, lps_h, emitted_h, done_h = jax.device_get(
                     (toks, lps, emitted_n, done)
                 )
-                if spec_active:
+                if spec_active or spec_sample_now:
                     self.spec_stats["verify_steps"] += int(
                         jax.device_get(n_verify)
                     )
@@ -1612,6 +1929,18 @@ class InferenceEngine:
                 lp_acc[rid].extend(float(x) for x in lps_h[s, :n])
                 if done_h[s]:
                     finalize(s)
+            if (
+                spec_sample_now
+                and not all(done_h)
+                and int(emitted_h.max()) < n_steps
+            ):
+                # Column surplus exhausted with rows still live (the only
+                # other early exit is the n_steps segment boundary, excluded
+                # above): finish with the plain ring path, which continues
+                # monotonically from `cursor` — the loop invariant
+                # guarantees the remaining budget fits without wrapping
+                # over valid columns.
+                spec_sample_active = False
 
         def bind_new_rows(slots, rids, logits, seen_rows, attn_rows, next_pos):
             """Sample first tokens for freshly prefilled rows and bind them
@@ -1892,7 +2221,10 @@ class InferenceEngine:
                             )
                             rows = {"k": rk, "v": rv}
                             if c0 + chunk < L and not full_wave:
-                                run_segment(min(self.decode_segment, sampling.max_tokens))
+                                run_segment(
+                                    min(self.decode_segment, sampling.max_tokens),
+                                    interleaved=True,
+                                )
                         if full_wave:
                             ak, av = rows["k"], rows["v"]
                         else:

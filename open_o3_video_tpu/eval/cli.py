@@ -38,6 +38,8 @@ def build_model(args, bench: str):
     kwargs = load_model_kwargs(args, bench)
     if args.load_in_int8:
         kwargs["load_in_int8"] = True
+    if args.load_in_int4:
+        kwargs["load_in_int4"] = True
     mesh = None
     if args.mesh_tensor > 1 or args.mesh_data > 1:
         from ..parallel import make_mesh
@@ -65,6 +67,11 @@ def main():
     parser.add_argument(
         "--load_in_int8", action="store_true",
         help="stream decoder weights to int8 on load (full 7B on one 16 GB chip)",
+    )
+    parser.add_argument(
+        "--load_in_int4", action="store_true",
+        help="pack decoder weights to int4 on load (ops/int4.py; memory "
+             "knob — 72B judge at ~36 GB — NOT a decode-speed win on v5e)",
     )
     parser.add_argument("--N", type=int, default=1)
     parser.add_argument("--vote", default="majority_voting",
@@ -109,7 +116,8 @@ def main():
         # where bf16 (144 GB) cannot (reference judges on 4 A100s,
         # eval_vstar.py:20-24).
         judge = EngineJudge(args.model_path, mesh=mesh,
-                            load_in_int8=args.load_in_int8)
+                            load_in_int8=args.load_in_int8,
+                            load_in_int4=args.load_in_int4)
         evaluate_json(args.result_file, judge)
     elif args.benchmark == "videomme":
         from . import videomme

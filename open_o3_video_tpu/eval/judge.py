@@ -46,19 +46,25 @@ class EngineJudge:
     """Text-only judge backed by the inference engine (greedy, 512 tokens)."""
 
     def __init__(self, model_dir_or_params, mesh=None, max_new_tokens: int = 512,
-                 *, cfg=None, processor=None, load_in_int8: bool = False):
+                 *, cfg=None, processor=None, load_in_int8: bool = False,
+                 load_in_int4: bool = False):
         """``load_in_int8`` streams decoder weights to int8 at load — the
         72B memory story: bf16 Qwen2.5-72B is 144 GB (> a v5e-8's 128 GB
         HBM), int8 is ~72 GB (~9 GB/chip sharded over tensor=8), which
         fits alongside the judge's text-only KV. The reference instead
-        needs 4x80 GB GPUs with device_map="auto" (eval_vstar.py:20-24)."""
+        needs 4x80 GB GPUs with device_map="auto" (eval_vstar.py:20-24).
+        ``load_in_int4`` (ops/int4.py) halves that again to ~36 GB (~4.5
+        GB/chip) — a pure MEMORY knob: the measured decode-speed ceiling
+        of any int4 kernel on v5e is 1.00x int8 (profile_int4_pallas.py),
+        so use it for headroom (longer judge batches/KV), not speed."""
         from ..data.processor import O3VideoProcessor
         from ..engine import InferenceEngine, SamplingParams
         from ..models.qwen25vl import params as P
 
         if isinstance(model_dir_or_params, str):
             params, cfg = P.load_pretrained(
-                model_dir_or_params, quantize_text=load_in_int8
+                model_dir_or_params,
+                quantize_text="int4" if load_in_int4 else load_in_int8,
             )
             processor = processor or O3VideoProcessor.from_pretrained(model_dir_or_params)
         else:

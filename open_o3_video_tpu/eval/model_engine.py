@@ -47,15 +47,19 @@ class QwenVLEngine:
         self.max_num_seqs = llm_args.pop("max_num_seqs", 5)
 
         load_in_int8 = llm_args.pop("load_in_int8", False)
+        load_in_int4 = llm_args.pop("load_in_int4", False)
         quantize_vision = llm_args.pop("quantize_vision", False)
+        quantize_text = "int4" if load_in_int4 else load_in_int8
         if isinstance(llm_name_or_params, str):
             print("Start initialize the model.")
             # int8 streams decoder weights to ~9.5 GB so the full 7B + KV
             # arena fits one 16 GB chip (load_pretrained quantize_text);
-            # quantize_vision pairs with a8_prefill for the 2x MXU tower.
+            # int4 halves that again via the Pallas group-dequant kernel
+            # (ops/int4.py, opt-in: extra rounding loss); quantize_vision
+            # pairs with a8_prefill for the 2x MXU tower.
             params, cfg = P.load_pretrained(
                 llm_name_or_params, cfg,
-                quantize_text=load_in_int8, quantize_vision=quantize_vision,
+                quantize_text=quantize_text, quantize_vision=quantize_vision,
             )
             processor = processor or O3VideoProcessor.from_pretrained(llm_name_or_params)
         else:

@@ -54,13 +54,10 @@ def init(
         return (std * jax.random.normal(jax.random.fold_in(key, counter[0]), shape)).astype(dt)
 
     def maybe_q(leaf, enabled=None):
-        if not (quantize_text if enabled is None else enabled):
+        mode = quantize_text if enabled is None else enabled
+        if not mode:
             return leaf
-        from ...ops.quant import quantize_weight
-
-        out = quantize_weight(leaf)
-        leaf.delete()
-        return out
+        return _quantize_leaf(leaf, mode)
 
     def vw(*shape):
         return maybe_q(w(*shape), enabled=quantize_vision)
@@ -191,6 +188,22 @@ _QUANT_TEXT_LEAVES = frozenset(
     {"q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w", "lm_head"}
 )
 
+
+def _quantize_leaf(leaf, mode):
+    """int8/int4 quantization of one matmul weight; ``mode`` is True/"int8"
+    for per-channel int8 or "int4" for group-128 packed int4 (falling back
+    to int8 when the in-dim does not divide the group)."""
+    if mode == "int4" and leaf.shape[0] % 128 == 0:
+        from ...ops.int4 import quantize_weight_int4
+
+        out = quantize_weight_int4(leaf, group=128)
+    else:
+        from ...ops.quant import quantize_weight
+
+        out = quantize_weight(leaf)
+    leaf.delete()
+    return out
+
 # ViT block matmuls (attention + all three MLP variants). Quantizing these
 # matters for COMPUTE (w8a8 prefill, ops/quant.py a8_acts), not HBM; the
 # patch embed and merger stay bf16.
@@ -223,18 +236,16 @@ def from_named_arrays(
             quantize_text
             and path[0] == "text"
             and path[-1] in _QUANT_TEXT_LEAVES
-        ) or (
+        ):
+            leaf = _quantize_leaf(leaf, quantize_text)
+        elif (
             quantize_vision
             and path[0] == "visual"
             and len(path) > 2
             and path[1] == "blocks"
             and path[-1] in _QUANT_VISION_LEAVES
         ):
-            from ...ops.quant import quantize_weight
-
-            q = quantize_weight(leaf)
-            leaf.delete()
-            leaf = q
+            leaf = _quantize_leaf(leaf, quantize_vision)
         node = params
         for p in path[:-1]:
             node = node[p]

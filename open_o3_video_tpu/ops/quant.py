@@ -149,7 +149,12 @@ class LoraLinear:
 
 def dense(x: jnp.ndarray, w) -> jnp.ndarray:
     """x @ w for plain arrays, QuantizedLinear (cast fused into the dot),
-    or LoraLinear (frozen base + low-rank delta)."""
+    Int4Linear (Pallas group-dequant kernel), or LoraLinear (frozen base +
+    low-rank delta)."""
+    from .int4 import Int4Linear, int4_dense
+
+    if isinstance(w, Int4Linear):
+        return int4_dense(x, w)
     if isinstance(w, LoraLinear):
         delta = (x @ w.a.astype(x.dtype)) @ w.b.astype(x.dtype)
         return dense(x, w.base) + delta * jnp.asarray(w.scale, x.dtype)

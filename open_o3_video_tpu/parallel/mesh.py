@@ -56,14 +56,17 @@ def make_mesh(
 # - 2D weights stored input-major (x @ W).
 # - TP shards the head/ffn dim; FSDP shards the other dim (ZeRO-3 style).
 PARAM_RULES: list[tuple[str, P]] = [
-    # int8-quantized leaves (ops/quant.py): w_q shards like its parent
-    # weight, per-output-channel scales follow the output axis.
+    # Quantized leaves (ops/quant.py int8 w_q, ops/int4.py packed w_p):
+    # both shard like their parent weight (w_p's packed rows stay
+    # group-major, so splitting the first axis over fsdp is still a clean
+    # row split as long as the group count divides it). Scales: int8's
+    # (1, out) and int4's (groups, out) both follow the output axis.
     # (/base)? lets every rule also address the frozen base inside a
     # LoRA-wrapped leaf (ops/quant.LoraLinear), so sharding a combined
     # adapter tree behaves exactly like sharding the plain one.
-    (r"text/layers/\d+/(q_w|k_w|v_w|gate_w|up_w)(/base)?/w_q$", P("fsdp", "tensor")),
-    (r"text/layers/\d+/(o_w|down_w)(/base)?/w_q$", P("tensor", "fsdp")),
-    (r"text/lm_head(/base)?/w_q$", P("fsdp", "tensor")),
+    (r"text/layers/\d+/(q_w|k_w|v_w|gate_w|up_w)(/base)?/(w_q|w_p)$", P("fsdp", "tensor")),
+    (r"text/layers/\d+/(o_w|down_w)(/base)?/(w_q|w_p)$", P("tensor", "fsdp")),
+    (r"text/lm_head(/base)?/(w_q|w_p)$", P("fsdp", "tensor")),
     (r"text/layers/\d+/(q_w|k_w|v_w|gate_w|up_w)(/base)?/scale$", P(None, "tensor")),
     (r"text/layers/\d+/(o_w|down_w)(/base)?/scale$", P(None, "fsdp")),
     (r"text/lm_head(/base)?/scale$", P(None, "tensor")),

@@ -62,6 +62,12 @@ class GSPOConfig:
     # HBM, and the prefix blocks are dead after the step's weight swap
     # anyway. Costs one arena re-alloc per step.
     release_engine_memory: bool = True
+    # Multi-row sampled speculative decoding for the rollout (engine
+    # spec_sample): prompt-lookup drafts verified in one (draft_k+1)-token
+    # forward per iteration — distributionally exact for temperature
+    # sampling (sample-and-match acceptance), so rollouts remain on-policy;
+    # throughput scales with the trace's self-repetition. Opt-in.
+    spec_rollout: bool = False
 
 
 def group_advantages(rewards: np.ndarray, num_generations: int) -> np.ndarray:
@@ -255,7 +261,9 @@ class GSPOTrainer:
                 self.adapters = replicate(self.adapters, mesh)
         # The engine shares the trainer's (already sharded) params; passing
         # the mesh turns on SPMD lockstep mode when it spans hosts.
-        self.engine = InferenceEngine(params, model_cfg, mesh=mesh)
+        self.engine = InferenceEngine(
+            params, model_cfg, mesh=mesh, spec_sample=cfg.spec_rollout
+        )
 
         # Per-stage wall clock (rollout/reward/logps/update), SURVEY §5.1.
         self.timer = StageTimer()

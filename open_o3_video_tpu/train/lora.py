@@ -113,11 +113,16 @@ def merge_adapters(params: dict, adapters: dict, scale: float,
     leaf keeps ITS OWN dtype (a float32 base is NOT downcast to the
     adapter dtype). ``out_dtype`` only decides what DEQUANTIZED int8
     leaves become (the QLoRA export case); default = adapter dtype."""
+    from ..ops.int4 import Int4Linear, _unpack_int4_xla
     from ..ops.quant import QuantizedLinear
+
+    _QUANT_TYPES = (QuantizedLinear, Int4Linear)
 
     def dequant(leaf):
         if isinstance(leaf, QuantizedLinear):
             return leaf.w_q.astype(jnp.float32) * leaf.scale.astype(jnp.float32)
+        if isinstance(leaf, Int4Linear):
+            return _unpack_int4_xla(leaf, jnp.float32)
         return leaf
 
     if out_dtype is None:
@@ -128,7 +133,7 @@ def merge_adapters(params: dict, adapters: dict, scale: float,
         for name, ab in ad.items():
             base_leaf = layer[name]
             leaf_dtype = (
-                out_dtype if isinstance(base_leaf, QuantizedLinear)
+                out_dtype if isinstance(base_leaf, _QUANT_TYPES)
                 else base_leaf.dtype
             )
             base = dequant(base_leaf).astype(jnp.float32)
@@ -138,12 +143,13 @@ def merge_adapters(params: dict, adapters: dict, scale: float,
     out = dict(params)
     out["text"] = dict(params["text"])
     out["text"]["layers"] = layers
-    # EVERY remaining int8 leaf dequantizes — non-target text matmuls,
-    # lm_head, AND vision-tower blocks (quantize_vision, the w8a8 serving
-    # path) — so the export is a uniformly full-precision checkpoint.
+    # EVERY remaining quantized leaf (int8 or packed int4) dequantizes —
+    # non-target text matmuls, lm_head, AND vision-tower blocks
+    # (quantize_vision, the w8a8 serving path) — so the export is a
+    # uniformly full-precision checkpoint.
     return jax.tree.map(
         lambda x: (dequant(x).astype(out_dtype)
-                   if isinstance(x, QuantizedLinear) else x),
+                   if isinstance(x, _QUANT_TYPES) else x),
         out,
-        is_leaf=lambda x: isinstance(x, QuantizedLinear),
+        is_leaf=lambda x: isinstance(x, _QUANT_TYPES),
     )
