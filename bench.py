@@ -171,6 +171,12 @@ def bench_quant_agreement(frames_u8, grid_thw, prompt):
     bf16, int8 = streams["bf16"], streams["w8"]
     m = min(len(bf16), len(int8))
     fr_agree = [a == b for a, b in zip(bf16[:m], int8[:m])]
+
+    def _freerun(mode):
+        s = streams[mode]
+        k = min(len(bf16), len(s))
+        return round(float(np.mean([a == b for a, b in zip(bf16[:k], s[:k])])), 4) if k else 0.0
+
     return {
         "layers": layers,
         "tokens": n,
@@ -184,6 +190,9 @@ def bench_quant_agreement(frames_u8, grid_thw, prompt):
         "freerun_first_divergence": (
             fr_agree.index(False) if False in fr_agree else None
         ),
+        # every mode's generate is already paid for; report its free run
+        "freerun_agreement_a8": _freerun("a8"),
+        "freerun_agreement_w4": _freerun("w4"),
     }
 
 

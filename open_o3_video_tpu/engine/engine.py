@@ -1739,22 +1739,27 @@ class InferenceEngine:
             # through as slots free up.
             tcfg = cfg.text
 
-            def _cap(b: int) -> int:
-                t = (
-                    L + sampling.max_tokens
-                    + (draft_k + 1 if _spec_ok(b) else 0)
-                    + (self.spec_surplus + draft_k + 1
-                       if _spec_sample_ok(b) else 0)
-                )
+            def _slots_for(extra_cols: int) -> int:
+                t = L + sampling.max_tokens + extra_cols
                 per_slot = (
                     2 * tcfg.num_hidden_layers * t * tcfg.num_key_value_heads
                     * tcfg.head_dim * jnp.dtype(self.cache_dtype).itemsize
                 )
-                return max(1, min(b, int(self.max_kv_gb * 1e9 / per_slot)))
+                return max(1, min(B, int(self.max_kv_gb * 1e9 / per_slot)))
 
-            # Capping to one slot can newly enable speculative decoding;
-            # re-cap with its draft columns included so the budget holds.
-            B = _cap(_cap(B))
+            # The sampled-spec surplus columns count against the budget
+            # only if the capped slot count still RUNS that path (every
+            # row bound in one wave). When the surplus shrinks the cap
+            # below the row count, fall back to plain slots — shrinking
+            # first and then discovering the mode is disabled would keep
+            # fewer slots AND no speculation. Capping to one slot can
+            # newly enable greedy spec decoding; budget its draft columns.
+            b_ss = _slots_for(self.spec_surplus + draft_k + 1)
+            if _spec_sample_ok(b_ss) and b_ss >= len(idxs):
+                B = b_ss
+            else:
+                b = _slots_for(0)
+                B = _slots_for(draft_k + 1) if _spec_ok(b) else b
         spec_active = _spec_ok(B)
         spec_sample_active = _spec_sample_ok(B)
         T = (
@@ -1819,10 +1824,7 @@ class InferenceEngine:
             if not active:
                 return
             # Sampled speculation engages once every request is bound (the
-            # gate guarantees that happens in the first admission round);
-            # plain segments interleaved earlier share the same monotonic
-            # column cursor, and their columns keep kv_pos 0 (always-valid
-            # context for later verify blocks).
+            # gate guarantees that happens in the first admission round).
             # interleaved=True marks mid-admission refill segments (chunked
             # prefill of a not-yet-bound row): those run plain, sharing the
             # monotonic column cursor; their columns keep kv_pos 0, which is

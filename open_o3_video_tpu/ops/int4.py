@@ -88,15 +88,20 @@ def quantize_weight_int4(w: jnp.ndarray, group: int = 128) -> Int4Linear:
     return Int4Linear(packed, scale[:, 0].astype(jnp.float32), group)
 
 
-def _unpack_int4_xla(w: Int4Linear, dtype=jnp.float32) -> jnp.ndarray:
-    """Dequantize to a dense (K, N) matrix (reference path; CPU fallback)."""
-    K2, N = w.w_p.shape
-    p = w.w_p.astype(jnp.int32)
+def _dequant_xla(w_p, scale, group: int, dtype) -> jnp.ndarray:
+    """Dequantize raw packed arrays to a dense (K, N) matrix."""
+    K2, N = w_p.shape
+    p = w_p.astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(p, 28), 28)
     hi = jnp.right_shift(p, 4)
     q = jnp.stack([lo, hi], axis=1).reshape(2 * K2, N)  # adjacent-row pairs
-    scale = jnp.repeat(w.scale, w.group, axis=0)  # (K, N)
-    return (q * scale).astype(dtype)
+    s = jnp.repeat(scale, group, axis=0)  # (K, N)
+    return (q * s).astype(dtype)
+
+
+def _unpack_int4_xla(w: Int4Linear, dtype=jnp.float32) -> jnp.ndarray:
+    """Dequantize to a dense (K, N) matrix (reference path; CPU fallback)."""
+    return _dequant_xla(w.w_p, w.scale, w.group, dtype)
 
 
 def _int4_kernel(
@@ -198,32 +203,145 @@ def _int4_matmul_pallas(
     )(x2, w_p, scale.reshape(n_groups, 1, N))
 
 
+def _int4_mm_2d(x2, w_p, scale, *, group: int, interpret: bool) -> jnp.ndarray:
+    """2D matmul core over (possibly shard-LOCAL) shapes.
+
+    Guards + XLA fallback + M padding + the Pallas kernel. Lives below the
+    custom_partitioning boundary so the eligibility check runs on the
+    per-shard shapes (a globally lane-aligned N can shard to a misaligned
+    local N, e.g. vocab 152064 over tensor=8 -> 19008)."""
+    M, K = x2.shape
+    N = w_p.shape[1]
+    use_pallas = interpret or jax.default_backend() == "tpu"
+    if not use_pallas or N % 128 != 0 or group % 2 != 0 or (group // 2) % 8 != 0:
+        return x2 @ _dequant_xla(w_p, scale, group, x2.dtype)
+    xb = x2.astype(jnp.bfloat16)
+    block_m = 256 if M >= 256 else max(16, -(-M // 16) * 16)
+    pad_m = (-M) % block_m
+    if pad_m:
+        xb = jnp.pad(xb, ((0, pad_m), (0, 0)))
+    out = _int4_matmul_pallas(xb, w_p, scale, group, block_m, bool(interpret))
+    if pad_m:
+        out = out[:M]
+    return out.astype(x2.dtype)
+
+
+def _axes(spec, i):
+    ax = spec[i] if len(spec) > i else None
+    if ax is None:
+        return ()
+    return tuple(ax) if isinstance(ax, (tuple, list)) else (ax,)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_int4_mm(group: int, interpret: bool):
+    """custom_partitioning wrapper: the Pallas call is opaque to GSPMD, so
+    without this a tensor-sharded Int4Linear (the 72B judge deployment,
+    PARAM_RULES) would be ALL-GATHERED per use and the matmul replicated
+    on every chip. The rule keeps the weight sharded and runs the kernel
+    on local shards:
+    - w_p sharded on N (column-parallel): local matmul, output sharded on N;
+    - w_p sharded on K (row-parallel): x resharded to the matching K split,
+      partial products psum-ed over the axis — only taken when the split
+      keeps whole quant groups per shard (scales are group-local);
+    - x sharded on M (batch/data): passes straight through the grid.
+    """
+    from jax.experimental.custom_partitioning import (
+        SdyShardingRule,
+        custom_partitioning,
+    )
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    def impl(x2, w_p, scale):
+        return _int4_mm_2d(x2, w_p, scale, group=group, interpret=interpret)
+
+    cp = custom_partitioning(impl)
+
+    def _size(mesh, axes):
+        n = 1
+        for a in axes:
+            n *= mesh.shape[a]
+        return n
+
+    def _sp(*parts):
+        return P(*[p if p else None for p in parts])
+
+    def infer(mesh, arg_shapes, result_shape):
+        x_s, wp_s, _ = (a.sharding for a in arg_shapes)
+        return NamedSharding(
+            mesh, _sp(_axes(x_s.spec, 0), _axes(wp_s.spec, 1))
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        x_sh, wp_sh, sc_sh = arg_shapes
+        M, _K = x_sh.shape
+        K2, N = wp_sh.shape
+        G = sc_sh.shape[0]
+        m_axes = _axes(x_sh.sharding.spec, 0)
+        k_axes = _axes(wp_sh.sharding.spec, 0)
+        n_axes = _axes(wp_sh.sharding.spec, 1)
+        if M % _size(mesh, m_axes):
+            m_axes = ()
+        # A K split must keep whole quant groups per shard (the kernel
+        # applies scales group-locally); otherwise replicate K.
+        ks = _size(mesh, k_axes)
+        if ks > 1 and (K2 % ks or G % ks):
+            k_axes = ()
+        if N % _size(mesh, n_axes):
+            n_axes = ()
+        arg_shardings = (
+            NamedSharding(mesh, _sp(m_axes, k_axes)),
+            NamedSharding(mesh, _sp(k_axes, n_axes)),
+            NamedSharding(mesh, _sp(k_axes, n_axes)),
+        )
+        out_sharding = NamedSharding(mesh, _sp(m_axes, n_axes))
+
+        def lower_fn(x2, w_p, scale):
+            out = impl(x2, w_p, scale)
+            if k_axes:
+                out = jax.lax.psum(out, k_axes)
+            return out
+
+        return mesh, lower_fn, out_sharding, arg_shardings
+
+    cp.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        # x (m, K=(h two)), w_p (h, n), scale (g, n) -> (m, n); h/g are
+        # contraction factors, the in-byte pair ("two") cannot shard.
+        sharding_rule=SdyShardingRule(
+            (("m", ("h", "two")), ("h", "n"), ("g", "n")),
+            (("m", "n"),),
+            reduction_factors=("h", "g"),
+            need_replication_factors=("two",),
+            two=2,
+        ),
+    )
+    return cp
+
+
 def int4_dense(x: jnp.ndarray, w: Int4Linear, interpret=None) -> jnp.ndarray:
     """x @ dequant(w), unpacking block-locally in VMEM on TPU.
 
     Falls back to the XLA dequant-then-matmul path off-TPU or for shapes
-    the kernel does not cover (lane-misaligned N, tiny test dims).
+    the kernel does not cover (lane-misaligned N, tiny test dims). On
+    multi-device processes the matmul goes through _sharded_int4_mm so
+    sharded weights stay sharded (see that docstring).
     """
     interpret = _resolve_interpret(interpret)
     K2, N = w.w_p.shape
     K = 2 * K2
-    use_pallas = interpret or jax.default_backend() == "tpu"
-    if not use_pallas or N % 128 != 0 or w.group % 2 != 0 or (w.group // 2) % 8 != 0:
-        return x @ _unpack_int4_xla(w, x.dtype)
     lead = x.shape[:-1]
     M = 1
     for d in lead:
         M *= int(d)
-    x2 = x.reshape(M, K).astype(jnp.bfloat16)
-    block_m = 256 if M >= 256 else max(16, -(-M // 16) * 16)
-    pad_m = (-M) % block_m
-    if pad_m:
-        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
-    out = _int4_matmul_pallas(
-        x2, w.w_p, w.scale, w.group, block_m, bool(interpret)
-    )
-    if pad_m:
-        out = out[:M]
+    x2 = x.reshape(M, K)
+    if jax.device_count() > 1:
+        out = _sharded_int4_mm(w.group, bool(interpret))(x2, w.w_p, w.scale)
+    else:
+        out = _int4_mm_2d(x2, w.w_p, w.scale, group=w.group,
+                          interpret=bool(interpret))
     return out.reshape(*lead, N).astype(x.dtype)
 
 

@@ -65,6 +65,14 @@ PARAM_RULES: list[tuple[str, P]] = [
     # LoRA-wrapped leaf (ops/quant.LoraLinear), so sharding a combined
     # adapter tree behaves exactly like sharding the plain one.
     (r"text/layers/\d+/(q_w|k_w|v_w|gate_w|up_w)(/base)?/(w_q|w_p)$", P("fsdp", "tensor")),
+    # int4 packed weights are COLUMN-parallel even for the row-parallel
+    # layers: a K split over tensor straddles quant groups at real dims
+    # (72B down_w: 231 groups % 8 != 0), which ops/int4.py's partition
+    # would demote to full replication — the exact failure mode the
+    # custom_partitioning exists to prevent. N always splits cleanly, and
+    # at decode the extra activation all-gathers are negligible next to
+    # the sharded weight traffic.
+    (r"text/layers/\d+/(o_w|down_w)(/base)?/w_p$", P(None, "tensor")),
     (r"text/layers/\d+/(o_w|down_w)(/base)?/(w_q|w_p)$", P("tensor", "fsdp")),
     (r"text/lm_head(/base)?/(w_q|w_p)$", P("fsdp", "tensor")),
     (r"text/layers/\d+/(q_w|k_w|v_w|gate_w|up_w)(/base)?/scale$", P(None, "tensor")),

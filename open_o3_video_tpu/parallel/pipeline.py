@@ -26,7 +26,6 @@ XLA — no sequence re-chunking, rope/cache semantics untouched).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -153,9 +152,7 @@ def pipeline_text_forward(
         )
         return out
 
-    specs = jax.tree.map(
-        lambda x: P(*(["pipe"] + [None] * (x.ndim - 1))), stacked
-    )
+    specs = pipeline_param_specs(stacked)
     hidden = jax.shard_map(
         stage_program,
         mesh=mesh,
