@@ -122,7 +122,12 @@ def causal_attention(
         if k.dtype != q.dtype:  # cache may store fp8/bf16
             k = k.astype(q.dtype)
             v = v.astype(q.dtype)
-        return flash_attention_gqa(q, k, v, q_positions.astype(jnp.int32), kv_valid)
+        # Long KV (the 81920 chunked-prefill envelope): larger tiles halve
+        # the grid-step count and the per-q-tile KV restream.
+        blk = {"block_q": 512, "block_k": 1024} if T >= 16384 else {}
+        return flash_attention_gqa(
+            q, k, v, q_positions.astype(jnp.int32), kv_valid, **blk
+        )
 
     mask = kv_positions[:, None, :] <= q_positions[:, :, None]  # (B, S, T)
     if kv_mask is not None:

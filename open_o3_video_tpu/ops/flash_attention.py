@@ -12,12 +12,16 @@ Features:
 - causality over explicit query positions (prefill AND cached decode)
 - a KV validity mask (left-padded batches, partially filled caches)
 - causal block skipping (KV tiles entirely above the diagonal do no work)
-- float32 accumulation regardless of input dtype
+- float32 accumulation regardless of input dtype; the QK/PV dots run in
+  the INPUT dtype (bf16 inputs hit the MXU's full bf16 rate — upcasting
+  them to f32 first quarters it, which dominated the 81920-token prefill)
 
 Layout: q (B, Sq, Hq, D), k/v (B, T, Hkv, D) — the model's native layout.
-Grid order is (batch, q-tile, head, kv-tile) so the VMEM running
-max/sum/accumulator scratch carries across KV tiles and the LSE output block
-stays resident across (head, kv) steps.
+Forward grid is (batch, q-tile, kv-head, kv-tile) with the whole GQA group
+of query heads blocked into one resident VMEM tile: each KV block streams
+from HBM ONCE per q-tile per KV head and all `group` query heads consume
+it — at 28/4 GQA that is 7x less KV traffic than a per-query-head sweep,
+the difference between HBM-bound and MXU-bound long-context prefill.
 """
 
 from __future__ import annotations
@@ -44,18 +48,19 @@ DEFAULT_BLOCK_K = 512
 def _fwd_kernel(
     q_pos_ref,  # (B, Bq) int32
     kv_valid_ref,  # (B, Bk) int32
-    q_ref,  # (1, 1, Bq, D)
+    q_ref,  # (1, 1, G, Bq, D) — the KV head's whole GQA group, resident
     k_ref,  # (1, 1, Bk, D)
     v_ref,  # (1, 1, Bk, D)
-    o_ref,  # (1, 1, Bq, D)
-    lse_ref,  # (1, 1, Bq, 8) — lse broadcast over 8 lanes (Mosaic-aligned)
-    m_scratch,
-    l_scratch,
-    acc_scratch,
+    o_ref,  # (1, 1, G, Bq, D)
+    lse_ref,  # (1, 1, G, Bq, 8) — lse broadcast over 8 lanes (Mosaic-aligned)
+    m_scratch,  # (G, Bq, 1) f32
+    l_scratch,  # (G, Bq, 1) f32
+    acc_scratch,  # (G, Bq, D) f32
     *,
     scale: float,
     block_k: int,
     num_kv_blocks: int,
+    group: int,
 ):
     b = pl.program_id(0)
     kb = pl.program_id(3)
@@ -72,28 +77,35 @@ def _fwd_kernel(
 
     @pl.when(kv_start <= q_pos_max)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        kv_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = (kv_pos <= q_pos[:, None]) & (kv_valid_ref[b, :][None, :] != 0)
-        s = jnp.where(mask, s, NEG_INF)
-
-        m_prev = m_scratch[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        # where() (not bare exp): a fully-masked row has s == m_new == NEG_INF
-        # and exp(0) == 1 per key would make l = sum(p) nonzero, defeating
-        # the l==0 zero-output/NEG_INF-lse guard in _finalize.
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        alpha = jnp.exp(m_prev - m_new)
-        l_scratch[:] = l_scratch[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        # Dots run in the INPUT dtype with f32 accumulation (MXU-native);
+        # mask/positions are computed once and shared by the whole group.
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        kv_pos = kv_start + jax.lax.broadcasted_iota(
+            jnp.int32, (q_pos.shape[0], block_k), 1
         )
-        m_scratch[:] = m_new
+        mask = (kv_pos <= q_pos[:, None]) & (kv_valid_ref[b, :][None, :] != 0)
+        for g in range(group):  # unrolled: one MXU pass per query head
+            q = q_ref[0, 0, g]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(mask, s, NEG_INF)
+
+            m_prev = m_scratch[g]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            # where() (not bare exp): a fully-masked row has s == m_new ==
+            # NEG_INF and exp(0) == 1 per key would make l = sum(p) nonzero,
+            # defeating the l==0 zero-output/NEG_INF-lse guard in _finalize.
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_scratch[g] = l_scratch[g] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_scratch[g] = acc_scratch[g] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scratch[g] = m_new
 
     @pl.when(kb == num_kv_blocks - 1)
     def _finalize():
@@ -104,7 +116,7 @@ def _fwd_kernel(
         # exp(s - lse) underflows to 0 there.
         lse = jnp.where(
             l == 0.0, NEG_INF, m_scratch[:] + jnp.log(l_safe)
-        )  # (Bq, 1)
+        )  # (G, Bq, 1)
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -134,43 +146,50 @@ def _fwd(q, k, v, q_positions, kv_valid, block_q, block_k, interpret):
     q, k, v, q_positions, kv_valid, Sq_p, T_p = _pad_inputs(
         q, k, v, q_positions, kv_valid, block_q, block_k
     )
-    q_t = q.transpose(0, 2, 1, 3)
+    # (B, Sq_p, Hq, D) -> (B, Hkv, group, Sq_p, D): each KV head's whole
+    # query-head group forms ONE resident block, so the KV stream is shared.
+    q_t = q.transpose(0, 2, 1, 3).reshape(B, Hkv, group, Sq_p, D)
     k_t = k.transpose(0, 2, 1, 3)
     v_t = v.transpose(0, 2, 1, 3)
 
     nq = Sq_p // block_q
     nk = T_p // block_k
-    grid = (B, nq, Hq, nk)
+    grid = (B, nq, Hkv, nk)
 
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, block_k=block_k, num_kv_blocks=nk
+        _fwd_kernel, scale=scale, block_k=block_k, num_kv_blocks=nk,
+        group=group,
     )
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, block_q), lambda b, qb, h, kb: (0, qb)),
-            pl.BlockSpec((B, block_k), lambda b, qb, h, kb: (0, kb)),
-            pl.BlockSpec((1, 1, block_q, D), lambda b, qb, h, kb: (b, h, qb, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, qb, h, kb: (b, h // group, kb, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, qb, h, kb: (b, h // group, kb, 0)),
+            pl.BlockSpec((B, block_q), lambda b, qb, hk, kb: (0, qb)),
+            pl.BlockSpec((B, block_k), lambda b, qb, hk, kb: (0, kb)),
+            pl.BlockSpec((1, 1, group, block_q, D),
+                         lambda b, qb, hk, kb: (b, hk, 0, qb, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, qb, hk, kb: (b, hk, kb, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, qb, hk, kb: (b, hk, kb, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, qb, h, kb: (b, h, qb, 0)),
-            pl.BlockSpec((1, 1, block_q, 8), lambda b, qb, h, kb: (b, h, qb, 0)),
+            pl.BlockSpec((1, 1, group, block_q, D),
+                         lambda b, qb, hk, kb: (b, hk, 0, qb, 0)),
+            pl.BlockSpec((1, 1, group, block_q, 8),
+                         lambda b, qb, hk, kb: (b, hk, 0, qb, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),
-            jax.ShapeDtypeStruct((B, Hq, Sq_p, 8), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, group, Sq_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, group, Sq_p, 8), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((group, block_q, 1), jnp.float32),
+            pltpu.VMEM((group, block_q, 1), jnp.float32),
+            pltpu.VMEM((group, block_q, D), jnp.float32),
         ],
         interpret=interpret,
     )(q_positions, kv_valid, q_t, k_t, v_t)
-    return out.transpose(0, 2, 1, 3)[:, :Sq], lse  # lse stays padded (B,Hq,Sq_p,8)
+    out = out.reshape(B, Hq, Sq_p, D).transpose(0, 2, 1, 3)[:, :Sq]
+    return out, lse.reshape(B, Hq, Sq_p, 8)  # lse stays padded
 
 
 # --------------------------------------------------------------------------
@@ -202,10 +221,11 @@ def _bwd_dq_kernel(
 
     @pl.when(kv_start <= jnp.max(q_pos))
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        # input-dtype dots, f32 accumulation (see the forward kernel)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0, :, 0:1]
         delta = delta_ref[0, 0, :, 0:1]
 
@@ -216,7 +236,7 @@ def _bwd_dq_kernel(
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k.dtype)
         dq_scratch[:] += scale * jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -258,10 +278,11 @@ def _bwd_dkv_kernel(
 
     @pl.when(kv_start <= jnp.max(q_pos))
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        # input-dtype dots, f32 accumulation (see the forward kernel)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0, :, 0:1]
         delta = delta_ref[0, 0, :, 0:1]
 
@@ -272,11 +293,12 @@ def _bwd_dkv_kernel(
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (Bq, Bk)
 
         dv_scratch[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk_scratch[:] += scale * jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
