@@ -44,4 +44,52 @@ def load_model(model_dir: str, dtype=None, **kwargs):
     return params, cfg, qwen25vl
 
 
-__all__ = ["aria", "qwen25vl", "load_model"]
+def is_aria(cfg) -> bool:
+    return getattr(cfg, "model_type", None) == "aria"
+
+
+def family_forward(
+    params,
+    cfg,
+    input_ids,
+    position_ids,
+    *,
+    pixel_patches=None,  # Qwen families: (S, patch_dim) flattened patches
+    grid_thw=None,
+    vision_token_id=None,
+    pixel_values=None,  # Aria: (n_images, C, H, W) square crops
+    vision_row_index=None,
+    attn_valid=None,
+    remat: bool = False,
+    return_hidden: bool = False,
+):
+    """Trainer-facing forward, dispatched on the config's family.
+
+    The reference trainer instantiates Qwen2VL / Qwen2.5-VL / Aria by model
+    name and calls them with family-specific vision kwargs
+    (grpo_trainer.py:40-55, 211-219, 611-632); this is the same dispatch
+    with the vision payload normalized: Qwen families consume flattened
+    ``pixel_patches`` + ``grid_thw``, Aria consumes square ``pixel_values``
+    crops. Both accept ``vision_row_index`` so G generations of one prompt
+    share a single vision encode."""
+    if is_aria(cfg):
+        assert pixel_patches is None and grid_thw is None, (
+            "Aria takes pixel_values, not pixel_patches/grid_thw"
+        )
+        return aria.forward(
+            params, cfg, input_ids, position_ids,
+            pixel_values=pixel_values, vision_row_index=vision_row_index,
+            attn_valid=attn_valid, remat=remat, return_hidden=return_hidden,
+        )
+    assert pixel_values is None, (
+        "Qwen families take pixel_patches/grid_thw, not pixel_values"
+    )
+    return qwen25vl.forward(
+        params, cfg, input_ids, position_ids,
+        pixel_patches=pixel_patches, grid_thw=grid_thw,
+        vision_token_id=vision_token_id, vision_row_index=vision_row_index,
+        attn_valid=attn_valid, remat=remat, return_hidden=return_hidden,
+    )
+
+
+__all__ = ["aria", "qwen25vl", "load_model", "family_forward", "is_aria"]

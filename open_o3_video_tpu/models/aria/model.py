@@ -48,21 +48,29 @@ def forward(
     position_ids: Optional[jnp.ndarray] = None,  # (3, B, S)
     *,
     pixel_values: Optional[jnp.ndarray] = None,  # (n_images, C, H, W)
+    vision_row_index: Optional[jnp.ndarray] = None,  # (B, S): pos -> feature row
     attn_valid: Optional[jnp.ndarray] = None,
     cache: Optional[dict] = None,
     cache_offset=0,
     seq_positions=None,
     remat: bool = False,
+    return_hidden: bool = False,
 ):
-    """Full forward -> (logits (B, S, vocab) float32, updated kv cache)."""
+    """Full forward -> (logits (B, S, vocab) float32, updated kv cache).
+
+    ``vision_row_index`` lets G generations of one prompt share a single
+    vision encode (the GSPO rollout layout, train/gspo.py) instead of the
+    placeholder-mask cumsum, which assumes each row owns its own features.
+    ``return_hidden=True`` skips the lm_head (see qwen25vl.forward)."""
     embeds = params["text"]["embed_tokens"][input_ids]
     if pixel_values is not None:
         feats = get_image_features(params, cfg, pixel_values)
-        mask = input_ids == cfg.image_token_id
-        row_index = jnp.where(
-            mask, jnp.cumsum(mask.reshape(-1)).reshape(mask.shape) - 1, -1
-        )
-        embeds = merge_vision_embeddings_by_index(embeds, feats, row_index)
+        if vision_row_index is None:
+            mask = input_ids == cfg.image_token_id
+            vision_row_index = jnp.where(
+                mask, jnp.cumsum(mask.reshape(-1)).reshape(mask.shape) - 1, -1
+            )
+        embeds = merge_vision_embeddings_by_index(embeds, feats, vision_row_index)
     if position_ids is None:
         B, S = input_ids.shape
         pos = jnp.arange(S)[None].repeat(B, axis=0) + cache_offset
@@ -78,4 +86,6 @@ def forward(
         seq_positions=seq_positions,
         remat=remat,
     )
+    if return_hidden:
+        return hidden, new_cache
     return logits_from_hidden(params["text"], hidden), new_cache

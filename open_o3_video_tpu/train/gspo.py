@@ -29,7 +29,8 @@ import numpy as np
 import optax
 
 from ..grounding.rewards import REWARD_REGISTRY, RewardFn
-from ..models.qwen25vl import Qwen25VLConfig, forward
+from ..models import family_forward, is_aria
+from ..models.qwen25vl import Qwen25VLConfig
 from ..utils.metrics import MetricsBus
 from ..utils.profiling import StageTimer
 
@@ -89,27 +90,34 @@ def completion_mask_after_eos(completion_ids: np.ndarray, eos_token_id: int) -> 
     return (np.arange(L)[None, :] <= eos_idx[:, None]).astype(np.int32)
 
 
-def make_logps_fn(model_cfg: Qwen25VLConfig):
+def make_logps_fn(model_cfg):
     """Returns a builder for jitted per-token logp scorers over full
     (prompt+completion) sequences; one scorer per (grid, vision-token) combo
     since grid shapes are compile-time constants.
+
+    ``vision_arr`` is the family's vision payload: flattened pixel patches
+    for the Qwen families, (n_images, C, H, W) crops for Aria
+    (models.family_forward).
 
     ``prompt_length`` (static): score ONLY the completion region — the
     hidden states are sliced BEFORE the lm_head, so the logits tensor is
     (B, Lc, vocab) instead of (B, L, vocab) (4x smaller at the reference's
     16384-prompt/768-completion envelope). ``chunk`` further bounds it via
     the scanned lm_head."""
+    aria_mode = is_aria(model_cfg)
 
     def build(grid_thw, vision_token_id, prompt_length=None, chunk=None):
         from ..models.qwen25vl.text import per_token_logps_from_hidden
 
         @jax.jit
-        def fn(params, input_ids, position_ids, pixel_patches, attn_valid,
+        def fn(params, input_ids, position_ids, vision_arr, attn_valid,
                vision_row_index=None):
-            hidden, _ = forward(
+            hidden, _ = family_forward(
                 params, model_cfg, input_ids, position_ids,
-                pixel_patches=pixel_patches, grid_thw=grid_thw,
-                vision_token_id=vision_token_id, attn_valid=attn_valid,
+                pixel_patches=None if aria_mode else vision_arr,
+                grid_thw=grid_thw, vision_token_id=vision_token_id,
+                pixel_values=vision_arr if aria_mode else None,
+                attn_valid=attn_valid,
                 vision_row_index=vision_row_index, return_hidden=True,
             )
             lo = 0 if prompt_length is None else prompt_length - 1
@@ -156,7 +164,7 @@ def gspo_objective(
 
 def gspo_loss(
     params: dict,
-    model_cfg: Qwen25VLConfig,
+    model_cfg,
     cfg: GSPOConfig,
     input_ids: jnp.ndarray,  # (G, L) prompt+completion, right-padded
     position_ids: jnp.ndarray,  # (3, G, L)
@@ -168,6 +176,7 @@ def gspo_loss(
     pixel_patches: Optional[jnp.ndarray] = None,
     grid_thw=None,
     vision_token_id: Optional[int] = None,
+    pixel_values: Optional[jnp.ndarray] = None,  # Aria's vision payload
     vision_row_index: Optional[jnp.ndarray] = None,
     remat: bool = False,
     logp_chunk: Optional[int] = None,
@@ -179,10 +188,11 @@ def gspo_loss(
     full-sequence logits tensor — see per_token_logps_from_hidden."""
     from ..models.qwen25vl.text import per_token_logps_from_hidden
 
-    hidden, _ = forward(
+    hidden, _ = family_forward(
         params, model_cfg, input_ids, position_ids,
         pixel_patches=pixel_patches, grid_thw=grid_thw,
-        vision_token_id=vision_token_id, attn_valid=attn_valid,
+        vision_token_id=vision_token_id, pixel_values=pixel_values,
+        attn_valid=attn_valid,
         vision_row_index=vision_row_index, remat=remat, return_hidden=True,
     )
     per_token_logps = per_token_logps_from_hidden(
@@ -265,6 +275,11 @@ class GSPOTrainer:
             params, model_cfg, mesh=mesh, spec_sample=cfg.spec_rollout
         )
 
+        # BENCHMARK ONLY: when set (R, W) int32, rollouts replay these token
+        # streams through the spec-sample path instead of sampling — see
+        # engine.generate(replay_tokens=...). Never a training mode.
+        self.replay_tokens = None
+
         # Per-stage wall clock (rollout/reward/logps/update), SURVEY §5.1.
         self.timer = StageTimer()
         self.optimizer = optax.chain(
@@ -284,9 +299,28 @@ class GSPOTrainer:
 
     def _degrade_invalid_vision(self, sample: dict[str, Any]) -> dict[str, Any]:
         """Strip vision from a sample whose tensors are inconsistent."""
+        mcfg = self.model_cfg
+        if is_aria(mcfg):
+            pv = sample.get("pixel_values")
+            if pv is None:
+                return sample
+            try:
+                pv = np.asarray(pv)
+                q = mcfg.query_num(mcfg.vision.num_patches_per_side ** 2)
+                n_placeholders = sum(
+                    1 for t in sample["input_ids"] if t == mcfg.image_token_id
+                )
+                ok = pv.ndim == 4 and n_placeholders == pv.shape[0] * q
+            except Exception:
+                ok = False
+            if ok:
+                return sample
+            print("[warn] inconsistent vision tensors; degrading sample to text-only")
+            out = dict(sample)
+            out["pixel_values"] = None
+            return out
         if sample.get("grid_thw") is None:
             return sample
-        mcfg = self.model_cfg
         try:
             grid = np.asarray(sample["grid_thw"])
             patches = np.asarray(sample["pixel_patches"])
@@ -348,7 +382,9 @@ class GSPOTrainer:
             digest = np.asarray(
                 [len(samples)]
                 + [np.int64(np.sum(s2["input_ids"]) % (2**31)) for s2 in samples]
-                + [int(s2.get("grid_thw") is not None) for s2 in samples]
+                + [int(s2.get("grid_thw") is not None
+                       or s2.get("pixel_values") is not None)
+                   for s2 in samples]
             )
             assert_in_sync(digest, tag="gspo step batch")
 
@@ -383,15 +419,6 @@ class GSPOTrainer:
         Lp = -(-max(len(p) for p in prompts) // bucket) * bucket
 
         # 1. rollout — ONE batched engine call for all B*G sequences
-        reqs = []
-        for s, p in zip(samples, prompts):
-            req = Request(
-                input_ids=p,
-                pixel_patches=s.get("pixel_patches"),
-                grid_thw=s.get("grid_thw"),
-                vision_token_id=s.get("vision_token_id"),
-            )
-            reqs.extend([req] * G)
         if self.adapters is not None:
             from .lora import apply_adapters
 
@@ -401,6 +428,32 @@ class GSPOTrainer:
             )
         else:
             self.engine.params = self.params  # rollouts always use latest policy
+        aria_mode = is_aria(mcfg)
+        reqs = []
+        for s, p in zip(samples, prompts):
+            if aria_mode:
+                # The shared engine serves Aria via precomputed features
+                # (Request.vision_embeds); encode with the CURRENT policy
+                # params — the reference's in-process .generate likewise
+                # runs the trainable tower (grpo_trainer.py:581-586).
+                if s.get("pixel_values") is not None:
+                    from ..models.aria import get_image_features
+
+                    feats = get_image_features(
+                        self.engine.params, mcfg, jnp.asarray(s["pixel_values"])
+                    )
+                    req = Request(input_ids=p, vision_embeds=feats,
+                                  vision_token_id=mcfg.image_token_id)
+                else:
+                    req = Request(input_ids=p)
+            else:
+                req = Request(
+                    input_ids=p,
+                    pixel_patches=s.get("pixel_patches"),
+                    grid_thw=s.get("grid_thw"),
+                    vision_token_id=s.get("vision_token_id"),
+                )
+            reqs.extend([req] * G)
         with self.timer.stage("rollout"):
             outs = self.engine.generate(
                 reqs,
@@ -411,6 +464,7 @@ class GSPOTrainer:
                     max_tokens=cfg.max_completion_length,
                     seed=self.seed + global_step,
                 ),
+                replay_tokens=self.replay_tokens,
             )
         if cfg.release_engine_memory:
             self.engine.release_memory()
@@ -457,61 +511,90 @@ class GSPOTrainer:
         for r in range(R):
             completion_mask[r, len(completions_ids[r]) :] = 0
 
-        # 4. vision: concat UNIQUE patches across prompts; every row of a
+        # 4. vision: concat UNIQUE payloads across prompts; every row of a
         #    prompt maps its placeholders to the same vision rows.
         from ..models.qwen25vl import build_vision_row_index, get_rope_index
 
-        vis_samples = [s for s in samples if s.get("grid_thw") is not None]
-        # Image- and video-token samples can mix freely in one batch: the
-        # explicit row-index merge is token-id-agnostic, and positions are
-        # computed per modality group below.
-        vis_tok = vis_samples[0].get("vision_token_id") if vis_samples else None
-
-        patches = grid = vision_row_index = None
-        if vis_samples:
-            patch_list, grid_list, offsets = [], [], []
-            n_merged = 0
-            for s in samples:
-                if s.get("grid_thw") is not None:
-                    offsets.append(n_merged)
-                    patch_list.append(np.asarray(s["pixel_patches"]))
-                    grid_list.append(np.asarray(s["grid_thw"]))
-                    n_merged += patch_list[-1].shape[0] // mcfg.vision.merge_unit
-                else:
-                    offsets.append(None)  # text-only/degraded: no mapping
-            patches = np.concatenate(patch_list, axis=0)
-            grid = np.concatenate(grid_list, axis=0)
-            row_offsets = [offsets[r // G] for r in range(R)]
-            row_toks = [samples[r // G].get("vision_token_id") for r in range(R)]
-            vision_row_index = build_vision_row_index(ids, row_toks, row_offsets)
-
-        # Positions: vision rows consume their grids in row order, computed
-        # per modality group; text-only (incl. degraded) rows take
-        # sequential text positions even if placeholder tokens remain —
-        # matching the reference's no-vision fallback, where HF computes
-        # rope without grid kwargs.
         amask = attn_valid.astype(np.int64)
-        position_ids = np.ones((3, R, total), dtype=np.int64)
-        row_groups: dict = {}
-        for r in range(R):
-            s = samples[r // G]
-            if s.get("grid_thw") is None:
-                key = None
-            elif s.get("vision_token_id") == mcfg.video_token_id:
-                key = "video_grid_thw"
-            else:
-                key = "image_grid_thw"
-            row_groups.setdefault(key, []).append(r)
-        for key, rows_ in row_groups.items():
-            if key is None:
-                pos_, _ = get_rope_index(mcfg, ids[rows_], attention_mask=amask[rows_])
-            else:
-                tiled = [np.asarray(samples[r // G]["grid_thw"]) for r in rows_]
-                pos_, _ = get_rope_index(
-                    mcfg, ids[rows_], attention_mask=amask[rows_],
-                    **{key: np.concatenate(tiled, axis=0)},
+        patches = grid = vision_row_index = None
+        if aria_mode:
+            # Aria: concat (n_images, C, H, W) crops; each image contributes
+            # query_num feature rows (projector query bank), so offsets
+            # count in query rows. Positions are plain sequential rope for
+            # every row (models/aria/model.py get_rope_index).
+            from ..models.aria import get_rope_index as aria_rope_index
+
+            vis_tok = (mcfg.image_token_id
+                       if any(s.get("pixel_values") is not None for s in samples)
+                       else None)
+            if vis_tok is not None:
+                q = mcfg.query_num(mcfg.vision.num_patches_per_side ** 2)
+                patch_list, offsets = [], []
+                n_rows_feat = 0
+                for s in samples:
+                    if s.get("pixel_values") is not None:
+                        offsets.append(n_rows_feat)
+                        patch_list.append(np.asarray(s["pixel_values"]))
+                        n_rows_feat += patch_list[-1].shape[0] * q
+                    else:
+                        offsets.append(None)  # text-only/degraded
+                patches = np.concatenate(patch_list, axis=0)
+                row_offsets = [offsets[r // G] for r in range(R)]
+                vision_row_index = build_vision_row_index(
+                    ids, mcfg.image_token_id, row_offsets
                 )
-            position_ids[:, rows_] = pos_
+            position_ids = aria_rope_index(mcfg, ids, attention_mask=amask)
+        else:
+            vis_samples = [s for s in samples if s.get("grid_thw") is not None]
+            # Image- and video-token samples can mix freely in one batch: the
+            # explicit row-index merge is token-id-agnostic, and positions
+            # are computed per modality group below.
+            vis_tok = (vis_samples[0].get("vision_token_id")
+                       if vis_samples else None)
+
+            if vis_samples:
+                patch_list, grid_list, offsets = [], [], []
+                n_merged = 0
+                for s in samples:
+                    if s.get("grid_thw") is not None:
+                        offsets.append(n_merged)
+                        patch_list.append(np.asarray(s["pixel_patches"]))
+                        grid_list.append(np.asarray(s["grid_thw"]))
+                        n_merged += patch_list[-1].shape[0] // mcfg.vision.merge_unit
+                    else:
+                        offsets.append(None)  # text-only/degraded: no mapping
+                patches = np.concatenate(patch_list, axis=0)
+                grid = np.concatenate(grid_list, axis=0)
+                row_offsets = [offsets[r // G] for r in range(R)]
+                row_toks = [samples[r // G].get("vision_token_id") for r in range(R)]
+                vision_row_index = build_vision_row_index(ids, row_toks, row_offsets)
+
+            # Positions: vision rows consume their grids in row order,
+            # computed per modality group; text-only (incl. degraded) rows
+            # take sequential text positions even if placeholder tokens
+            # remain — matching the reference's no-vision fallback, where HF
+            # computes rope without grid kwargs.
+            position_ids = np.ones((3, R, total), dtype=np.int64)
+            row_groups: dict = {}
+            for r in range(R):
+                s = samples[r // G]
+                if s.get("grid_thw") is None:
+                    key = None
+                elif s.get("vision_token_id") == mcfg.video_token_id:
+                    key = "video_grid_thw"
+                else:
+                    key = "image_grid_thw"
+                row_groups.setdefault(key, []).append(r)
+            for key, rows_ in row_groups.items():
+                if key is None:
+                    pos_, _ = get_rope_index(mcfg, ids[rows_], attention_mask=amask[rows_])
+                else:
+                    tiled = [np.asarray(samples[r // G]["grid_thw"]) for r in rows_]
+                    pos_, _ = get_rope_index(
+                        mcfg, ids[rows_], attention_mask=amask[rows_],
+                        **{key: np.concatenate(tiled, axis=0)},
+                    )
+                position_ids[:, rows_] = pos_
 
         # 5. device placement — shard the batch over the data axis
         def put(x, spec):
@@ -536,7 +619,10 @@ class GSPOTrainer:
         # 6. reference logps (frozen params, no grad); on failure retry
         #    without vision kwargs (reference degraded recompute,
         #    grpo_trainer.py:611-632).
-        grid_key = None if grid is None else tuple(map(tuple, grid.tolist()))
+        if aria_mode and patches is not None:
+            grid_key = ("aria", tuple(patches.shape))
+        else:
+            grid_key = None if grid is None else tuple(map(tuple, grid.tolist()))
         logps_key = (grid_key, vis_tok, total, R)
         if ("logps", logps_key) not in self._step_fns:
             self._step_fns[("logps", logps_key)] = make_logps_fn(mcfg)(
@@ -567,8 +653,10 @@ class GSPOTrainer:
             # HF recomputes rope WITHOUT them — degraded rows must take
             # sequential text positions (the convention stated above), not
             # the vision-grid positions computed for the healthy path.
-            pos_nv, _ = get_rope_index(mcfg, ids, attention_mask=amask)
-            pos_d = put(pos_nv, (None, "data"))
+            # (Aria's positions are sequential either way.)
+            if not aria_mode:
+                pos_nv, _ = get_rope_index(mcfg, ids, attention_mask=amask)
+                pos_d = put(pos_nv, (None, "data"))
             ref_logps = logps_fn(self.ref_params, ids_d, pos_d, None, valid_d, None)
             use_vision = False
             logps_key = nv_key
@@ -578,6 +666,13 @@ class GSPOTrainer:
         if upd_key not in self._step_fns:
             g_ = grid if use_vision else None
             vt_ = vis_tok if use_vision else None
+
+            def vision_kw(arr):
+                # family-correct vision payload for gspo_loss
+                if aria_mode:
+                    return {"pixel_values": arr}
+                return {"pixel_patches": arr, "grid_thw": g_,
+                        "vision_token_id": vt_}
 
             if self.adapters is not None:
                 from .lora import apply_adapters
@@ -594,8 +689,7 @@ class GSPOTrainer:
                         lambda ad: gspo_loss(
                             apply_adapters(base, ad, lora_scale), mcfg, cfg,
                             ids, position_ids, attn_valid, completion_mask,
-                            Lp, ref_logps, advantages, pixel_patches=patches,
-                            grid_thw=g_, vision_token_id=vt_,
+                            Lp, ref_logps, advantages, **vision_kw(patches),
                             vision_row_index=vri,
                             remat=cfg.gradient_checkpointing,
                             logp_chunk=cfg.logp_chunk,
@@ -614,7 +708,7 @@ class GSPOTrainer:
                         lambda p: gspo_loss(
                             p, mcfg, cfg, ids, position_ids, attn_valid,
                             completion_mask, Lp, ref_logps, advantages,
-                            pixel_patches=patches, grid_thw=g_, vision_token_id=vt_,
+                            **vision_kw(patches),
                             vision_row_index=vri,
                             remat=cfg.gradient_checkpointing,
                             logp_chunk=cfg.logp_chunk,

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.qwen25vl import Qwen25VLConfig, forward
+from ..models import family_forward
+from ..models.qwen25vl import Qwen25VLConfig
 
 IGNORE_INDEX = -100
 
@@ -76,7 +77,7 @@ def sft_loss(
     step's memory hot spot."""
     from ..models.qwen25vl.text import per_token_logps_from_hidden
 
-    hidden, _ = forward(
+    hidden, _ = family_forward(
         params,
         model_cfg,
         batch["input_ids"],
@@ -84,6 +85,7 @@ def sft_loss(
         pixel_patches=batch.get("pixel_patches"),
         grid_thw=batch.get("grid_thw"),
         vision_token_id=batch.get("vision_token_id"),
+        pixel_values=batch.get("pixel_values"),
         vision_row_index=batch.get("vision_row_index"),
         attn_valid=batch.get("attn_valid"),
         remat=remat,
