@@ -396,7 +396,100 @@ def bench_train(cfg, params, frames_u8, grid_thw, prompt):
     import gc
 
     gc.collect()  # trainer/engine closures are cyclic; free before longctx
+
+    # ---- GSPO with speculative sampled rollouts (spec_rollout=True) ----
+    # Rollout is ~71% of the plain step; the multi-row sampled-spec path
+    # (engine _segment_spec_sample_impl) verifies prompt-lookup drafts in
+    # one (draft_k+1)-token forward. Two measurements:
+    #   worst  — real sampling at random-init weights: near-uniform streams
+    #            have no bigram structure, so acceptance ~0 (the overhead
+    #            floor of the machinery);
+    #   replay — realistic STGR reasoning traces through the engine's
+    #            replay mode (sampling swapped for trace lookup; model
+    #            compute real): the reference-weight-like case, since real
+    #            grounded traces repeat tag skeletons. Training-signal
+    #            invariance of spec rollouts is pinned statistically in
+    #            tests/test_spec_sample.py (sampler AND step level).
+    if os.environ.get("BENCH_SPEC_ROLLOUT", "1") != "0":
+        gcfg_s = GSPOConfig(spec_rollout=True)
+        trainer = GSPOTrainer(
+            params, params, cfg, gcfg_s, detokenize=detok, lora=lcfg, seed=0,
+        )
+        out["gspo_spec"] = {}
+
+        def _measure(tag, base_step):
+            trainer.step(sample, global_step=base_step, max_steps=1000)
+            trainer.timer.reset()
+            v0 = dict(trainer.engine.spec_stats)
+            times = []
+            for k in range(steps):
+                t0 = time.time()
+                trainer.step(sample, global_step=base_step + 1 + k,
+                             max_steps=1000)
+                times.append(time.time() - t0)
+            v1 = trainer.engine.spec_stats
+            verify = v1["verify_steps"] - v0["verify_steps"]
+            emitted = v1["emitted"] - v0["emitted"]
+            out["gspo_spec"][tag] = {
+                "sec_per_step": round(float(np.mean(times)), 3),
+                "stages": trainer.timer.report(),
+                "tokens_per_verify": round(emitted / max(verify, 1), 2),
+                "verify_steps": int(verify),
+                "emitted": int(emitted),
+            }
+
+        _measure("worst", 0)
+        G = gcfg_s.num_generations
+        trainer.replay_tokens = np.stack(
+            [_reasoning_trace_tokens(
+                gcfg_s.max_completion_length + 16, row=r,
+                vocab=cfg.text.vocab_size, eos=cfg.eos_token_id)
+             for r in range(G)]
+        )
+        _measure("replay", 100)
+        trainer.replay_tokens = None
+        trainer.engine.release_memory()
+        del trainer
+        gc.collect()
     return out
+
+
+def _reasoning_trace_tokens(n, row, vocab, eos):
+    """Synthetic STGR grounded-reasoning trace as a token stream.
+
+    Approximates the reference's RL completions (reward_func.py:310 tag
+    grammar): sentences of connective prose + `<obj>name</obj><box>[a,b,c,d]
+    </box>at<t>T</t>s` citations, `<think>...</think><answer>...</answer>`
+    framing. Tokenized at word/punctuation granularity (a coarse stand-in
+    for Qwen BPE: tag skeletons repeat exactly, numbers/names vary), each
+    distinct piece hashed to a stable id. Rows differ in objects/times/boxes
+    (G temperature-1 samples share skeleton, not content)."""
+    import re
+    import zlib
+
+    rng = np.random.default_rng(1234 + row)
+    objs = ["person", "red ball", "dog", "table", "car", "woman", "cup",
+            "child", "door", "bicycle"]
+    verbs = ["is visible", "appears", "moves left", "picks it up",
+             "walks past", "is occluded", "enters the frame", "stops"]
+    parts = ["<think>", "Let me examine the video step by step.\n"]
+    while sum(len(p.split()) for p in parts) < 2 * n:  # overfill, trim below
+        o = objs[rng.integers(len(objs))]
+        v = verbs[rng.integers(len(verbs))]
+        a, b = rng.integers(0, 400, 2)
+        w, h = rng.integers(40, 300, 2)
+        t = rng.integers(0, 300) / 10
+        parts.append(
+            f"The <obj>{o}</obj><box>[{a},{b},{a + w},{b + h}]</box>"
+            f"at<t>{t}</t>s {v}, so "
+        )
+    parts.append("</think><answer>a red ball</answer>")
+    text = "".join(parts)
+    pieces = [p for p in re.split(r"(\d+|\W)", text) if p and p != " "]
+    # stable across processes (unlike hash(), which is PYTHONHASHSEED-salted)
+    toks = [1000 + (zlib.crc32(p.encode()) % (vocab - 2000)) for p in pieces]
+    toks = [t if t != eos else t + 1 for t in toks]
+    return np.asarray(toks[:n], np.int32)
 
 
 _uniq_counter = [0]

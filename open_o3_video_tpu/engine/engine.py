@@ -389,7 +389,7 @@ class InferenceEngine:
         self._segment_spec_sample = jax.jit(
             self._segment_spec_sample_impl,
             static_argnames=("temperature", "top_p", "repetition_penalty",
-                             "n_steps", "prompt_len", "draft_k"),
+                             "n_steps", "prompt_len", "draft_k", "replay"),
             donate_argnames=(
                 ("arena_k", "arena_v", "seen", "attn_valid",
                  "mrope_cur", "remaining", "done", "hist", "hcount", "kv_pos")
@@ -896,6 +896,7 @@ class InferenceEngine:
         remaining,  # (B,)
         hist,  # (B, Hc) int32 — COMPACT per-row prompt+emitted history
         hcount,  # (B,) int32 — tokens committed in hist (incl. pending)
+        forced=None,  # (B, W) int32 — replay stream (benchmark mode only)
         *,
         temperature: float,
         top_p: float,
@@ -903,6 +904,7 @@ class InferenceEngine:
         n_steps: int,
         prompt_len: int,
         draft_k: int,
+        replay: bool = False,
     ):
         """Multi-row SAMPLED speculative decode (prompt-lookup drafts).
 
@@ -936,6 +938,14 @@ class InferenceEngine:
         (`<obj>..</obj><box>..</box>at<t>T</t>s`), which prompt-lookup
         drafts exploit; the (draft_k+1)-token verify forward costs ~1.02x
         a single weight-HBM-bound decode step.
+
+        ``replay=True`` (BENCHMARK ONLY, never a serving/training mode):
+        position i of row b emits ``forced[b, i]`` instead of the sampled
+        token. Everything else — the verify forward, logits, acceptance
+        dynamics, cache writes — is real, so it measures rollout
+        throughput CONDITIONAL on a given trace's repetition statistics:
+        the quantity that cannot be measured without real weights, since
+        random-init models emit near-uniform (repetition-free) streams.
         """
         cfg = self.cfg
         B, T = attn_valid.shape
@@ -1030,6 +1040,15 @@ class InferenceEngine:
                     top_p=top_p, seen_mask=seen,
                     repetition_penalty=repetition_penalty,
                 )
+                if replay:
+                    # forced is hist-column-aligned: the k-th emission of
+                    # this block lands at hist col e + k (see the hist
+                    # write below), a position that is global across
+                    # segment calls — unlike the segment-local `emitted`.
+                    pos_r = jnp.minimum(e + n_emit, forced.shape[1] - 1)
+                    nxt = jnp.take_along_axis(
+                        forced, pos_r[:, None], axis=1
+                    )[:, 0]
                 emit = ok & ~blk_done & (rem > 0)
                 lp = jax.nn.log_softmax(li, axis=-1)[rows, nxt]
                 out_t.append(jnp.where(emit, nxt, pad))
@@ -1460,13 +1479,20 @@ class InferenceEngine:
         requests: Sequence[Request],
         sampling: Optional[SamplingParams] = None,
         return_logprobs: bool = False,
+        replay_tokens: Optional[np.ndarray] = None,
     ) -> list[dict[str, Any]]:
         """Generate completions for any number of requests.
 
         Requests are grouped by prompt-length bucket; within a group they
         stream through ``max_slots`` decode slots with continuous admission.
         Returns one dict per request (input order): {"token_ids": list[int],
-        "num_prompt_tokens": int, "logprobs": optional list[float]}."""
+        "num_prompt_tokens": int, "logprobs": optional list[float]}.
+
+        ``replay_tokens`` (BENCHMARK ONLY): (len(requests), W) int32 token
+        streams replayed through the sampled-spec path instead of sampling
+        — measures spec-rollout throughput conditional on a trace's
+        repetition statistics (see _segment_spec_sample_impl). Requires
+        spec_sample mode; ignored on paths where spec_sample is inactive."""
         sampling = sampling or SamplingParams()
         results: list = [None] * len(requests)
         prefix_lens = self._detect_prefixes(requests)
@@ -1482,7 +1508,8 @@ class InferenceEngine:
                 groups.setdefault((L, 0), []).append(i)
         for (L, P_b), idxs in groups.items():
             self._run_group(L, idxs, requests, sampling, return_logprobs,
-                            results, prefix_bucket=P_b, prefix_lens=prefix_lens)
+                            results, prefix_bucket=P_b, prefix_lens=prefix_lens,
+                            replay_tokens=replay_tokens)
         return results
 
     def _vis_digest(self, arr) -> Optional[str]:
@@ -1689,7 +1716,8 @@ class InferenceEngine:
         self._prefix_kv.clear()
 
     def _run_group(self, L, idxs, requests, sampling, return_logprobs, results,
-                   prefix_bucket: int = 0, prefix_lens: Optional[Sequence[int]] = None):
+                   prefix_bucket: int = 0, prefix_lens: Optional[Sequence[int]] = None,
+                   replay_tokens: Optional[np.ndarray] = None):
         cfg = self.cfg
         eos = cfg.eos_token_id
         n_real = len(requests)
@@ -1796,6 +1824,7 @@ class InferenceEngine:
         )
         hist_c = None
         hcount = None
+        forced_c = None  # replay streams, hist-column-aligned (bench only)
 
         def finalize(s):
             rid = slot_rid[s]
@@ -1819,7 +1848,7 @@ class InferenceEngine:
             """One decode segment over the active slots + harvest."""
             nonlocal token, seen, attn_valid, done, rng, cursor, mrope_cur
             nonlocal remaining, arena, hist
-            nonlocal kv_pos, hist_c, hcount, spec_sample_active
+            nonlocal kv_pos, hist_c, hcount, forced_c, spec_sample_active
             active = [s for s in range(B) if slot_rid[s] is not None]
             if not active:
                 return
@@ -1846,6 +1875,25 @@ class InferenceEngine:
                             counts[s] = len(ids0)
                         hist_c = self._put(rows_np)
                         hcount = self._put(counts, to_i32=True, row_dim=0)
+                        if replay_tokens is not None:
+                            # Align each row's remaining trace to its hist
+                            # columns: emission g of row s lands at hist col
+                            # counts[s] + g, and g continues from the row's
+                            # already-emitted count (the bind-time sample).
+                            fh = np.zeros((B, Hc), np.int32)
+                            for s in range(B):
+                                rid = slot_rid[s]
+                                if rid is None:
+                                    continue
+                                tr = np.asarray(replay_tokens[rid], np.int32)
+                                n_already = len(emitted[rid])
+                                g_max = min(len(tr) - n_already,
+                                            Hc - int(counts[s]))
+                                if g_max > 0:
+                                    fh[s, counts[s]:counts[s] + g_max] = (
+                                        tr[n_already:n_already + g_max]
+                                    )
+                            forced_c = self._put(fh)
                     (toks, lps, emitted_n, n_verify, token, ak, av, seen,
                      attn_valid, kv_pos, hist_c, hcount, done, rng, cursor,
                      mrope_cur, remaining) = self._segment_spec_sample(
@@ -1863,12 +1911,14 @@ class InferenceEngine:
                         remaining,
                         hist_c,
                         hcount,
+                        forced_c,
                         temperature=sampling.temperature,
                         top_p=sampling.top_p,
                         repetition_penalty=sampling.repetition_penalty,
                         n_steps=n_steps,
                         prompt_len=L,
                         draft_k=draft_k,
+                        replay=forced_c is not None,
                     )
                 elif spec_active:
                     (toks, lps, emitted_n, n_verify, token, ak, av, seen,
