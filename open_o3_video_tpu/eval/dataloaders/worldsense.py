@@ -183,16 +183,99 @@ def get_dimension_rating(records: list[dict[str, Any]]) -> dict[str, Any]:
     return rating
 
 
-def process_result(records: list[dict[str, Any]], out_prefix: str) -> dict[str, Any]:
-    """Score raw predictions and dump <prefix>_score.json + <prefix>_rating.json
-    (reference: worldsense_process_result, 523-563; xlsx IO replaced with
-    JSON — pandas/xlsxwriter stay optional)."""
+def dump(data: list[dict[str, Any]], f: str) -> None:
+    """Multi-format row-table dump, dispatched on suffix (reference:
+    worldsense.py:405-429). Rows are list-of-dicts (the reference passes
+    pandas frames; the formats on disk are identical). xlsx goes through
+    utils.xlsx (stdlib zip+xml — no xlsxwriter in this environment)."""
+    suffix = f.rsplit(".", 1)[-1]
+    if suffix == "xlsx":
+        from ...utils.xlsx import write_xlsx
+
+        write_xlsx(f, data)
+    elif suffix == "json":
+        with open(f, "w", encoding="utf-8") as fo:
+            json.dump(data, fo, indent=4, ensure_ascii=False, default=str)
+    elif suffix == "jsonl":
+        with open(f, "w", encoding="utf-8") as fo:
+            fo.write("\n".join(
+                json.dumps(x, ensure_ascii=False, default=str) for x in data
+            ))
+    elif suffix == "pkl":
+        import pickle
+
+        with open(f, "wb") as fo:
+            pickle.dump(data, fo)
+    elif suffix in ("csv", "tsv"):
+        import csv
+
+        cols = list(data[0].keys()) if data else []
+        with open(f, "w", encoding="utf-8", newline="") as fo:
+            w = csv.DictWriter(fo, fieldnames=cols, quoting=csv.QUOTE_ALL,
+                               delimiter="," if suffix == "csv" else "\t")
+            w.writeheader()
+            w.writerows(data)
+    else:
+        raise KeyError(suffix)
+
+
+def load(f: str, fmt: str | None = None):
+    """Suffix-dispatched loader, inverse of dump (reference: 431-460)."""
+    suffix = fmt or f.rsplit(".", 1)[-1]
+    if suffix == "xlsx":
+        from ...utils.xlsx import read_xlsx
+
+        return read_xlsx(f)
+    if suffix == "json":
+        with open(f, encoding="utf-8") as fo:
+            return json.load(fo)
+    if suffix == "jsonl":
+        with open(f, encoding="utf-8") as fo:
+            return [json.loads(x) for x in fo.read().splitlines() if x.strip()]
+    if suffix == "pkl":
+        import pickle
+
+        with open(f, "rb") as fo:
+            return pickle.load(fo)
+    if suffix in ("csv", "tsv"):
+        import csv
+
+        with open(f, encoding="utf-8", newline="") as fo:
+            return list(csv.DictReader(
+                fo, delimiter="," if suffix == "csv" else "\t"))
+    raise KeyError(suffix)
+
+
+def _score_records(records: list[dict[str, Any]]) -> list[dict[str, Any]]:
     for rec in records:
         pred = parse_multi_choice_response(str(rec["prediction"]))
         rec["score"] = int(pred == rec["answer"])
+    return records
+
+
+def process_result(records: list[dict[str, Any]], out_prefix: str) -> dict[str, Any]:
+    """Score raw predictions and dump <prefix>_score.{xlsx,json} +
+    <prefix>_rating.json (reference: worldsense_process_result, 523-563;
+    the xlsx table comes from utils.xlsx, the JSON copy is kept for
+    greppability)."""
+    records = _score_records(records)
+    dump(records, out_prefix + "_score.xlsx")
     with open(out_prefix + "_score.json", "w") as f:
         json.dump(records, f, indent=2, default=str)
     rating = get_dimension_rating(records)
     with open(out_prefix + "_rating.json", "w") as f:
+        json.dump(rating, f, indent=2)
+    return rating
+
+
+def worldsense_process_result(eval_file: str) -> dict[str, Any]:
+    """The reference's exact entry contract (worldsense.py:529-565): takes a
+    predictions ``.xlsx``, writes ``_score.xlsx`` + ``_rating.json`` beside
+    it, returns the rating."""
+    assert eval_file.endswith(".xlsx"), "data file should be an xlsx file"
+    records = _score_records(load(eval_file))
+    dump(records, eval_file.replace(".xlsx", "_score.xlsx"))
+    rating = get_dimension_rating(records)
+    with open(eval_file.replace(".xlsx", "_rating.json"), "w") as f:
         json.dump(rating, f, indent=2)
     return rating

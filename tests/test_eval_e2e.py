@@ -124,6 +124,43 @@ def test_worldsense_end_to_end(worldsense_root, tmp_path):
     assert rating["overall"]["overall"] == "1.000"
     assert os.path.exists(str(tmp_path / "ws_out") + "_rating.json")
     assert os.path.exists(str(tmp_path / "ws_out") + "_score.json")
+    assert os.path.exists(str(tmp_path / "ws_out") + "_score.xlsx")
+
+
+def test_worldsense_xlsx_contract(tmp_path):
+    """The reference's xlsx-in entry (worldsense.py:529-565): predictions
+    .xlsx -> _score.xlsx + _rating.json; xlsx written here reads back via
+    pandas' openpyxl-free path is unavailable, so roundtrip through our
+    reader and through the dump/load multi-format dispatch."""
+    from open_o3_video_tpu.eval.dataloaders import worldsense as W
+
+    rows = [
+        {
+            "index": i, "video": f"vid{i}", "question": "What letter?",
+            "prediction": "The answer is A." if i == 0 else "B",
+            "answer": "A",
+            "duration": "<1min", "domain": "Sports", "sub_category": "Racing",
+            "task_domain": "Reasoning", "task_type": "Causal Reasoning",
+            "audio_class": "['Speech']",
+        }
+        for i in range(2)
+    ]
+    eval_file = str(tmp_path / "preds.xlsx")
+    W.dump(rows, eval_file)
+    assert W.load(eval_file)[0]["video"] == "vid0"
+
+    rating = W.worldsense_process_result(eval_file)
+    assert rating["overall"]["overall"] == "0.500"
+    scored = W.load(str(tmp_path / "preds_score.xlsx"))
+    assert [int(r["score"]) for r in scored] == [1, 0]
+    assert os.path.exists(str(tmp_path / "preds_rating.json"))
+
+    # multi-format dispatch parity: every suffix loads back what it dumped
+    for suffix in ("json", "jsonl", "pkl", "csv", "tsv"):
+        f = str(tmp_path / f"t.{suffix}")
+        W.dump(rows, f)
+        back = W.load(f)
+        assert len(back) == 2 and str(back[1]["answer"]) == "A"
 
 
 @pytest.fixture()
