@@ -460,6 +460,45 @@ def fetch_video_fast(ele: dict) -> tuple[np.ndarray, float]:
     return video, sample_fps
 
 
+def fetch_video_raw(ele: dict) -> tuple[np.ndarray, tuple[int, int], float]:
+    """Device-resize serving path: decode ONLY; resize happens on the TPU.
+
+    Same sampling (smart_nframes/linspace) and size (smart_resize) math as
+    :func:`fetch_video_fast`, but the frames come back at the DECODED
+    resolution and the model-resolution resize runs on-device with exact
+    PIL-bicubic semantics (ops/resize.py — pass the returned target as
+    ``Request.resize_hw``). The host never runs a resample kernel, and the
+    numerics match the reference's PIL path (vision_process.py:310-315)
+    rather than swscale's approximation. Returns
+    (uint8 TCHW source-res frames, (resized_h, resized_w), sample_fps).
+    """
+    from ..native import video_decoder
+
+    video_path = ele["video"]
+    if video_path.startswith("file://"):
+        video_path = video_path[7:]
+    meta = video_decoder.probe(video_path)
+    start_idx, window = trim_window(ele, meta.num_frames, meta.fps)
+    nframes = smart_nframes(ele, total_frames=window, video_fps=meta.fps)
+    idx = sample_indices(window, nframes) + start_idx
+
+    min_pixels = ele.get("min_pixels", VIDEO_MIN_PIXELS)
+    total_pixels = ele.get("total_pixels", VIDEO_TOTAL_PIXELS)
+    max_pixels = max(
+        min(VIDEO_MAX_PIXELS, total_pixels / nframes * FRAME_FACTOR),
+        int(min_pixels * 1.05),
+    )
+    max_pixels = min(ele.get("max_pixels", max_pixels), max_pixels)
+    resized_height, resized_width = smart_resize(
+        meta.height, meta.width, factor=IMAGE_FACTOR,
+        min_pixels=min_pixels, max_pixels=max_pixels,
+    )
+    frames_hwc = video_decoder.decode_frames(video_path, idx)
+    video = np.ascontiguousarray(frames_hwc.transpose(0, 3, 1, 2))
+    sample_fps = nframes / max(window, 1e-6) * meta.fps
+    return video, (resized_height, resized_width), sample_fps
+
+
 def extract_vision_info(conversations) -> list[dict]:
     """Collect image/video content elements from chat messages
     (reference: vision_process.py:336-351)."""

@@ -87,6 +87,11 @@ class Request:
     # uint8 frames (T, C, H, W). Uploaded 8x smaller than f32 patches;
     # normalize+patchify runs on-device (ops/preprocess.patchify_device).
     frames: Optional[np.ndarray] = None
+    # With ``frames``: resize them ON DEVICE to (h, w) before patchify
+    # (PIL-bicubic parity, ops/resize.py). The host then uploads frames at
+    # the DECODED resolution and never runs a resample kernel; grid_thw
+    # must describe the (h, w) geometry.
+    resize_hw: Optional[tuple] = None
     # Precomputed text-space vision features (n_tokens, hidden): scattered
     # at the placeholder positions verbatim, bypassing the in-engine vision
     # tower. The Aria path (its Idefics3 tower + projector run as their own
@@ -287,6 +292,18 @@ class InferenceEngine:
         # vis_upload without this.
         self._patchify_batch_fn = jax.jit(
             lambda x: tuple(jax.vmap(self._patchify_impl)(x))
+        )
+        # Device-resize variants (Request.resize_hw): PIL-parity bicubic as
+        # two matmuls fused into the normalize+patchify program. jit keys
+        # on the (in, out) shape pair via the weight-matrix arguments.
+        self._resize_patchify_fn = jax.jit(self._resize_patchify_impl)
+        self._resize_w_cache: dict = {}  # (in_hw, out_hw) -> device weights
+        self._resize_patchify_batch_fn = jax.jit(
+            lambda x, wh, ww: tuple(
+                jax.vmap(self._resize_patchify_impl, in_axes=(0, None, None))(
+                    x, wh, ww
+                )
+            )
         )
         self._split_rows_fn = jax.jit(lambda x: tuple(x))
         self._embed_fn = jax.jit(lambda p, ids: embed_tokens(p, ids))
@@ -1148,10 +1165,33 @@ class InferenceEngine:
             out_dtype=self.cfg.dtype,
         )
 
-    def _frames_to_patches(self, frames: np.ndarray) -> jnp.ndarray:
-        return self._patchify_fn(self._put(frames))
+    def _resize_patchify_impl(self, x, wh, ww):
+        """uint8 (T, C, H, W) -> PIL-parity resize -> patches, on-device."""
+        from ..ops.resize import resize_frames_device
 
-    def prestage_frames(self, frames_list: Sequence[np.ndarray]) -> list:
+        return self._patchify_impl(resize_frames_device(x, wh, ww))
+
+    def _resize_weights(self, in_hw, out_hw):
+        from ..ops.resize import pil_resize_weights
+
+        key = (in_hw, out_hw)
+        w = self._resize_w_cache.get(key)
+        if w is None:
+            w = (self._put(pil_resize_weights(in_hw[0], out_hw[0])),
+                 self._put(pil_resize_weights(in_hw[1], out_hw[1])))
+            self._resize_w_cache[key] = w
+        return w
+
+    def _frames_to_patches(self, frames: np.ndarray,
+                           resize_hw: Optional[tuple] = None) -> jnp.ndarray:
+        in_hw = tuple(np.shape(frames)[2:])
+        if resize_hw is None or tuple(resize_hw) == in_hw:
+            return self._patchify_fn(self._put(frames))
+        wh, ww = self._resize_weights(in_hw, tuple(resize_hw))
+        return self._resize_patchify_fn(self._put(frames), wh, ww)
+
+    def prestage_frames(self, frames_list: Sequence[np.ndarray],
+                        resize_hws: Optional[Sequence] = None) -> list:
         """Upload + patchify frame arrays AHEAD of their generate() call.
 
         Call from a prefetch thread while the engine runs the previous
@@ -1161,17 +1201,28 @@ class InferenceEngine:
         each returned device buffer as ``Request.pixel_patches``; the
         admission path recognizes device-resident patches and skips the
         transfer. Same-shape entries share one stacked transfer +
-        dispatch, like the in-call path."""
+        dispatch, like the in-call path. ``resize_hws`` (one entry per
+        frame array, or None) requests the on-device PIL-parity resize —
+        see Request.resize_hw."""
         groups: dict = {}
         for i, f in enumerate(frames_list):
-            groups.setdefault(np.shape(f), []).append(i)
+            rhw = tuple(resize_hws[i]) if resize_hws and resize_hws[i] else None
+            groups.setdefault((np.shape(f), rhw), []).append(i)
         out: list = [None] * len(frames_list)
-        for _, idxs in groups.items():
+        for (shape, rhw), idxs in groups.items():
             if len(idxs) == 1:
-                out[idxs[0]] = self._frames_to_patches(frames_list[idxs[0]])
+                out[idxs[0]] = self._frames_to_patches(
+                    frames_list[idxs[0]], resize_hw=rhw
+                )
                 continue
             stacked = np.stack([np.asarray(frames_list[i]) for i in idxs])
-            parts = self._patchify_batch_fn(self._put(stacked))
+            if rhw is not None and rhw != shape[2:]:
+                wh, ww = self._resize_weights(shape[2:], rhw)
+                parts = self._resize_patchify_batch_fn(
+                    self._put(stacked), wh, ww
+                )
+            else:
+                parts = self._patchify_batch_fn(self._put(stacked))
             for i, p in zip(idxs, parts):
                 out[i] = p
         return out
@@ -1269,9 +1320,10 @@ class InferenceEngine:
             patch_groups: dict = {}
             for vis_key, r, _ in pending:
                 if r.frames is not None:
-                    frame_groups.setdefault(np.shape(r.frames), []).append(
-                        (vis_key, r)
-                    )
+                    rhw = tuple(r.resize_hw) if r.resize_hw else None
+                    frame_groups.setdefault(
+                        (np.shape(r.frames), rhw), []
+                    ).append((vis_key, r))
                 elif isinstance(r.pixel_patches, jax.Array):
                     # Already on device (prestage_frames from a prefetch
                     # thread): the transfer overlapped the previous wave.
@@ -1280,13 +1332,21 @@ class InferenceEngine:
                     patch_groups.setdefault(
                         np.shape(r.pixel_patches), []
                     ).append((vis_key, r))
-            for shape, group in frame_groups.items():
+            for (shape, rhw), group in frame_groups.items():
                 if len(group) == 1:
                     vis_key, r = group[0]
-                    patches_by_key[vis_key] = self._frames_to_patches(r.frames)
+                    patches_by_key[vis_key] = self._frames_to_patches(
+                        r.frames, resize_hw=rhw
+                    )
                     continue
                 stacked = np.stack([np.asarray(r.frames) for _, r in group])
-                parts = self._patchify_batch_fn(self._put(stacked))
+                if rhw is not None and rhw != shape[2:]:
+                    wh, ww = self._resize_weights(shape[2:], rhw)
+                    parts = self._resize_patchify_batch_fn(
+                        self._put(stacked), wh, ww
+                    )
+                else:
+                    parts = self._patchify_batch_fn(self._put(stacked))
                 for (vis_key, _), p in zip(group, parts):
                     patches_by_key[vis_key] = p
             for shape, group in patch_groups.items():
@@ -1640,6 +1700,7 @@ class InferenceEngine:
             vision_token_id=req.vision_token_id,
             second_per_grid_ts=req.second_per_grid_ts,
             frames=req.frames,
+            resize_hw=req.resize_hw,
             vision_embeds=req.vision_embeds,
         )
         embeds, pos, seq_pos, attn_rows, _, _, deepstack = self._prepare_rows(

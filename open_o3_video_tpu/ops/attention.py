@@ -122,12 +122,11 @@ def causal_attention(
         if k.dtype != q.dtype:  # cache may store fp8/bf16
             k = k.astype(q.dtype)
             v = v.astype(q.dtype)
-        # Long KV (the 81920 chunked-prefill envelope): larger tiles halve
-        # the grid-step count and the per-q-tile KV restream.
-        blk = {"block_q": 512, "block_k": 1024} if T >= 16384 else {}
-        return flash_attention_gqa(
-            q, k, v, q_positions.astype(jnp.int32), kv_valid, **blk
-        )
+        # Default (256, 512) tiles: the GQA-grouped kernel's unrolled
+        # per-head intermediates already fill scoped VMEM at group=7 —
+        # wider KV tiles blow the 16MB limit, and the KV-traffic win comes
+        # from the group sharing, not tile size.
+        return flash_attention_gqa(q, k, v, q_positions.astype(jnp.int32), kv_valid)
 
     mask = kv_positions[:, None, :] <= q_positions[:, :, None]  # (B, S, T)
     if kv_mask is not None:
