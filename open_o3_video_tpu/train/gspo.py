@@ -469,26 +469,49 @@ class GSPOTrainer:
         if cfg.release_engine_memory:
             self.engine.release_memory()
         completions_ids = [o["token_ids"] for o in outs]
-        completions_text = [self.detokenize(ids) for ids in completions_ids]
-        completions = [[{"role": "assistant", "content": txt}] for txt in completions_text]
 
         # 2. rewards on host (dataset columns repeated per generation,
-        #    grpo_trainer.py:650-655; step_percent drives adaptive sigma :467-469)
+        #    grpo_trainer.py:650-655; step_percent drives adaptive sigma
+        #    :467-469). Multi-host: each host detokenizes + scores only its
+        #    CONTIGUOUS prompt chunk (the reference preps per rank,
+        #    run_grpo_video.sh:11-15) and the per-func reward matrix is
+        #    allgathered — every host then computes identical advantages,
+        #    so the lockstep update is bit-identical to replicated scoring
+        #    while per-host detok/regex/rouge work drops by 1/process_count.
+        n_proc = jax.process_count()
+        if multi_host and B % n_proc == 0:
+            b_loc = B // n_proc
+            lo = jax.process_index() * b_loc * G
+            hi = lo + b_loc * G
+        else:
+            lo, hi = 0, R
+        completions_text = [self.detokenize(ids) for ids in completions_ids[lo:hi]]
+        completions = [[{"role": "assistant", "content": txt}] for txt in completions_text]
         step_percent = (global_step + 1) / max_steps
         keys = set()
         for s in samples:
             keys.update(s.get("reward_kwargs", {}).keys())
+        rows = [s for s in samples for _ in range(G)][lo:hi]
         reward_kwargs = {
-            key: [s.get("reward_kwargs", {}).get(key) for s in samples for _ in range(G)]
+            key: [s.get("reward_kwargs", {}).get(key) for s in rows]
             for key in keys
         }
-        reward_kwargs["step_percent"] = [step_percent] * R
-        rewards_per_func = np.zeros((R, len(self.reward_funcs)), dtype=np.float32)
+        reward_kwargs["step_percent"] = [step_percent] * (hi - lo)
+        rewards_local = np.zeros((hi - lo, len(self.reward_funcs)), dtype=np.float32)
         with self.timer.stage("reward"):
             for i, fn in enumerate(self.reward_funcs):
-                rewards_per_func[:, i] = np.asarray(
+                rewards_local[:, i] = np.asarray(
                     fn(completions=completions, **reward_kwargs), dtype=np.float32
                 )
+            if (lo, hi) != (0, R):
+                from jax.experimental import multihost_utils
+
+                # (P, R/P, F) in process order == row order (contiguous chunks)
+                rewards_per_func = np.asarray(
+                    multihost_utils.process_allgather(rewards_local)
+                ).reshape(R, len(self.reward_funcs))
+            else:
+                rewards_per_func = rewards_local
         rewards = rewards_per_func.sum(axis=1)
         advantages = group_advantages(rewards, G)  # group-local per prompt
 

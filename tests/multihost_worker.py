@@ -93,10 +93,16 @@ def main():
 
     params2 = P.init(cfg, seed=1)
     ref2 = jax.tree.map(lambda x: x, params2)
+    detok_calls = [0]  # per-host reward/detok prep must be SHARDED
+
+    def counting_detok(ids):
+        detok_calls[0] += 1
+        return "<think>x</think><answer>y</answer>"
+
     trainer = G.GSPOTrainer(
         params2, ref2, cfg,
         G.GSPOConfig(num_generations=2, max_completion_length=4, max_prompt_length=64),
-        detokenize=lambda ids: "<think>x</think><answer>y</answer>",
+        detokenize=counting_detok,
         mesh=mesh,
     )
     samp_rng = np.random.default_rng(7)  # identical stream on every host
@@ -127,6 +133,19 @@ def main():
     assert np.allclose(losses, losses.reshape(-1)[0]), losses
     assert np.allclose(rewards, rewards.reshape(-1)[0]), rewards
     assert np.isfinite(m["loss"])
+
+    # Per-host prep sharding (VERDICT r3 item 7): with B divisible by the
+    # process count, each host detokenized + scored ONLY its contiguous
+    # chunk of the B*G rows — the work halves at 2 processes — while the
+    # allgathered rewards keep losses identical across hosts (asserted
+    # above, against the same-values replicated semantics).
+    R_rows = len(gsamples) * 2  # B * G
+    counts = multihost_utils.process_allgather(np.asarray([detok_calls[0]]))
+    assert int(counts.sum()) == R_rows, (counts, R_rows)
+    if len(gsamples) % jax.process_count() == 0:
+        assert int(detok_calls[0]) == R_rows // jax.process_count(), (
+            detok_calls[0], R_rows
+        )
 
     D.sync("done")
     print(f"proc {process_id}: OK loss={loss:.6f} ref={ref_loss:.6f} "
