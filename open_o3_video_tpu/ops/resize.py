@@ -18,10 +18,13 @@ bit in float64 before the fixed-point emulation described below.
 
 Quantization model: PIL's 8-bit path rounds to uint8 AFTER EACH PASS
 (clip8 of a fixed-point accumulator seeded with a half-LSB, i.e.
-round-half-up then clamp to [0, 255]). ``round8`` emulates that, so the
-only residual vs PIL is its 2^-22 coefficient quantization — bounded by
-255 * ksize * 2^-22 < 1e-2 of one LSB, which only flips outputs sitting
-exactly on a rounding boundary (tests pin <=1 LSB, observed exact).
+round-half-up then clamp to [0, 255]) and quantizes each coefficient to
+the 2^-22 fixed-point grid FIRST (normalize_coeffs_8bpc). Both are
+emulated — the coefficient quantization matters: smooth image regions
+land sums exactly on rounding ties, where unquantized float weights flip
+the tie ~0.5% of the time (2 LSB worst case after the second pass);
+with PIL's quantized weights the f32 path diverges from PIL on ~3e-6 of
+real-video pixels, never by more than 1 LSB.
 """
 
 from __future__ import annotations
@@ -48,8 +51,11 @@ def pil_resize_weights(in_size: int, out_size: int) -> np.ndarray:
 
     Reproduces Pillow's ``precompute_coeffs`` for the full box: the filter
     support scales with the downscale ratio (antialiasing), window bounds
-    round like PIL's ``(int)(center ± support + 0.5)``, and each window is
-    normalized over its in-bounds taps.
+    round like PIL's ``(int)(center ± support + 0.5)``, each window is
+    normalized over its in-bounds taps, and the result is quantized to the
+    2^-22 fixed-point grid exactly like ``normalize_coeffs_8bpc`` — which
+    is what keeps rounding TIES (exact x.5 sums in smooth regions) on
+    PIL's side of the boundary.
     """
     scale = in_size / out_size
     filterscale = max(scale, 1.0)
@@ -65,6 +71,8 @@ def pil_resize_weights(in_size: int, out_size: int) -> np.ndarray:
         if s != 0.0:
             w = w / s
         out[xx, xmin:xmax] = w
+    pb = 1 << 22  # PIL PRECISION_BITS fixed-point grid (round half away)
+    out = np.where(out < 0, np.ceil(out * pb - 0.5), np.floor(out * pb + 0.5)) / pb
     return out.astype(np.float32)
 
 

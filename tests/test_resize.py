@@ -54,7 +54,8 @@ def test_weights_row_stochastic():
     for n_in, n_out in ((640, 448), (360, 420), (28, 28)):
         w = pil_resize_weights(n_in, n_out)
         assert w.shape == (n_out, n_in)
-        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-6)
+        # quantized to the 2^-22 grid like PIL, so sums are 1 +- ksize*2^-22
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
 
 
 def test_device_matches_host_twin():
