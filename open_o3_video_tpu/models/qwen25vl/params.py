@@ -201,7 +201,11 @@ def _quantize_leaf(leaf, mode):
         from ...ops.quant import quantize_weight
 
         out = quantize_weight(leaf)
-    leaf.delete()
+    if not isinstance(leaf, jax.core.Tracer):
+        # Free the bf16 original eagerly (a full 7B must never coexist with
+        # its quantized copy on a 16 GB chip); no-op under tracing so the
+        # init stays eval_shape-able (scripts/hbm_feasibility.py).
+        leaf.delete()
     return out
 
 # ViT block matmuls (attention + all three MLP variants). Quantizing these
