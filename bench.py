@@ -220,13 +220,15 @@ def bench_longctx(cfg, params):
     out = {"failed": {}}
     for spec in sizes:
         spec = spec.strip()
-        fp8 = spec.endswith(":fp8")
-        L = int(spec.split(":")[0])
+        parts = spec.split(":")
+        fp8 = "fp8" in parts[1:]
+        a8 = "a8" in parts[1:]  # w8a8 chunk-prefill (compute-bound programs)
+        L = int(parts[0])
         cache_dtype = jnp.float8_e4m3fn if fp8 else jnp.bfloat16
         eng = None
         try:
             eng = InferenceEngine(params, cfg, prompt_buckets=(L,), max_slots=1,
-                                  cache_dtype=cache_dtype)
+                                  cache_dtype=cache_dtype, a8_prefill=a8)
             n_prompt = L - 64
             prompt = [100 + (i % 500) for i in range(n_prompt)]
             samp = SamplingParams(temperature=0.0, repetition_penalty=1.05,
@@ -247,6 +249,7 @@ def bench_longctx(cfg, params):
                 "max_prompt_tokens": n_prompt,
                 "bucket": L,
                 "kv_dtype": "fp8_e4m3" if fp8 else "bf16",
+                "a8_prefill": a8,
                 "kv_arena_gb": round(kv_gb, 2),
                 "e2e_sec": round(dt, 2),
                 "prefill_tok_per_sec": round(
@@ -256,6 +259,10 @@ def bench_longctx(cfg, params):
                 "stages": stages,
                 "compile_sec": round(compile_s, 1),
             })
+            out.setdefault("variants", {})[spec] = {
+                "prefill_tok_per_sec": out["prefill_tok_per_sec"],
+                "e2e_sec": out["e2e_sec"],
+            }
         except Exception as e:  # noqa: BLE001 — OOM probing by design
             out["failed"][spec] = f"{type(e).__name__}: {str(e)[:300]}"
             break  # a failed alloc can poison HBM; stop probing
