@@ -214,7 +214,7 @@ def bench_longctx(cfg, params):
     from open_o3_video_tpu.engine import InferenceEngine, Request, SamplingParams
 
     sizes = os.environ.get(
-        "BENCH_LONGCTX_SIZES", "32768,81920:fp8"
+        "BENCH_LONGCTX_SIZES", "32768,81920:fp8,81920:fp8:a8"
     ).split(",")
     tcfg = cfg.text
     out = {"failed": {}}

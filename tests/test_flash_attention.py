@@ -139,3 +139,44 @@ def test_gradients_decode_shape():
     assert grads[1].shape == k.shape
     assert grads[2].shape == v.shape
     assert all(np.isfinite(np.asarray(g)).all() for g in grads)
+
+
+def test_inference_vs_grad_forward_agree():
+    """The inference forward (fixed-m softmax) and the differentiated
+    forward (exact online max) must agree to f32 rounding on data whose
+    logits sit far under the 60.0 clamp — i.e. always, with real inputs."""
+    rng = np.random.default_rng(7)
+    B, Sq, T, Hq, Hkv, D = 1, 24, 40, 4, 2, 16
+    q = jnp.asarray(rng.normal(0, 1, (B, Sq, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (B, T, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (B, T, Hkv, D)), jnp.float32)
+    q_pos = jnp.arange(T - Sq, T, dtype=jnp.int32)[None]
+    valid = jnp.ones((B, T), jnp.int32)
+
+    fast = flash_attention_gqa(q, k, v, q_pos, valid,
+                               block_q=16, block_k=16, interpret=True)
+
+    # jax.vjp runs the fwd_rule (exact online-max) for the primal value.
+    exact, _ = jax.vjp(
+        lambda q, k, v: flash_attention_gqa(
+            q, k, v, q_pos, valid, block_q=16, block_k=16, interpret=True),
+        q, k, v,
+    )
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_inference_forward_clamps_huge_logits_finite():
+    """Logits beyond the 60.0 clamp (unreachable with real activations) must
+    degrade to a finite, normalized output — never inf/nan."""
+    rng = np.random.default_rng(3)
+    B, Sq, T, H, D = 1, 8, 16, 2, 16
+    q = jnp.asarray(100.0 * rng.normal(0, 1, (B, Sq, H, D)), jnp.float32)
+    k = jnp.asarray(100.0 * rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+    q_pos = jnp.arange(T - Sq, T, dtype=jnp.int32)[None]
+    valid = jnp.ones((B, T), jnp.int32)
+    out = flash_attention_gqa(q, k, v, q_pos, valid,
+                              block_q=8, block_k=16, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out)).max() <= float(np.abs(np.asarray(v)).max()) + 1e-4
