@@ -265,41 +265,64 @@ def compute_vision_spec(grid_thw: Sequence[tuple[int, int, int]], cfg: VisionCon
     # for the global layers); per-row segment ids keep them independent in
     # the attention mask. At the production 18x24-patch grid this cuts the
     # pad inflation from 33% (9 windows of 64/64/.../16/16/16 tokens -> 9
-    # rows) to 3.7% (7 rows). O3V_VIT_PACK=0 restores one-window-per-row.
+    # rows) to 3.7% (7 rows). O3V_VIT_PACK=0 restores one-window-per-row;
+    # O3V_VIT_PACK=k>=2 multiplies the row capacity, packing k FULL windows
+    # per row: a 64-token window's (Wq, Wk) score tile pads to 128 lanes on
+    # the VPU either way, so wider rows cost no extra vector work while the
+    # attention dots tile the 128x128 MXU k^2x better and the row count
+    # (pallas grid) shrinks kx.
     import os as _os
 
-    win_w_m = win * win
+    # Default capacity 2: measured on v5e at the bench geometry (32 blocks,
+    # S=61440, scripts/profile_vision.py) 754 -> 718 ms tower; the adaptive
+    # fallback below keeps ragged grids at capacity 1.
+    packf = int(_os.environ.get("O3V_VIT_PACK", "2") or "1")
     sizes_m = [s // unit for s in window_sizes]
-    pack = _os.environ.get("O3V_VIT_PACK", "1") != "0"
     starts_m = np.zeros(len(sizes_m), dtype=np.int64)
     np.cumsum(sizes_m[:-1], out=starts_m[1:])
-    bins: list[list[int]] = []  # window indices per row
-    bin_frame_counts = []  # rows per frame (global-layer segment sizes)
-    wpos = 0
-    for count in frame_win_counts:
-        frame_wins = range(wpos, wpos + count)
-        wpos += count
-        if pack:
-            frame_bins: list[list] = []  # [remaining_capacity, [win_idx]]
-            for i in sorted(frame_wins, key=lambda i: (-sizes_m[i], i)):
+
+    def _pack_bins(cap_m: int, pack: bool):
+        bins: list[list[int]] = []  # window indices per row
+        bin_frame_counts = []  # rows per frame (global-layer segment sizes)
+        wpos = 0
+        for count in frame_win_counts:
+            frame_wins = range(wpos, wpos + count)
+            wpos += count
+            if pack:
+                frame_bins: list[list] = []  # [remaining_capacity, [win_idx]]
+                for i in sorted(frame_wins, key=lambda i: (-sizes_m[i], i)):
+                    for b in frame_bins:
+                        if b[0] >= sizes_m[i]:
+                            b[0] -= sizes_m[i]
+                            b[1].append(i)
+                            break
+                    else:
+                        frame_bins.append([cap_m - sizes_m[i], [i]])
+                # Canonical order: windows ascending within a bin, bins by
+                # their first window — when packing merges nothing the layout
+                # is then IDENTICAL to the sequential one (same program,
+                # bit-identical accumulation order in the global layers).
                 for b in frame_bins:
-                    if b[0] >= sizes_m[i]:
-                        b[0] -= sizes_m[i]
-                        b[1].append(i)
-                        break
-                else:
-                    frame_bins.append([win_w_m - sizes_m[i], [i]])
-            # Canonical order: windows ascending within a bin, bins by their
-            # first window — when packing merges nothing the layout is then
-            # IDENTICAL to the sequential one (same program, bit-identical
-            # accumulation order in the global layers).
-            for b in frame_bins:
-                b[1].sort()
-            frame_bins.sort(key=lambda b: b[1][0])
-        else:
-            frame_bins = [[0, [i]] for i in frame_wins]
-        bins.extend(b[1] for b in frame_bins)
-        bin_frame_counts.append(len(frame_bins))
+                    b[1].sort()
+                frame_bins.sort(key=lambda b: b[1][0])
+            else:
+                frame_bins = [[0, [i]] for i in frame_wins]
+            bins.extend(b[1] for b in frame_bins)
+            bin_frame_counts.append(len(frame_bins))
+        return bins, bin_frame_counts
+
+    win_w_m = win * win * max(packf, 1)
+    bins, bin_frame_counts = _pack_bins(win_w_m, packf != 0)
+    if packf > 1:
+        # Wider rows only pay off when they don't inflate the padded
+        # sequence: PAD rows ride through every linear in the tower, so a
+        # half-empty wide bin (ragged grids) costs more in the MLPs than
+        # the packed attention dots save. Uniform full-window grids (the
+        # bench/serving geometry) pack with zero slot growth.
+        bins1, counts1 = _pack_bins(win * win, True)
+        if len(bins) * win_w_m > len(bins1) * win * win:
+            win_w_m = win * win
+            bins, bin_frame_counts = bins1, counts1
 
     n_bins = len(bins)
     pad_blocks = np.full(n_bins * win_w_m, -1, dtype=np.int64)

@@ -109,7 +109,7 @@ def _seg_mask(val, gn, gh, w):
     return (g[:, :, None] == g[:, None, :]) & (g[:, None, :] != 0)
 
 
-def _fwd_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
+def _fwd_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale, exact):
     # Mosaic matmuls support one batch dim: fold (Gn, Gh) -> B.
     gn, gh, w, d = q_ref.shape
     b = gn * gh
@@ -121,14 +121,30 @@ def _fwd_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
         preferred_element_type=jnp.float32,
     ) * scale  # (B, Wq, Wk)
     s = jnp.where(_seg_mask(valid_ref[...], gn, gh, w), s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / l).astype(v.dtype)
-    o = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+    if exact:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        # Fixed m == 0 (see ops/flash_attention.py _fwd_kernel): the max
+        # tree and the per-element subtract are pure VPU cost; a 60.0 clamp
+        # keeps exp/l/acc far from overflow (p <= e^60 ~ 1e26, bf16 max
+        # 3.4e38; real attention logits are O(30)). Normalization moves
+        # AFTER the value dot so exp feeds the MXU directly. Fully-masked
+        # pad rows have l == 0 (exp(NEG_INF) == 0) -> guarded to emit 0,
+        # not NaN, so pad lanes stay finite through later layers.
+        p = jnp.exp(jnp.minimum(s, 60.0))
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o = o / jnp.where(l == 0.0, 1.0, l)
     o_ref[...] = o.reshape(gn, gh, w, d).astype(o_ref.dtype)
 
 
@@ -200,12 +216,14 @@ def window_attention(q, k, v, valid, interpret=None):
     q/k/v: (N, W, H, D); valid: (N, W) bool padding mask or int32 segment
     ids (0 = pad; tokens attend iff ids match — the packed window layout).
     Returns (N, W, H, D) in the input dtype. Padded (invalid) rows return
-    unspecified values."""
-    out, _ = _fwd(q, k, v, valid, interpret)
+    unspecified values. Inference calls run the fixed-m softmax forward;
+    anything under jax.grad runs the exact max-subtracted forward (the two
+    agree to input-dtype rounding while logits stay under the 60.0 clamp)."""
+    out, _ = _fwd(q, k, v, valid, interpret, exact=False)
     return out
 
 
-def _fwd(q, k, v, valid, interpret):
+def _fwd(q, k, v, valid, interpret, exact=True):
     interpret = _resolve_interpret(interpret)
     n, w, h, d = q.shape
     scale = d ** -0.5
@@ -218,7 +236,7 @@ def _fwd(q, k, v, valid, interpret):
     grid = (n_pad // gn, h // gh)
     tile = ((gn, gh, w, d), lambda i, j: (i, j, 0, 0))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        functools.partial(_fwd_kernel, scale=scale, exact=exact),
         grid=grid,
         in_specs=[
             pl.BlockSpec((gn, 1, w), lambda i, j: (i, 0, 0)),
@@ -235,7 +253,7 @@ def _fwd(q, k, v, valid, interpret):
 
 
 def _fwd_vjp(q, k, v, valid, interpret):
-    return _fwd(q, k, v, valid, interpret)
+    return _fwd(q, k, v, valid, interpret, exact=True)
 
 
 def _bwd_vjp(interpret, res, g):
@@ -331,7 +349,8 @@ def _rope_tile(x, cos, sin, d):
     return x * cos + rot * sin
 
 
-def _fused_fwd_kernel(valid_ref, qkv_ref, cos_ref, sin_ref, o_ref, *, heads, scale):
+def _fused_fwd_kernel(valid_ref, qkv_ref, cos_ref, sin_ref, o_ref, *, heads,
+                      scale, exact):
     gn, w, three_hd = qkv_ref.shape
     hd = three_hd // 3
     d = hd // heads
@@ -351,13 +370,26 @@ def _fused_fwd_kernel(valid_ref, qkv_ref, cos_ref, sin_ref, o_ref, *, heads, sca
             preferred_element_type=jnp.float32,
         ) * scale  # (gn, Wq, Wk)
         s = jnp.where(mask, s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-        o = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        if exact:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+            o = jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # Fixed m == 0 inference softmax (see _fwd_kernel): drops the
+            # max tree + subtract; exp feeds the MXU unnormalized and the
+            # division lands on the (W, D) output. l == 0 (fully-masked pad
+            # rows) guarded to 0 output.
+            p = jnp.exp(jnp.minimum(s, 60.0))
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            o = o / jnp.where(l == 0.0, 1.0, l)
         outs.append(o.astype(o_ref.dtype))
     # single aligned full-tile store (per-head lane offsets are 80-wide and
     # would otherwise be unaligned partial stores)
@@ -430,12 +462,15 @@ def fused_window_attention(qkv, cos, sin, valid, heads, interpret=None):
     int32 segment ids (0 = pad; tokens attend iff ids match — the packed
     window layout places several small edge windows in one row).
     Returns (N, W, H*D) in the qkv dtype; invalid rows are unspecified.
+    Inference calls run the fixed-m softmax forward; anything under
+    jax.grad runs the exact max-subtracted forward (agreement to
+    input-dtype rounding while logits stay under the 60.0 clamp).
     """
-    out, _ = _fused_fwd(qkv, cos, sin, valid, heads, interpret)
+    out, _ = _fused_fwd(qkv, cos, sin, valid, heads, interpret, exact=False)
     return out
 
 
-def _fused_fwd(qkv, cos, sin, valid, heads, interpret):
+def _fused_fwd(qkv, cos, sin, valid, heads, interpret, exact=True):
     interpret = _resolve_interpret(interpret)
     n, w, three_hd = qkv.shape
     hd = three_hd // 3
@@ -449,7 +484,9 @@ def _fused_fwd(qkv, cos, sin, valid, heads, interpret):
     val = jnp.pad(valid.astype(jnp.int32), ((0, n_pad - n), (0, 0)))[:, None, :]
 
     out = pl.pallas_call(
-        functools.partial(_fused_fwd_kernel, heads=heads, scale=d ** -0.5),
+        functools.partial(
+            _fused_fwd_kernel, heads=heads, scale=d ** -0.5, exact=exact
+        ),
         grid=(n_pad // gn,),
         in_specs=[
             pl.BlockSpec((gn, 1, w), lambda i: (i, 0, 0)),
@@ -465,7 +502,7 @@ def _fused_fwd(qkv, cos, sin, valid, heads, interpret):
 
 
 def _fused_fwd_vjp(qkv, cos, sin, valid, heads, interpret):
-    return _fused_fwd(qkv, cos, sin, valid, heads, interpret)
+    return _fused_fwd(qkv, cos, sin, valid, heads, interpret, exact=True)
 
 
 def _fused_bwd_vjp(heads, interpret, res, g):

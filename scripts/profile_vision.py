@@ -91,8 +91,21 @@ def main():
 
     import sys as _sys
     if not _sys.argv[1:] or "fwd" in _sys.argv[1:]:
-        full = jax.jit(lambda p, x: V.vision_forward(p, x, spec, vcfg))
-        t_full = timed(full, params, patches)
+        import contextlib
+
+        from open_o3_video_tpu.ops.window_attention import vit_inference_scope
+
+        # PROF_INFER=1 traces like the engine does (vit_inference_scope):
+        # the fused-kernel fits check then uses the forward-only VMEM
+        # footprint, admitting wider packed rows (O3V_VIT_PACK>=4).
+        scope = (
+            vit_inference_scope()
+            if os.environ.get("PROF_INFER", "0") == "1"
+            else contextlib.nullcontext()
+        )
+        with scope:
+            full = jax.jit(lambda p, x: V.vision_forward(p, x, spec, vcfg))
+            t_full = timed(full, params, patches)
         print(f"full        : {t_full*1e3:8.1f} ms  {total_tflop/t_full:6.1f} TFLOP/s "
               f"({100*total_tflop/t_full/197:4.1f}% MFU)")
 

@@ -548,3 +548,109 @@ def test_inference_scope_relaxes_fused_budget():
     with vit_inference_scope():
         assert fused_window_fits(w, heads, d)
     assert not fused_window_fits(w, heads, d)  # scope exited
+
+
+def test_fast_softmax_matches_exact_forward():
+    """The primal (inference) fixed-m forward must equal the exact
+    max-subtracted forward (which runs under jax.grad) to f32 rounding
+    while logits stay under the 60.0 clamp — both kernels."""
+    from open_o3_video_tpu.ops import window_attention as WA
+
+    q, k, v, valid = _case(6, 64, 4, 80, ragged=True, seed=5)
+    fast = WA._fwd(q, k, v, valid, True, exact=False)[0]
+    exact = WA._fwd(q, k, v, valid, True, exact=True)[0]
+    m = np.asarray(valid)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(fast) * m, np.asarray(exact) * m, atol=2e-6, rtol=2e-6
+    )
+    # fully-masked pad rows come out finite (0), never NaN
+    assert np.isfinite(np.asarray(fast)).all()
+
+    n, w, heads, d = 4, 64, 4, 80
+    rng = np.random.default_rng(11)
+    qkv = jnp.asarray(rng.standard_normal((n, w, 3 * heads * d)), jnp.float32)
+    freqs = rng.standard_normal((n, w, d // 2)).astype(np.float32)
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    cos, sin = jnp.asarray(np.cos(emb)), jnp.asarray(np.sin(emb))
+    _, _, _, gids = _gid_case(n, w, 1, 1, seed=13)
+    fastf = WA._fused_fwd(qkv, cos, sin, gids, heads, True, exact=False)[0]
+    exactf = WA._fused_fwd(qkv, cos, sin, gids, heads, True, exact=True)[0]
+    mf = (np.asarray(gids) != 0)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(fastf) * mf, np.asarray(exactf) * mf, atol=2e-6, rtol=2e-6
+    )
+    assert np.isfinite(np.asarray(fastf)).all()
+
+
+def test_fast_softmax_clamp_stays_finite():
+    """Logits beyond the 60.0 clamp: outputs stay finite (the exactness
+    contract only covers logits under the clamp; real models are O(30))."""
+    from open_o3_video_tpu.ops import window_attention as WA
+
+    q, k, v, valid = _case(2, 16, 2, 32, seed=6)
+    out = WA._fwd(q * 300.0, k * 300.0, v, valid, True, exact=False)[0]
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vision_pack_factor_matches_gather_path(monkeypatch):
+    """O3V_VIT_PACK=2 packs two full 64-token windows per 128-token row
+    (full MXU score tiles); the tower output must still equal the
+    gather/scatter path, global layers included."""
+    import dataclasses
+
+    from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+    from open_o3_video_tpu.models.qwen25vl.vision import (
+        compute_vision_spec,
+        vision_forward,
+    )
+    from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
+
+    cfg = Qwen25VLConfig.tiny(dtype=jnp.float32)
+    vcfg = dataclasses.replace(cfg.vision, depth=3, fullatt_block_indexes=(1,))
+    rng = np.random.default_rng(21)
+    # 224x224 -> 16x16 patches -> 8x8 merged -> 4 FULL 4x4 windows/frame:
+    # packing two per row adds zero pad slots, so the guard keeps it.
+    frames = rng.integers(0, 255, size=(2, 3, 224, 224), dtype=np.uint8)
+    patches, grid = frames_as_images_patches(
+        frames, patch_size=vcfg.patch_size,
+        temporal_patch_size=vcfg.temporal_patch_size,
+        merge_size=vcfg.spatial_merge_size,
+    )
+    params = P.init(dataclasses.replace(cfg, vision=vcfg), seed=0)["visual"]
+    grids = [tuple(g) for g in grid]
+
+    spec1 = compute_vision_spec(grids, vcfg)
+    out_ref = vision_forward(params, jnp.asarray(patches), spec1, vcfg)
+
+    monkeypatch.setenv("O3V_VIT_PACK", "2")
+    spec2 = compute_vision_spec(grids, vcfg)
+    assert spec2.win_w == 2 * spec1.win_w
+    # fewer, wider rows; same slot total (uniform full windows)
+    rows1 = len(spec1.padded_gids) // spec1.win_w
+    rows2 = len(spec2.padded_gids) // spec2.win_w
+    assert rows2 == rows1 // 2
+    assert len(spec2.padded_gids) == len(spec1.padded_gids)
+    idx = spec2.padded_index[spec2.padded_valid]
+    assert sorted(idx.tolist()) == list(range(spec2.seq_len))
+
+    # ragged grids (18x24 patches: 9 windows incl. 3 quarter windows) would
+    # inflate the padded sequence at capacity 2 — the guard falls back
+    spec_ragged1 = compute_vision_spec([(1, 18, 24)], vcfg)
+    monkeypatch.delenv("O3V_VIT_PACK")
+    spec_ragged0 = compute_vision_spec([(1, 18, 24)], vcfg)
+    assert spec_ragged1.win_w == spec_ragged0.win_w
+    assert len(spec_ragged1.padded_gids) == len(spec_ragged0.padded_gids)
+    monkeypatch.setenv("O3V_VIT_PACK", "2")
+
+    # gather path (packing only affects the padded layout's row geometry)
+    out_gather = vision_forward(params, jnp.asarray(patches), spec2, vcfg)
+    np.testing.assert_allclose(
+        np.asarray(out_gather), np.asarray(out_ref), atol=1e-5, rtol=1e-5
+    )
+    # fused padded path on the packed layout
+    monkeypatch.setenv("O3V_ATTN_IMPL", "pallas")
+    monkeypatch.setenv("O3V_PALLAS_INTERPRET", "1")
+    out_packed = vision_forward(params, jnp.asarray(patches), spec2, vcfg)
+    np.testing.assert_allclose(
+        np.asarray(out_packed), np.asarray(out_ref), atol=2e-5, rtol=2e-5
+    )
