@@ -275,8 +275,14 @@ def compute_vision_spec(grid_thw: Sequence[tuple[int, int, int]], cfg: VisionCon
 
     # Default capacity 2: measured on v5e at the bench geometry (32 blocks,
     # S=61440, scripts/profile_vision.py) 754 -> 718 ms tower; the adaptive
-    # fallback below keeps ragged grids at capacity 1.
-    packf = int(_os.environ.get("O3V_VIT_PACK", "2") or "1")
+    # fallback below keeps ragged grids at capacity 1. Parse defensively:
+    # invalid / empty / negative values fall back to the default rather
+    # than raising at spec-build time deep inside a serving call.
+    _raw_pack = _os.environ.get("O3V_VIT_PACK", "")
+    try:
+        packf = max(int(_raw_pack), 0) if _raw_pack.strip() else 2
+    except ValueError:
+        packf = 2
     sizes_m = [s // unit for s in window_sizes]
     starts_m = np.zeros(len(sizes_m), dtype=np.int64)
     np.cumsum(sizes_m[:-1], out=starts_m[1:])
@@ -319,6 +325,13 @@ def compute_vision_spec(grid_thw: Sequence[tuple[int, int, int]], cfg: VisionCon
         # half-empty wide bin (ragged grids) costs more in the MLPs than
         # the packed attention dots save. Uniform full-window grids (the
         # bench/serving geometry) pack with zero slot growth.
+        #
+        # The decision is deliberately BATCH-GLOBAL: every row in the
+        # padded layout shares one width (the pallas grid is uniform), so
+        # one ragged frame in a mixed-resolution batch reverts the whole
+        # batch to capacity 1. Correctness is unaffected; callers that
+        # care about the perf cliff should bucket frames by grid shape
+        # before batching (the engine's shape-bucketing already does).
         bins1, counts1 = _pack_bins(win * win, True)
         if len(bins) * win_w_m > len(bins1) * win * win:
             win_w_m = win * win

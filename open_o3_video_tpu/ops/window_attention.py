@@ -138,6 +138,13 @@ def _fwd_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale, exact):
         # AFTER the value dot so exp feeds the MXU directly. Fully-masked
         # pad rows have l == 0 (exp(NEG_INF) == 0) -> guarded to emit 0,
         # not NaN, so pad lanes stay finite through later layers.
+        #
+        # Underflow side of the contract: a VALID row whose logits are ALL
+        # below ~-87 (exp underflows f32 to 0) also hits l == 0 and emits 0
+        # where exact shift-invariant softmax would return a weighted
+        # average. Post-rope ViT logits are O(+-30) so this envelope is
+        # unreachable in practice; training and O3V_ATTN_IMPL=xla use the
+        # exact max-subtracted softmax, which has no such envelope.
         p = jnp.exp(jnp.minimum(s, 60.0))
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(

@@ -619,6 +619,9 @@ def test_vision_pack_factor_matches_gather_path(monkeypatch):
     params = P.init(dataclasses.replace(cfg, vision=vcfg), seed=0)["visual"]
     grids = [tuple(g) for g in grid]
 
+    # Baseline must be the genuine capacity-1 layout: the default pack
+    # factor is 2 (vision.py), so pin it off before building spec1.
+    monkeypatch.setenv("O3V_VIT_PACK", "1")
     spec1 = compute_vision_spec(grids, vcfg)
     out_ref = vision_forward(params, jnp.asarray(patches), spec1, vcfg)
 
@@ -636,7 +639,7 @@ def test_vision_pack_factor_matches_gather_path(monkeypatch):
     # ragged grids (18x24 patches: 9 windows incl. 3 quarter windows) would
     # inflate the padded sequence at capacity 2 — the guard falls back
     spec_ragged1 = compute_vision_spec([(1, 18, 24)], vcfg)
-    monkeypatch.delenv("O3V_VIT_PACK")
+    monkeypatch.setenv("O3V_VIT_PACK", "1")
     spec_ragged0 = compute_vision_spec([(1, 18, 24)], vcfg)
     assert spec_ragged1.win_w == spec_ragged0.win_w
     assert len(spec_ragged1.padded_gids) == len(spec_ragged0.padded_gids)
