@@ -119,7 +119,7 @@ class InferenceEngine:
         cache_dtype=jnp.bfloat16,
         max_slots: int = 8,
         decode_segment: int = 64,
-        decode_attn_impl: Optional[str] = "xla",
+        decode_attn_impl: Optional[str] = "auto",
         prefill_chunk: Optional[int] = None,
         batch_axis: Optional[str] = None,
         prefix_cache_min: int = 256,
@@ -133,6 +133,7 @@ class InferenceEngine:
         spec_draft: Optional[int] = None,
         spec_sample: Optional[bool] = None,
         spec_surplus: Optional[int] = None,
+        rollout_shard_axis: Optional[str] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -232,6 +233,29 @@ class InferenceEngine:
             # (no interleaved decode between chunks — that benefit is
             # per-slot and does not exist wave-scheduled, but the memory
             # ceiling from long_prefill_threshold does).
+        # Rollout row sharding (GSPO): shard the slot-row dimension of the
+        # decode-state arrays (token/attn_valid/seen/arena/...) over this
+        # mesh axis while keeping the DEFAULT slot scheduling — the middle
+        # ground between replicated SPMD lockstep (every device redundantly
+        # computes all B*G rollouts; the r4 inefficiency) and full DP fleet
+        # wave scheduling. Each device then decodes only its row shard of
+        # the hot 768-step rollout loop (GSPMD keeps row-wise ops sharded
+        # and inserts collectives only for the scalar loop controls), which
+        # is the reference's per-rank rollout DP (run_grpo_video.sh:11-15)
+        # expressed as sharding. Host reads go through _fetch(), which
+        # re-replicates non-addressable arrays; host control flow is
+        # unchanged, so multi-host lockstep is preserved. Groups whose row
+        # count does not divide the axis fall back to replicated per array
+        # AND arena together (one _row_axis rule decides both).
+        self.rollout_shard_axis = rollout_shard_axis
+        if rollout_shard_axis is not None:
+            assert mesh is not None, "rollout_shard_axis requires a mesh"
+            assert rollout_shard_axis in mesh.axis_names, (
+                f"no mesh axis {rollout_shard_axis!r}"
+            )
+            assert not self._dp, "rollout_shard_axis is exclusive with DP fleet mode"
+        self._replicate_fn = None
+        self.last_rollout_layout = None  # debug/telemetry: set per generate()
         if mesh is not None:
             from ..parallel.mesh import shard_params
 
@@ -980,18 +1004,85 @@ class InferenceEngine:
         n_verify = jnp.zeros((), jnp.int32)
         hcols = jnp.arange(Hc)
 
+        Ly = arena_k.shape[0]
+        H = arena_k.shape[3]
+        Dh = arena_k.shape[4]
+        ring_cols = jnp.arange(ring, dtype=jnp.int32)
+
+        def _n_valid_dec(attn_valid):
+            """Per-row count of VALID decode columns (== KV-committed
+            tokens; rejected drafts were invalidated into holes)."""
+            vdec = jax.lax.dynamic_slice(
+                attn_valid, (0, prompt_len), (B, ring)
+            )
+            return jnp.sum(vdec, axis=1).astype(jnp.int32), vdec
+
+        def _compact(ak, av, attn_valid, kv_pos, col_cursor):
+            """Reclaim hole columns: gather each row's valid decode columns
+            to the front of the decode region (stable, order-preserving).
+
+            Ring-decode causality here is validity + explicit column-index
+            positions, so the move is legal as long as relative order is
+            kept: compacted column j gets position prompt_len + j, which is
+            (a) increasing in j and (b) below every future verify block's
+            query positions (they start at the new cursor). Cost is one
+            gather + scatter over the decode region of the arena
+            (B*Ly*ring*H*Dh bytes each way, ~0.5 ms at rollout geometry vs
+            ~12 ms per verify forward), so compacting on demand keeps the
+            spec loop covering the WHOLE generation instead of falling back
+            to plain decode after the surplus runs out once."""
+            n_valid, vdec = _n_valid_dec(attn_valid)
+            # stable valid-first permutation of the decode columns
+            order = jnp.argsort(~vdec, axis=1, stable=True)  # (B, ring)
+            idx = order[None, :, :, None, None]  # (1, B, ring, 1, 1)
+            kdec = jax.lax.dynamic_slice(
+                ak, (0, 0, prompt_len, 0, 0), (Ly, B, ring, H, Dh)
+            )
+            vdec_kv = jax.lax.dynamic_slice(
+                av, (0, 0, prompt_len, 0, 0), (Ly, B, ring, H, Dh)
+            )
+            kdec = jnp.take_along_axis(kdec, idx, axis=2)
+            vdec_kv = jnp.take_along_axis(vdec_kv, idx, axis=2)
+            ak = jax.lax.dynamic_update_slice(ak, kdec, (0, 0, prompt_len, 0, 0))
+            av = jax.lax.dynamic_update_slice(
+                av, vdec_kv, (0, 0, prompt_len, 0, 0)
+            )
+            attn_valid = jax.lax.dynamic_update_slice(
+                attn_valid, ring_cols[None, :] < n_valid[:, None],
+                (0, prompt_len),
+            )
+            kv_pos = jax.lax.dynamic_update_slice(
+                kv_pos, (prompt_len + ring_cols)[None, :], (0, prompt_len)
+            )
+            return ak, av, attn_valid, kv_pos, jnp.max(n_valid)
+
         def cond(st):
-            emitted, done, col_cursor, remaining = st[0], st[8], st[10], st[13]
+            emitted, attn_valid, done = st[0], st[6], st[8]
+            remaining = st[13]
             live_rem = jnp.max(jnp.where(done, 0, remaining))
-            # surplus invariant: after this iteration (K1 columns, >=1 token
-            # per live row) the plain path must still fit in cols_left.
-            fits = col_cursor + K1 + jnp.maximum(live_rem - 1, 0) <= ring
+            # surplus invariant, COMPACTION-AWARE: the loop continues as
+            # long as one more verify fits after reclaiming holes (body
+            # compacts on demand); the plain path must still fit in
+            # cols_left afterwards. cc_min is the compacted cursor.
+            cc_min = jnp.max(_n_valid_dec(attn_valid)[0])
+            fits = cc_min + K1 + jnp.maximum(live_rem - 1, 0) <= ring
             return (~jnp.all(done)) & (jnp.max(emitted) < n_steps) & fits
 
         def body(st):
             (emitted, n_verify, token, ak, av, seen, attn_valid, kv_pos,
              done, rng, col_cursor, hist, hcount, remaining, mrope_cur,
              toks, lps) = st
+            # compact on demand: only when the UNcompacted cursor cannot
+            # host this iteration + the plain-path reserve (cond already
+            # guaranteed the compacted one can)
+            live_rem = jnp.max(jnp.where(done, 0, remaining))
+            need = col_cursor + K1 + jnp.maximum(live_rem - 1, 0) > ring
+            ak, av, attn_valid, kv_pos, col_cursor = jax.lax.cond(
+                need,
+                lambda a, v, m, p, c: _compact(a, v, m, p, c),
+                lambda a, v, m, p, c: (a, v, m, p, c),
+                ak, av, attn_valid, kv_pos, col_cursor,
+            )
             s_col = prompt_len + col_cursor
 
             # ---- draft per row: most recent earlier (prev, pending) bigram
@@ -1506,19 +1597,56 @@ class InferenceEngine:
             spec = [None] * x.ndim
             spec[row_dim] = self.batch_axis
             return jax.device_put(x, NamedSharding(self.mesh, P_(*spec)))
-        if not (self._spmd or self._dp):
+        if row_dim is not None and self._row_axis(x.shape[row_dim]):
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+
+            spec = [None] * x.ndim
+            spec[row_dim] = self.rollout_shard_axis
+            return jax.device_put(x, NamedSharding(self.mesh, P_(*spec)))
+        if not (self._spmd or self._dp or self.rollout_shard_axis):
             return jnp.asarray(x)
         from jax.sharding import NamedSharding, PartitionSpec as P_
 
         return jax.device_put(x, NamedSharding(self.mesh, P_()))
 
+    def _row_axis(self, n: int) -> Optional[str]:
+        """Rollout-row-sharding axis for an ``n``-row group, or None when
+        inactive / non-divisible (the whole group then stays replicated)."""
+        axis = self.rollout_shard_axis
+        if axis is not None and n > 0 and n % self.mesh.shape[axis] == 0:
+            return axis
+        return None
+
+    def _fetch(self, tree):
+        """Device -> host for decode-state outputs. Row-sharded arrays on a
+        multi-host mesh are not fully addressable; re-replicate them with a
+        cached jitted identity (one allgather over the row axis) first —
+        the host-visible values and control flow stay exactly those of the
+        replicated engine."""
+        leaves = jax.tree.leaves(tree)
+        if all(getattr(l, "is_fully_addressable", True) for l in leaves):
+            return jax.device_get(tree)
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        if self._replicate_fn is None:
+            self._replicate_fn = jax.jit(
+                lambda t: t,
+                out_shardings=NamedSharding(self.mesh, P_()),
+            )
+        return jax.device_get(self._replicate_fn(tree))
+
     def _new_cache(self, n: int, T: int) -> dict:
         """Fresh device-side KV cache (replicated global in SPMD mode;
-        slot-row-sharded in DP fleet mode)."""
-        if self._spmd or self._dp:
+        slot-row-sharded in DP fleet / rollout-row-sharded mode)."""
+        if self._spmd or self._dp or self.rollout_shard_axis:
             from jax.sharding import NamedSharding, PartitionSpec as P_
 
-            spec = P_(None, self.batch_axis) if self._dp else P_()
+            if self._dp:
+                spec = P_(None, self.batch_axis)
+            elif self._row_axis(n):
+                spec = P_(None, self.rollout_shard_axis)
+            else:
+                spec = P_()
             return jax.jit(
                 lambda: init_kv_cache(self.cfg.text, n, T, dtype=self.cache_dtype),
                 out_shardings=NamedSharding(self.mesh, spec),
@@ -1805,11 +1933,16 @@ class InferenceEngine:
             # Multi-row SAMPLED speculation: single-wave groups only (every
             # request bound in the first admission round, no mid-flight
             # rebinding); the greedy bit-exact path wins when it applies.
+            # Multi-wave groups qualify too (r5): speculation engages once
+            # the final request is admitted (qpos >= len(idxs) below) over
+            # whatever mix of mid-flight rows the slots then hold — the
+            # in-loop hole compaction keeps the shared column cursor
+            # bounded across rebinds, and the compact histories are
+            # rebuilt from host state after every bind.
             return (
                 self.spec_sample
                 and not self._dp
                 and not _spec_ok(b)
-                and len(idxs) <= b
                 and sampling.max_tokens > 1
             )
 
@@ -1858,6 +1991,12 @@ class InferenceEngine:
         )
         V = cfg.text.vocab_size
         arena = self._get_arena(B, T)
+        self.last_rollout_layout = (
+            f"rows_sharded({self.rollout_shard_axis}="
+            f"{self.mesh.shape[self.rollout_shard_axis]})"
+            if self._row_axis(B)
+            else ("dp_fleet" if self._dp else "replicated")
+        )
 
         token = self._put(np.zeros((B,), np.int32), row_dim=0)
         cursor = self._put(np.asarray(0))  # ring write head, group-global
@@ -1934,7 +2073,7 @@ class InferenceEngine:
                             ids0 = list(requests[rid].input_ids) + emitted[rid]
                             rows_np[s, : len(ids0)] = ids0
                             counts[s] = len(ids0)
-                        hist_c = self._put(rows_np)
+                        hist_c = self._put(rows_np, row_dim=0)
                         hcount = self._put(counts, to_i32=True, row_dim=0)
                         if replay_tokens is not None:
                             # Align each row's remaining trace to its hist
@@ -1954,7 +2093,7 @@ class InferenceEngine:
                                     fh[s, counts[s]:counts[s] + g_max] = (
                                         tr[n_already:n_already + g_max]
                                     )
-                            forced_c = self._put(fh)
+                            forced_c = self._put(fh, row_dim=0)
                     (toks, lps, emitted_n, n_verify, token, ak, av, seen,
                      attn_valid, kv_pos, hist_c, hcount, done, rng, cursor,
                      mrope_cur, remaining) = self._segment_spec_sample(
@@ -2027,12 +2166,12 @@ class InferenceEngine:
                 arena = {"k": ak, "v": av}
                 # one batched host fetch; doubles as the device sync for the
                 # stage timer
-                toks_h, lps_h, emitted_h, done_h = jax.device_get(
+                toks_h, lps_h, emitted_h, done_h = self._fetch(
                     (toks, lps, emitted_n, done)
                 )
                 if spec_active or spec_sample_now:
                     self.spec_stats["verify_steps"] += int(
-                        jax.device_get(n_verify)
+                        self._fetch(n_verify)
                     )
                     self.spec_stats["emitted"] += int(emitted_h.sum())
             for s in active:
@@ -2060,6 +2199,11 @@ class InferenceEngine:
             onto their decode slots (shared by the plain and shared-prefix
             admission paths; DP-wave binding stays inline below)."""
             nonlocal token, mrope_cur, remaining, done, attn_valid, seen, rng
+            nonlocal hist_c, hcount, forced_c
+            # Slot composition changed: the sampled-spec compact histories
+            # are stale; rebuild lazily from host state (prompt + emitted)
+            # at the next spec segment.
+            hist_c = hcount = forced_c = None
             # Sync here so admit compute lands in the enclosing "prefill"
             # stage, then account sampling + slot binding separately.
             jax.block_until_ready(logits)
@@ -2075,7 +2219,7 @@ class InferenceEngine:
                     top_p=sampling.top_p,
                     repetition_penalty=sampling.repetition_penalty,
                 )
-                first_h, first_lp_h = jax.device_get((first, first_lp))
+                first_h, first_lp_h = self._fetch((first, first_lp))
                 row_done = np.asarray(
                     (first_h == eos) | (sampling.max_tokens <= 1)
                 ).copy()
@@ -2132,7 +2276,7 @@ class InferenceEngine:
                     top_p=sampling.top_p,
                     repetition_penalty=sampling.repetition_penalty,
                 )
-                first_h, first_lp_h = jax.device_get((first, first_lp))
+                first_h, first_lp_h = self._fetch((first, first_lp))
                 row_done = np.asarray(
                     (first_h == eos) | (sampling.max_tokens <= 1)
                 ).copy()

@@ -132,6 +132,31 @@ class TestGreedyExactness:
             assert x["token_ids"] == y["token_ids"], p
 
 
+class TestMultiWave:
+    def test_multi_wave_greedy_bit_identical(self, cfg_params):
+        """Serving waves (r5): more requests than slots — speculation
+        engages once the last request is admitted, over a mix of
+        mid-flight rows; greedy outputs must equal the plain engine's
+        end-to-end across the rebinds (compact histories rebuilt per
+        bind, shared cursor bounded by hole compaction)."""
+        cfg, params = cfg_params
+        base = dict(prompt_buckets=(64,), cache_dtype=jnp.float32,
+                    max_slots=4)
+        plain = InferenceEngine(params, cfg, spec_sample=False, **base)
+        ss = InferenceEngine(params, cfg, spec_sample=True, spec_draft=4,
+                             spec_surplus=64, **base)
+        samp = SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                              max_tokens=24)
+        prompts = [[7, 7, 7, 7], [5, 6, 7], [9, 9, 9], [4, 5, 6],
+                   [20, 21, 22], [7, 7, 7], [30, 31, 32], [8, 9],
+                   [11, 12, 13], [5, 5, 5]]  # 10 requests over 4 slots
+        a = _gen(plain, prompts, samp)
+        b = _gen(ss, prompts, samp)
+        for x, y, p in zip(a, b, prompts):
+            assert x["token_ids"] == y["token_ids"], p
+        assert ss.spec_stats["verify_steps"] > 0, ss.spec_stats
+
+
 class TestSampledDistribution:
     def test_temp1_statistics_match(self, cfg_params):
         """Temperature-1 top-p sampling: emitted sequences from the spec
@@ -241,6 +266,32 @@ class TestReplayMode:
             assert len(o["token_ids"]) == 24
         st = ss.spec_stats
         assert st["emitted"] / max(st["verify_steps"], 1) > 1.5, st
+
+    def test_compaction_keeps_spec_covering_whole_generation(self, cfg_params):
+        """Worst-case acceptance (repetition-free replay streams) burns K1
+        columns per emitted token; hole compaction must reclaim them so the
+        spec loop covers EVERY token (zero plain-path fallback) whenever
+        spec_surplus >= max_tokens — the invariant cc_min + K1 + live_rem
+        <= ring then always holds after a compact. Before compaction
+        existed, this config covered only ~surplus/K1 tokens."""
+        cfg, params = cfg_params
+        _, ss = _engines(cfg, params, spec_draft=4, spec_surplus=48)
+        samp = SamplingParams(temperature=1.0, top_p=0.95, max_tokens=48,
+                              seed=11)
+        rng = np.random.default_rng(3)
+        tr = np.stack([
+            rng.permutation(np.arange(10, 490))[:64] for _ in range(2)
+        ]).astype(np.int32)
+        outs = ss.generate(
+            [Request(input_ids=[5, 6, 7]), Request(input_ids=[8, 9])],
+            samp, replay_tokens=tr,
+        )
+        total = sum(len(o["token_ids"]) - 1 for o in outs)  # minus bind sample
+        st = ss.spec_stats
+        assert total == 2 * 47
+        assert st["emitted"] == total, st  # every token emitted by the spec loop
+        for r, o in enumerate(outs):
+            assert o["token_ids"][1:] == tr[r, 1:48].tolist()
 
     def test_replay_random_stream_still_correct(self, cfg_params):
         """A repetition-free stream (worst case): every token still emitted
