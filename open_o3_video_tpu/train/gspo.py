@@ -270,9 +270,21 @@ class GSPOTrainer:
 
                 self.adapters = replicate(self.adapters, mesh)
         # The engine shares the trainer's (already sharded) params; passing
-        # the mesh turns on SPMD lockstep mode when it spans hosts.
+        # the mesh turns on SPMD lockstep mode when it spans hosts. With a
+        # data axis, rollout decode-state rows (the B*G sequences) shard
+        # over it so the 768-step rollout loop's device compute scales with
+        # the axis instead of being replicated — the reference's per-rank
+        # rollout DP (run_grpo_video.sh:11-15) expressed as sharding.
+        # Groups whose row count does not divide the axis transparently
+        # fall back to replicated inside the engine.
+        rollout_axis = (
+            "data"
+            if mesh is not None and dict(mesh.shape).get("data", 1) > 1
+            else None
+        )
         self.engine = InferenceEngine(
-            params, model_cfg, mesh=mesh, spec_sample=cfg.spec_rollout
+            params, model_cfg, mesh=mesh, spec_sample=cfg.spec_rollout,
+            rollout_shard_axis=rollout_axis,
         )
 
         # BENCHMARK ONLY: when set (R, W) int32, rollouts replay these token

@@ -1,0 +1,153 @@
+"""Rollout row sharding (engine rollout_shard_axis; VERDICT r4 item 2).
+
+Under a mesh with a data axis, the GSPO rollout's decode-state arrays
+(token / attn_valid / seen / KV arena / ...) shard their slot-row
+dimension over it, so each device computes only its rows of the hot
+decode loop — the reference's per-rank rollout DP
+(/root/reference/src/scripts/run_grpo_video.sh:11-15) expressed as
+sharding, replacing the replicated-SPMD lockstep where every device
+redundantly computed all B*G rollouts.
+
+Pinned here on the 8-device CPU mesh:
+- greedy outputs are IDENTICAL to the replicated engine's (per-row
+  compute is untouched; only layout changes),
+- the arena/state really is row-sharded (layout telemetry + sharding
+  spec),
+- per-device FLOPs of the compiled decode segment drop by ~the axis
+  size (XLA cost analysis of the partitioned program),
+- the GSPO trainer auto-enables it and the update stays finite.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from open_o3_video_tpu.engine import InferenceEngine, Request, SamplingParams
+from open_o3_video_tpu.models.qwen25vl import Qwen25VLConfig, params as P
+from open_o3_video_tpu.parallel import make_mesh
+
+
+@pytest.fixture(scope="module")
+def cfg_params():
+    cfg = Qwen25VLConfig.tiny(dtype=jnp.float32)
+    return cfg, P.init(cfg, seed=0)
+
+
+def _gen(eng, prompts, **kw):
+    samp = SamplingParams(temperature=0.0, repetition_penalty=1.0,
+                          max_tokens=16)
+    return eng.generate([Request(input_ids=list(p)) for p in prompts], samp,
+                        **kw)
+
+
+PROMPTS = [[5, 6, 7, 8], [7, 7, 7], [9, 10, 11], [4, 5, 6],
+           [20, 21, 22, 23], [5, 6, 7], [30, 31], [8, 9, 10]]
+
+
+def test_sharded_rollout_matches_replicated_and_halves_flops(cfg_params):
+    cfg, params = cfg_params
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    base = dict(prompt_buckets=(64,), cache_dtype=jnp.float32)
+
+    def run(eng):
+        captured = {}
+        orig = eng._segment
+
+        def capture(*a, **kw):
+            captured["a"], captured["kw"] = a, kw
+            return orig(*a, **kw)
+
+        eng._segment = capture
+        outs = _gen(eng, PROMPTS)
+        eng._segment = orig
+        lowered = jax.jit(
+            eng._segment_impl,
+            static_argnames=tuple(captured["kw"].keys()),
+        ).lower(*captured["a"], **captured["kw"])
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return outs, float(cost["flops"]), captured
+
+    eng_r = InferenceEngine(params, cfg, mesh=mesh, **base)
+    eng_s = InferenceEngine(params, cfg, mesh=mesh,
+                            rollout_shard_axis="data", **base)
+    outs_r, flops_r, _ = run(eng_r)
+    outs_s, flops_s, cap = run(eng_s)
+
+    assert eng_s.last_rollout_layout == "rows_sharded(data=2)"
+    assert eng_r.last_rollout_layout == "replicated"
+    for a, b in zip(outs_r, outs_s):
+        assert a["token_ids"] == b["token_ids"]
+
+    # the token row array (second positional arg of _segment_impl after
+    # params) is genuinely sharded over the data axis
+    token = cap["a"][1]
+    spec = token.sharding.spec
+    assert "data" in jax.tree.leaves(tuple(spec)), spec
+    # arena rows sharded too
+    ak = cap["a"][2]
+    assert "data" in jax.tree.leaves(tuple(ak.sharding.spec)), ak.sharding
+
+    # per-device decode work drops by ~ the axis size (allow collective +
+    # replicated-scalar overhead; a replicated program would be ~1.0)
+    assert flops_s < 0.7 * flops_r, (flops_s, flops_r)
+
+
+def test_non_divisible_group_falls_back_replicated(cfg_params):
+    cfg, params = cfg_params
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    eng = InferenceEngine(params, cfg, mesh=mesh, rollout_shard_axis="data",
+                          prompt_buckets=(64,), cache_dtype=jnp.float32)
+    outs = _gen(eng, PROMPTS[:3])  # 3 rows % 2 != 0
+    assert eng.last_rollout_layout == "replicated"
+    eng2 = InferenceEngine(params, cfg, prompt_buckets=(64,),
+                           cache_dtype=jnp.float32)
+    outs2 = _gen(eng2, PROMPTS[:3])
+    for a, b in zip(outs, outs2):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_spec_sample_rollout_shards(cfg_params):
+    """The sampled-spec rollout path (GSPO spec_rollout) runs row-sharded
+    too: greedy outputs equal the unsharded plain engine's."""
+    cfg, params = cfg_params
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    eng_p = InferenceEngine(params, cfg, prompt_buckets=(64,),
+                            cache_dtype=jnp.float32)
+    eng_s = InferenceEngine(params, cfg, mesh=mesh,
+                            rollout_shard_axis="data", spec_sample=True,
+                            spec_draft=4, spec_surplus=32,
+                            prompt_buckets=(64,), cache_dtype=jnp.float32)
+    outs_p = _gen(eng_p, PROMPTS[:4])
+    outs_s = _gen(eng_s, PROMPTS[:4])
+    assert eng_s.last_rollout_layout == "rows_sharded(data=2)"
+    assert eng_s.spec_stats["verify_steps"] > 0
+    for a, b in zip(outs_p, outs_s):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_gspo_trainer_auto_enables_sharded_rollout(cfg_params):
+    from open_o3_video_tpu.train import gspo as G
+
+    cfg, params = cfg_params
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+
+    def detok(ids):
+        return "<think>x</think><answer>y</answer>"
+
+    def reward(completions, **kw):
+        return [1.0] * len(completions)
+
+    trainer = G.GSPOTrainer(
+        params, P.init(cfg, seed=1), cfg,
+        G.GSPOConfig(num_generations=4, max_completion_length=6,
+                     max_prompt_length=64, release_engine_memory=False),
+        detokenize=detok, reward_funcs=[reward], mesh=mesh, seed=0,
+    )
+    assert trainer.engine.rollout_shard_axis == "data"
+    m = trainer.step({"input_ids": [5, 6, 7, 8]}, global_step=0, max_steps=4)
+    assert trainer.engine.last_rollout_layout == "rows_sharded(data=2)"
+    assert np.isfinite(m["loss"])
