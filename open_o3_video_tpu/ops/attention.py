@@ -49,6 +49,57 @@ LONG_DECODE_T = int(os.environ.get("O3V_LONG_DECODE_T", "32768"))
 DECODE_CHUNK = int(os.environ.get("O3V_DECODE_CHUNK", "8192"))
 
 
+# ---- attention-logit telemetry (O3V_LOGIT_STATS=1, debug/bench only) ----
+# The fixed-m inference kernels clamp logits at 60.0 on the assumption that
+# real-model attention logits are O(30) (ops/flash_attention.py). This hook
+# measures the actual maximum masked logit seen by any attention call, so a
+# run with a real checkpoint can validate the clamp headroom in one pass
+# (VERDICT r4 weak #3). Costs an extra full score materialization per call —
+# never enable in production.
+LOGIT_STATS = {"max": None, "calls": 0}
+
+
+def reset_logit_stats() -> None:
+    LOGIT_STATS["max"] = None
+    LOGIT_STATS["calls"] = 0
+
+
+def _record_logit_max(m) -> None:
+    m = float(m)
+    cur = LOGIT_STATS["max"]
+    LOGIT_STATS["max"] = m if cur is None else max(cur, m)
+    LOGIT_STATS["calls"] += 1
+
+
+def _logit_stats_on() -> bool:
+    return os.environ.get("O3V_LOGIT_STATS", "0") == "1"
+
+
+def _emit_causal_logit_stats(q, k, q_positions, kv_positions, kv_mask):
+    B, S, Hq, D = q.shape
+    T, Hkv = k.shape[1], k.shape[2]
+    g = Hq // Hkv
+    qg = q.reshape(B, S, Hkv, g, D).astype(jnp.float32)
+    s = jnp.einsum("bshgd,bthd->bhgst", qg, k.astype(jnp.float32))
+    s = s / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    mask = kv_positions[:, None, :] <= q_positions[:, :, None]
+    if kv_mask is not None:
+        mask = mask & kv_mask[:, None, :]
+    m = jnp.max(jnp.where(mask[:, None, None, :, :], s, -jnp.inf))
+    jax.debug.callback(_record_logit_max, m)
+
+
+def _emit_segment_logit_stats(q, k, valid):
+    D = q.shape[-1]
+    s = jnp.einsum("nwhd,nvhd->nhwv", q.astype(jnp.float32),
+                   k.astype(jnp.float32))
+    s = s / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    g = valid.astype(jnp.int32)
+    mask = (g[:, :, None] == g[:, None, :]) & (g[:, None, :] != 0)
+    m = jnp.max(jnp.where(mask[:, None, :, :], s, -jnp.inf))
+    jax.debug.callback(_record_logit_max, m)
+
+
 def _use_pallas(impl: str, head_dim: int) -> bool:
     if impl == "pallas":
         return True
@@ -86,6 +137,8 @@ def causal_attention(
         q_positions = jnp.arange(S)[None, :].repeat(B, axis=0)
     if kv_positions is None:
         kv_positions = jnp.arange(T)[None, :].repeat(B, axis=0)
+    if _logit_stats_on() and not impl.startswith("ring"):
+        _emit_causal_logit_stats(q, k, q_positions, kv_positions, kv_mask)
 
     if impl.startswith("ring"):
         # Context parallelism: q/k/v are the LOCAL sequence blocks of a
@@ -99,19 +152,36 @@ def causal_attention(
         )
 
     if S <= 8 and T >= LONG_DECODE_T:
-        # Long-context decode: scan the KV buffer chunk-wise (see module
-        # constants). k/v may arrive in their STORED cache dtype. Checked
-        # BEFORE the Pallas dispatch: the flash kernel's whole-buffer cast
-        # to the compute dtype is exactly the O(T)-per-layer transient the
-        # chunked path exists to avoid.
+        # Long-context decode: stream the KV buffer in its STORED cache
+        # dtype. Checked BEFORE the flash-kernel dispatch: that kernel's
+        # whole-buffer cast to the compute dtype is exactly the
+        # O(T)-per-layer transient these paths exist to avoid. The Pallas
+        # decode kernel (GQA-grouped stored-dtype tiles, fixed-m softmax)
+        # is the fast path; the XLA chunked fori_loop is the exact-softmax
+        # fallback (O3V_ATTN_IMPL=xla).
+        if _use_pallas(impl, D) and Hq % Hkv == 0:
+            from .decode_attention import decode_attention_gqa
+
+            kv_valid = (
+                kv_mask
+                if kv_mask is not None
+                else jnp.ones((B, T), jnp.int32)
+            )
+            return decode_attention_gqa(
+                q, k, v, q_positions.astype(jnp.int32), kv_valid,
+                interpret=os.environ.get("O3V_PALLAS_INTERPRET", "0") == "1",
+            )
         mask = kv_positions[:, None, :] <= q_positions[:, :, None]  # (B, S, T)
         if kv_mask is not None:
             mask = mask & kv_mask[:, None, :]
         return _decode_attention_chunked(q, k, v, mask, chunk=DECODE_CHUNK)
 
-    if _use_pallas(impl, D):
+    if _use_pallas(impl, D) and (S > 8 or impl == "pallas"):
         # The Pallas kernel assumes kv buffer index == kv position (true for
-        # every cache layout in this codebase).
+        # every cache layout in this codebase). Short-query decode (S <= 8,
+        # T < LONG_DECODE_T) stays on the XLA grouped einsum under "auto":
+        # the flash kernel pads queries to a 256-row tile, ~256x the VPU
+        # work a 1-row decode step needs.
         from .flash_attention import flash_attention_gqa
 
         kv_valid = (
@@ -246,6 +316,8 @@ def segment_attention(
     kernel (ops/window_attention.py) — XLA's lowering of these small-window
     shapes is ~2% efficient and dominated the vision tower's runtime (see
     that module's docstring). O3V_ATTN_IMPL=xla forces the XLA path."""
+    if _logit_stats_on():
+        _emit_segment_logit_stats(q, k, valid)
     if use_pallas_window(impl):
         from .window_attention import window_attention, window_attention_fits
 
