@@ -259,9 +259,12 @@ def bench_longctx(cfg, params):
                 "stages": stages,
                 "compile_sec": round(compile_s, 1),
             })
+            dec_s = stages.get("decode", {}).get("total_s", 0.0)
+            n_dec = max(len(o["token_ids"]), 1)
             out.setdefault("variants", {})[spec] = {
                 "prefill_tok_per_sec": out["prefill_tok_per_sec"],
                 "e2e_sec": out["e2e_sec"],
+                "decode_ms_per_tok": round(1e3 * dec_s / n_dec, 1),
             }
         except Exception as e:  # noqa: BLE001 — OOM probing by design
             out["failed"][spec] = f"{type(e).__name__}: {str(e)[:300]}"
@@ -276,6 +279,85 @@ def bench_longctx(cfg, params):
     if not out["failed"]:
         del out["failed"]
     return out
+
+
+def bench_parity_serving(cfg, params, engine, frames_u8, grid_thw, prompt,
+                         sampling):
+    """Production-kernel-config parity, on chip, at full dims.
+
+    Greedy generate on the real video twice: (a) the PRODUCTION serving
+    path (Pallas fixed-m flash/window kernels, packed ViT rows, int8
+    weights — the engine exactly as benched above) and (b) the XLA exact
+    path (`O3V_ATTN_IMPL=xla`, the configuration every token-exact HF
+    differential in tests/ runs), with attention-logit telemetry on.
+    Reports token agreement and the observed max masked attention logit vs
+    the fixed-m kernels' 60.0 clamp (`ops/flash_attention.py`) — the
+    headroom a real-checkpoint user should re-measure in one run with
+    `O3V_LOGIT_STATS=1` (attention-sink outliers are checkpoint
+    properties; `O3V_ATTN_IMPL=xla` is the escape hatch)."""
+    import jax
+
+    from open_o3_video_tpu.data.video import fetch_video_fast
+    from open_o3_video_tpu.engine import InferenceEngine, Request
+    from open_o3_video_tpu.ops import attention as A
+
+    frames2, _ = fetch_video_fast({"video": VIDEO, "nframes": 16})
+    assert np.array_equal(frames2, frames_u8), "video decode must be deterministic"
+
+    def _req():
+        return Request(input_ids=prompt, frames=frames2, grid_thw=grid_thw,
+                       vision_token_id=cfg.image_token_id)
+
+    # (a) production config — the exact engine benched above
+    prod = engine.generate([_req()], sampling)[0]["token_ids"]
+    engine.release_memory()
+
+    # (b) XLA exact path + logit telemetry (fresh engine: the attention
+    # impl and the stats hook are baked in at trace time)
+    old_impl = A.ATTN_IMPL
+    old_env = {k: os.environ.get(k) for k in ("O3V_ATTN_IMPL", "O3V_LOGIT_STATS")}
+    A.reset_logit_stats()
+    os.environ["O3V_ATTN_IMPL"] = "xla"
+    os.environ["O3V_LOGIT_STATS"] = "1"
+    A.ATTN_IMPL = "xla"
+    try:
+        bucket = 1 << (len(prompt) - 1).bit_length()
+        eng_x = InferenceEngine(params, cfg, prompt_buckets=(bucket,))
+        xla = eng_x.generate([_req()], sampling)[0]["token_ids"]
+        eng_x.release_memory()
+        del eng_x
+    finally:
+        A.ATTN_IMPL = old_impl
+        for k, v in old_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    import gc
+
+    gc.collect()
+
+    n = min(len(prod), len(xla))
+    prefix_agree = 0
+    for a, b in zip(prod, xla):
+        if a != b:
+            break
+        prefix_agree += 1
+    max_logit = A.LOGIT_STATS["max"]
+    return {
+        "token_agreement": round(prefix_agree / max(n, 1), 4),
+        "agreeing_prefix_tokens": prefix_agree,
+        "prod_tokens": len(prod),
+        "xla_tokens": len(xla),
+        "exact_match": prod == xla,
+        "max_attn_logit": round(max_logit, 2) if max_logit is not None else None,
+        "logit_clamp": 60.0,
+        "clamp_headroom": (round(60.0 - max_logit, 2)
+                           if max_logit is not None else None),
+        "logit_stat_calls": A.LOGIT_STATS["calls"],
+        "config": ("prod = pallas fixed-m flash+window, packed ViT, int8 | "
+                   "exact = O3V_ATTN_IMPL=xla, same int8 weights"),
+    }
 
 
 def bench_train(cfg, params, frames_u8, grid_thw, prompt):
@@ -354,9 +436,18 @@ def bench_train(cfg, params, frames_u8, grid_thw, prompt):
     # ---- full GSPO step (rollout G=4 x 768 -> rewards -> ref logps ->
     # clipped sequence-IW update) ---------------------------------------
     def detok(ids_):
-        # Canned grounded trace: reward regex cost matches real traces.
-        return ("<think>The <obj>person</obj><box>[10,20,110,200]</box>at"
-                "<t>3.0</t>s is visible</think><answer>a red ball</answer>")
+        # Canned grounded trace, DISTINCT per rollout (variant keyed on the
+        # sampled ids): the G rollouts must not collapse to identical
+        # rewards — zero group advantages would measure only the
+        # zero-advantage gradient path, not the real advantage-weighted
+        # update. Regex cost still matches real traces.
+        k = int(np.sum(np.asarray(ids_, dtype=np.int64)) % 4)
+        box = ["[10,20,110,200]", "[0,0,50,50]",
+               "[30,40,200,300]", "[64,36,512,288]"][k]
+        t = ["3.0", "1.0", "4.5", "9.0"][k]
+        ans = "a red ball" if k % 2 == 0 else "a blue cube"
+        return (f"<think>The <obj>person</obj><box>{box}</box>at"
+                f"<t>{t}</t>s is visible</think><answer>{ans}</answer>")
 
     gcfg = GSPOConfig()  # G=4, 768 completion, beta 0.04, remat, chunked
     trainer = GSPOTrainer(
@@ -392,6 +483,9 @@ def bench_train(cfg, params, frames_u8, grid_thw, prompt):
         "stages": stages,
         "loss": round(float(m["loss"]), 4),
         "reward": round(float(m["reward"]), 3),
+        # nonzero == the G rollouts scored differently, so the timed update
+        # includes the real advantage-weighted gradient path
+        "reward_std": round(float(m["reward_std"]), 3),
         "completion_length": round(float(m["completion_length"]), 1),
         "compile_sec": round(gspo_compile, 1),
         "config": (f"{cfg.text.num_hidden_layers}L int8 base + LoRA r16, "
@@ -429,10 +523,11 @@ def bench_train(cfg, params, frames_u8, grid_thw, prompt):
             trainer.timer.reset()
             v0 = dict(trainer.engine.spec_stats)
             times = []
+            m_last = None
             for k in range(steps):
                 t0 = time.time()
-                trainer.step(sample, global_step=base_step + 1 + k,
-                             max_steps=1000)
+                m_last = trainer.step(sample, global_step=base_step + 1 + k,
+                                      max_steps=1000)
                 times.append(time.time() - t0)
             v1 = trainer.engine.spec_stats
             verify = v1["verify_steps"] - v0["verify_steps"]
@@ -444,6 +539,11 @@ def bench_train(cfg, params, frames_u8, grid_thw, prompt):
                 "verify_steps": int(verify),
                 "emitted": int(emitted),
             }
+            if m_last is not None:
+                out["gspo_spec"][tag]["reward"] = round(float(m_last["reward"]), 3)
+                out["gspo_spec"][tag]["reward_std"] = round(
+                    float(m_last["reward_std"]), 3
+                )
 
         _measure("worst", 0)
         G = gcfg_s.num_generations
@@ -762,7 +862,8 @@ def main():
     # prefix prefills ONCE; the plain comparison shares the same vision
     # arrays (tower still encodes once) and only disables prefix detection,
     # so the delta is purely the decoder prefill saved.
-    def five_query_run():
+    def five_query_run(eng=None):
+        eng = eng or engine
         reqs = [
             Request(
                 input_ids=prompt[:-20] + list(range(300 + 17 * q, 320 + 17 * q)),
@@ -773,19 +874,46 @@ def main():
             for q in range(5)
         ]
         t0_ = time.time()
-        engine.generate(reqs, sampling)
-        return time.time() - t0_
+        outs_ = eng.generate(reqs, sampling)
+        return time.time() - t0_, outs_
 
     engine.clear_prefix_cache()
     five_query_run()  # warmup: prefix-prefill + suffix-admission programs
     engine.clear_prefix_cache()
-    t_5q_cached = five_query_run()
+    t_5q_cached, outs_5q = five_query_run()
     engine.release_memory()
     engine.prefix_cache_min = 0  # plain path on identical requests
     five_query_run()  # warmup the 5-row plain admission
-    t_5q_plain = five_query_run()
+    t_5q_plain, _ = five_query_run()
     engine.prefix_cache_min = 256
     engine.release_memory()
+
+    # ---- spec decode on serving waves (r5): the multi-row sampled-spec
+    # path now covers eval-shaped greedy waves (sample-and-match
+    # degenerates to greedy at temp 0). Same 5-query V-STAR item shape;
+    # token equality vs the plain engine is asserted, so the delta is pure
+    # decode-stage speculation. Random-init caveat: near-uniform outputs
+    # have little bigram structure, so acceptance (and the win) here is a
+    # LOWER bound vs real reasoning traces (cf. gspo_spec replay).
+    t_5q_spec = None
+    spec_5q_stats = {}
+    if os.environ.get("BENCH_SPEC_WAVES", "1") != "0":
+        engine_ss = InferenceEngine(params, cfg, prompt_buckets=(bucket,),
+                                    spec_sample=True)
+        five_query_run(engine_ss)  # warmup + spec program compile
+        engine_ss.clear_prefix_cache()
+        v0 = dict(engine_ss.spec_stats)
+        t_5q_spec, outs_5q_spec = five_query_run(engine_ss)
+        spec_5q_stats = {
+            "verify_steps": engine_ss.spec_stats["verify_steps"] - v0["verify_steps"],
+            "emitted": engine_ss.spec_stats["emitted"] - v0["emitted"],
+            "tokens_equal_plain": all(
+                a["token_ids"] == b["token_ids"]
+                for a, b in zip(outs_5q, outs_5q_spec)
+            ),
+        }
+        engine_ss.release_memory()
+        del engine_ss
 
     # decode-only throughput: bs=1 / 4 / 8 / 16. Decode is weight-HBM-bound,
     # so tok/s scales near-linearly with rows until KV traffic catches up.
@@ -803,6 +931,23 @@ def main():
     tok_s8 = decode_tok_s(8)
     tok_s16 = decode_tok_s(16)
     engine_txt.release_memory()
+
+    # ---- production-config serving parity (VERDICT r4 missing #1/weak #3):
+    # the token-exact differentials run the XLA exact path; this leg pins
+    # the PRODUCTION config (Pallas fixed-m softmax + packed ViT rows +
+    # int8 weights) against it ON CHIP at full dims on the real video, and
+    # measures the attention-logit headroom under the kernels' 60.0 clamp.
+    parity_detail = None
+    if os.environ.get("BENCH_PARITY", "1") != "0":
+        try:
+            parity_detail = bench_parity_serving(
+                cfg, params, engine, frames_u8, grid_thw, prompt, sampling
+            )
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            import traceback
+
+            parity_detail = {"error": f"{type(e).__name__}: {str(e)[:300]}",
+                             "traceback_tail": traceback.format_exc()[-600:]}
 
     # ---- training envelope (one SFT + one full GSPO step on this chip).
     # Guarded: a train-side failure must not cost the inference metric.
@@ -872,6 +1017,9 @@ def main():
             "vstar5q_sec_prefix_cached": round(t_5q_cached, 3),
             "vstar5q_sec_plain": round(t_5q_plain, 3),
             "vstar5q_prefix_cache_speedup": round(t_5q_plain / t_5q_cached, 2),
+            "vstar5q_sec_spec_waves": (round(t_5q_spec, 3)
+                                       if t_5q_spec is not None else None),
+            "vstar5q_spec_stats": spec_5q_stats or None,
             "engine_stages_batched": stage_report,
             "host_decode_batched_sec": round(t_decode_batched, 3),
             "stage_coverage_of_e2e": round(stage_coverage, 3),
@@ -883,11 +1031,66 @@ def main():
     }
     if quant_detail is not None:
         result["detail"]["quant_agreement"] = quant_detail
+    if parity_detail is not None:
+        result["detail"]["serving_parity"] = parity_detail
     if longctx_detail is not None:
         result["detail"]["longctx"] = longctx_detail
     if train_detail is not None:
         result["detail"]["train"] = train_detail
+    # Full detail FIRST; the driver keeps only the output TAIL, so the
+    # compact headline summary must be the LAST line (BENCH_r04 lost the
+    # round-4 e2e videos/s because the giant detail JSON put it first).
     print(json.dumps(result))
+
+    summary = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "detail": {
+            "videos_per_sec": {
+                "single": round(1.0 / e2e_single, 4),
+                "batched": round(videos_per_sec, 4),
+                "pipelined": round(videos_per_sec_pipelined, 4),
+                "pipelined_devresize": round(videos_per_sec_devresize, 4),
+            },
+            "decode_tok_per_sec": {"bs1": round(tok_s, 1),
+                                   "bs4": round(tok_s4, 1),
+                                   "bs8": round(tok_s8, 1),
+                                   "bs16": round(tok_s16, 1)},
+            "vstar5q_sec": {"prefix_cached": round(t_5q_cached, 3),
+                            "plain": round(t_5q_plain, 3),
+                            "spec_waves": (round(t_5q_spec, 3)
+                                           if t_5q_spec is not None else None)},
+        },
+    }
+    if longctx_detail is not None and "variants" in longctx_detail:
+        summary["detail"]["longctx"] = longctx_detail["variants"]
+    if train_detail is not None:
+        tr = {}
+        if "sft" in train_detail:
+            tr["sft_sec_per_step"] = train_detail["sft"]["sec_per_step"]
+        if "gspo" in train_detail:
+            tr["gspo_sec_per_step"] = train_detail["gspo"]["sec_per_step"]
+            tr["gspo_reward_std"] = train_detail["gspo"].get("reward_std")
+        for tag, leg in (train_detail.get("gspo_spec") or {}).items():
+            tr[f"gspo_spec_{tag}_sec_per_step"] = leg["sec_per_step"]
+            tr[f"gspo_spec_{tag}_tok_per_verify"] = leg["tokens_per_verify"]
+        summary["detail"]["train"] = tr
+    if quant_detail is not None and isinstance(quant_detail, dict):
+        summary["detail"]["quant_agreement"] = {
+            k: quant_detail[k]
+            for k in ("teacher_forced_agreement", "freerun_agreement")
+            if k in quant_detail
+        }
+    if parity_detail is not None and isinstance(parity_detail, dict):
+        summary["detail"]["serving_parity"] = {
+            k: parity_detail[k]
+            for k in ("token_agreement", "exact_match", "max_attn_logit",
+                      "clamp_headroom", "error")
+            if k in parity_detail
+        }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
