@@ -453,6 +453,16 @@ class InferenceEngine:
             donate_argnames=("seen_rows",) if donate else (),
             **out_kw,
         )
+        self._spec_compact = jax.jit(
+            self._spec_compact_impl,
+            static_argnames=("prompt_len",),
+            donate_argnames=(
+                ("arena_k", "arena_v", "attn_valid", "kv_pos")
+                if donate
+                else ()
+            ),
+            **out_kw,
+        )
 
     # ------------------------------------------------------------------ impl
 
@@ -921,6 +931,54 @@ class InferenceEngine:
                 seen, attn_valid, hist, done, rng, cursor, mrope_cur,
                 remaining)
 
+    def _spec_compact_impl(self, arena_k, arena_v, attn_valid, kv_pos, *,
+                           prompt_len: int):
+        """Reclaim hole columns left by rejected drafts: gather each row's
+        valid decode columns to the front of the decode region (stable,
+        order-preserving) and reset the shared column cursor to the max
+        per-row valid count.
+
+        Ring-decode causality in the sampled-spec path is validity +
+        explicit column-index positions, so the move is legal as long as
+        relative order is kept: compacted column j gets position
+        prompt_len + j, which is (a) increasing in j and (b) below every
+        future verify block's query positions (they start at the new
+        cursor). Runs OUTSIDE the verify while-loop — run_segment calls it
+        between segments when the surplus exhausts, then re-enters the
+        spec loop; at the bench rollout geometry it fires a handful of
+        times per 768-token step (one ~200 MB gather+scatter each, ~1 ms)
+        while the loop body stays free of compaction machinery (an in-loop
+        lax.cond variant measured +9 ms on EVERY verify)."""
+        Ly, B, T, H, Dh = arena_k.shape
+        ring = T - prompt_len
+        ring_cols = jnp.arange(ring, dtype=jnp.int32)
+        vdec = jax.lax.dynamic_slice(attn_valid, (0, prompt_len), (B, ring))
+        n_valid = jnp.sum(vdec, axis=1).astype(jnp.int32)  # (B,)
+        # stable valid-first permutation of the decode columns
+        order = jnp.argsort(~vdec, axis=1, stable=True)  # (B, ring)
+        idx = order[None, :, :, None, None]  # (1, B, ring, 1, 1)
+        kdec = jax.lax.dynamic_slice(
+            arena_k, (0, 0, prompt_len, 0, 0), (Ly, B, ring, H, Dh)
+        )
+        vdec_kv = jax.lax.dynamic_slice(
+            arena_v, (0, 0, prompt_len, 0, 0), (Ly, B, ring, H, Dh)
+        )
+        kdec = jnp.take_along_axis(kdec, idx, axis=2)
+        vdec_kv = jnp.take_along_axis(vdec_kv, idx, axis=2)
+        arena_k = jax.lax.dynamic_update_slice(
+            arena_k, kdec, (0, 0, prompt_len, 0, 0)
+        )
+        arena_v = jax.lax.dynamic_update_slice(
+            arena_v, vdec_kv, (0, 0, prompt_len, 0, 0)
+        )
+        attn_valid = jax.lax.dynamic_update_slice(
+            attn_valid, ring_cols[None, :] < n_valid[:, None], (0, prompt_len)
+        )
+        kv_pos = jax.lax.dynamic_update_slice(
+            kv_pos, (prompt_len + ring_cols)[None, :], (0, prompt_len)
+        )
+        return arena_k, arena_v, attn_valid, kv_pos, jnp.max(n_valid)
+
     def _segment_spec_sample_impl(
         self,
         params,
@@ -1004,98 +1062,62 @@ class InferenceEngine:
         n_verify = jnp.zeros((), jnp.int32)
         hcols = jnp.arange(Hc)
 
-        Ly = arena_k.shape[0]
-        H = arena_k.shape[3]
-        Dh = arena_k.shape[4]
-        ring_cols = jnp.arange(ring, dtype=jnp.int32)
-
-        def _n_valid_dec(attn_valid):
-            """Per-row count of VALID decode columns (== KV-committed
-            tokens; rejected drafts were invalidated into holes)."""
-            vdec = jax.lax.dynamic_slice(
-                attn_valid, (0, prompt_len), (B, ring)
-            )
-            return jnp.sum(vdec, axis=1).astype(jnp.int32), vdec
-
-        def _compact(ak, av, attn_valid, kv_pos, col_cursor):
-            """Reclaim hole columns: gather each row's valid decode columns
-            to the front of the decode region (stable, order-preserving).
-
-            Ring-decode causality here is validity + explicit column-index
-            positions, so the move is legal as long as relative order is
-            kept: compacted column j gets position prompt_len + j, which is
-            (a) increasing in j and (b) below every future verify block's
-            query positions (they start at the new cursor). Cost is one
-            gather + scatter over the decode region of the arena
-            (B*Ly*ring*H*Dh bytes each way, ~0.5 ms at rollout geometry vs
-            ~12 ms per verify forward), so compacting on demand keeps the
-            spec loop covering the WHOLE generation instead of falling back
-            to plain decode after the surplus runs out once."""
-            n_valid, vdec = _n_valid_dec(attn_valid)
-            # stable valid-first permutation of the decode columns
-            order = jnp.argsort(~vdec, axis=1, stable=True)  # (B, ring)
-            idx = order[None, :, :, None, None]  # (1, B, ring, 1, 1)
-            kdec = jax.lax.dynamic_slice(
-                ak, (0, 0, prompt_len, 0, 0), (Ly, B, ring, H, Dh)
-            )
-            vdec_kv = jax.lax.dynamic_slice(
-                av, (0, 0, prompt_len, 0, 0), (Ly, B, ring, H, Dh)
-            )
-            kdec = jnp.take_along_axis(kdec, idx, axis=2)
-            vdec_kv = jnp.take_along_axis(vdec_kv, idx, axis=2)
-            ak = jax.lax.dynamic_update_slice(ak, kdec, (0, 0, prompt_len, 0, 0))
-            av = jax.lax.dynamic_update_slice(
-                av, vdec_kv, (0, 0, prompt_len, 0, 0)
-            )
-            attn_valid = jax.lax.dynamic_update_slice(
-                attn_valid, ring_cols[None, :] < n_valid[:, None],
-                (0, prompt_len),
-            )
-            kv_pos = jax.lax.dynamic_update_slice(
-                kv_pos, (prompt_len + ring_cols)[None, :], (0, prompt_len)
-            )
-            return ak, av, attn_valid, kv_pos, jnp.max(n_valid)
-
         def cond(st):
-            emitted, attn_valid, done = st[0], st[6], st[8]
-            remaining = st[13]
+            emitted, done, col_cursor, remaining = st[0], st[8], st[10], st[13]
             live_rem = jnp.max(jnp.where(done, 0, remaining))
-            # surplus invariant, COMPACTION-AWARE: the loop continues as
-            # long as one more verify fits after reclaiming holes (body
-            # compacts on demand); the plain path must still fit in
-            # cols_left afterwards. cc_min is the compacted cursor.
-            cc_min = jnp.max(_n_valid_dec(attn_valid)[0])
-            fits = cc_min + K1 + jnp.maximum(live_rem - 1, 0) <= ring
+            # surplus invariant: after this iteration (K1 columns, >=1 token
+            # per live row) the plain path must still fit in cols_left.
+            # Exhaustion is handled OUTSIDE the loop: run_segment compacts
+            # the hole columns (self._spec_compact) and re-enters — keeping
+            # the loop body free of compaction machinery, whose per-
+            # iteration cost (conditional arena aliasing + validity
+            # reductions in cond) measured ~+9 ms/verify on the v5e.
+            fits = col_cursor + K1 + jnp.maximum(live_rem - 1, 0) <= ring
             return (~jnp.all(done)) & (jnp.max(emitted) < n_steps) & fits
 
         def body(st):
             (emitted, n_verify, token, ak, av, seen, attn_valid, kv_pos,
              done, rng, col_cursor, hist, hcount, remaining, mrope_cur,
              toks, lps) = st
-            # compact on demand: only when the UNcompacted cursor cannot
-            # host this iteration + the plain-path reserve (cond already
-            # guaranteed the compacted one can)
-            live_rem = jnp.max(jnp.where(done, 0, remaining))
-            need = col_cursor + K1 + jnp.maximum(live_rem - 1, 0) > ring
-            ak, av, attn_valid, kv_pos, col_cursor = jax.lax.cond(
-                need,
-                lambda a, v, m, p, c: _compact(a, v, m, p, c),
-                lambda a, v, m, p, c: (a, v, m, p, c),
-                ak, av, attn_valid, kv_pos, col_cursor,
-            )
             s_col = prompt_len + col_cursor
 
-            # ---- draft per row: most recent earlier (prev, pending) bigram
-            # in the COMPACT history, extrapolated periodically (see the
+            # ---- draft per row: LONGEST-context prompt-lookup match in the
+            # COMPACT history (context up to 3 tokens + the pending token),
+            # most recent occurrence, extrapolated periodically (see the
             # greedy impl above for why periodic beats literal copy).
+            # Bigram-only matching hits spurious repeats of common tokens
+            # (measured 2.06 accepted tokens/row/verify on STGR-style
+            # replay traces); requiring the deepest available context to
+            # also match disambiguates tag skeletons from prose.
             e = hcount  # (B,) index past the pending token
-            prev = jnp.take_along_axis(hist, (e - 2)[:, None], axis=1)[:, 0]
-            match = (
-                (hist == prev[:, None])
+            t1 = jnp.take_along_axis(hist, (e - 2)[:, None], axis=1)[:, 0]
+            t2 = jnp.take_along_axis(
+                hist, jnp.maximum(e - 3, 0)[:, None], axis=1
+            )[:, 0]
+            t3 = jnp.take_along_axis(
+                hist, jnp.maximum(e - 4, 0)[:, None], axis=1
+            )[:, 0]
+            m1 = (
+                (hist == t1[:, None])
                 & (jnp.roll(hist, -1, axis=1) == token[:, None])
                 & (hcols[None, :] < (e - 2)[:, None])
             )
-            j = jnp.max(jnp.where(match, hcols[None, :], -1), axis=1)  # (B,)
+            m2 = (
+                m1
+                & (jnp.roll(hist, 1, axis=1) == t2[:, None])
+                & (hcols[None, :] >= 1)
+                & (e >= 3)[:, None]
+            )
+            m3 = (
+                m2
+                & (jnp.roll(hist, 2, axis=1) == t3[:, None])
+                & (hcols[None, :] >= 2)
+                & (e >= 4)[:, None]
+            )
+            j1 = jnp.max(jnp.where(m1, hcols[None, :], -1), axis=1)  # (B,)
+            j2 = jnp.max(jnp.where(m2, hcols[None, :], -1), axis=1)
+            j3 = jnp.max(jnp.where(m3, hcols[None, :], -1), axis=1)
+            j = jnp.where(j3 >= 0, j3, jnp.where(j2 >= 0, j2, j1))
             d = jnp.maximum((e - 2) - j, 1)[:, None]  # (B, 1) period
             off = jnp.arange(draft_k, dtype=jnp.int32)[None, :]
             off = off - (off // d) * d
@@ -2025,6 +2047,7 @@ class InferenceEngine:
         hist_c = None
         hcount = None
         forced_c = None  # replay streams, hist-column-aligned (bench only)
+        spec_just_compacted = False  # exhaust->compact->retry progress guard
 
         def finalize(s):
             rid = slot_rid[s]
@@ -2181,6 +2204,7 @@ class InferenceEngine:
                 lp_acc[rid].extend(float(x) for x in lps_h[s, :n])
                 if done_h[s]:
                     finalize(s)
+            nonlocal spec_just_compacted
             if (
                 spec_sample_now
                 and not all(done_h)
@@ -2188,11 +2212,25 @@ class InferenceEngine:
             ):
                 # Column surplus exhausted with rows still live (the only
                 # other early exit is the n_steps segment boundary, excluded
-                # above): finish with the plain ring path, which continues
-                # monotonically from `cursor` — the loop invariant
-                # guarantees the remaining budget fits without wrapping
-                # over valid columns.
-                spec_sample_active = False
+                # above). Compact the hole columns and RE-ENTER the spec
+                # loop next segment; if a segment right after a compaction
+                # emitted nothing, compaction can no longer make room
+                # (cc_min + K1 + live_rem > ring) — finish with the plain
+                # ring path, which continues monotonically from `cursor`
+                # (the loop invariant guarantees the remaining budget fits
+                # without wrapping over valid columns, and compaction only
+                # ever reduces the cursor).
+                if spec_just_compacted and int(emitted_h.sum()) == 0:
+                    spec_sample_active = False
+                else:
+                    ak2, av2, attn_valid, kv_pos, cursor = self._spec_compact(
+                        arena["k"], arena["v"], attn_valid, kv_pos,
+                        prompt_len=L,
+                    )
+                    arena = {"k": ak2, "v": av2}
+                    spec_just_compacted = True
+            elif spec_sample_now:
+                spec_just_compacted = False
 
         def bind_new_rows(slots, rids, logits, seen_rows, attn_rows, next_pos):
             """Sample first tokens for freshly prefilled rows and bind them

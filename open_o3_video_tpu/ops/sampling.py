@@ -23,10 +23,7 @@ def apply_repetition_penalty(
     return jnp.where(seen_mask, penalized, logits)
 
 
-def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
-    """Mask logits outside the nucleus: keep the smallest set of tokens whose
-    cumulative probability reaches top_p (the highest-probability token always
-    survives)."""
+def _top_p_full(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
     cumprobs = jnp.cumsum(sorted_probs, axis=-1)
@@ -36,6 +33,44 @@ def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     kept = jnp.where(keep_sorted, sorted_logits, jnp.inf)
     threshold = jnp.min(kept, axis=-1, keepdims=True)
     return jnp.where(logits >= threshold, logits, -jnp.inf)
+
+
+TOP_P_FAST_K = 512
+
+
+def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Mask logits outside the nucleus: keep the smallest set of tokens whose
+    cumulative probability reaches top_p (the highest-probability token always
+    survives).
+
+    EXACT top-k fast path: a full descending sort of the 152k vocab is the
+    single most expensive op in a sampled decode step on TPU. Instead take
+    the top ``TOP_P_FAST_K`` logits and normalize them against the
+    FULL-vocab logsumexp (cheap reduction, no sort) — when their exact
+    cumulative mass reaches top_p, the nucleus provably lies inside the
+    top-k set and the threshold equals the full-sort one (value-based
+    comparison keeps tie behavior identical). Trained-model decode
+    distributions at top_p <= 0.95 are covered by k=512 essentially
+    always; rows that are not (e.g. random-init near-uniform logits) fall
+    back to the exact full sort via lax.cond, so semantics never change."""
+    V = logits.shape[-1]
+    if V <= 2 * TOP_P_FAST_K:
+        return _top_p_full(logits, top_p)
+    vals, _ = jax.lax.top_k(logits, TOP_P_FAST_K)  # (B, k) descending
+    lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(vals - lse)  # exact full-softmax probs of the top-k
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p
+    kept = jnp.where(keep, vals, jnp.inf)
+    thr_fast = jnp.min(kept, axis=-1, keepdims=True)
+    covered = jnp.all(cum[..., -1] >= top_p)
+
+    return jax.lax.cond(
+        covered,
+        lambda lg: jnp.where(lg >= thr_fast, lg, -jnp.inf),
+        lambda lg: _top_p_full(lg, top_p),
+        logits,
+    )
 
 
 def sample_token(
