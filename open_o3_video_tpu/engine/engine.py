@@ -205,9 +205,24 @@ class InferenceEngine:
         if spec_surplus is None:
             spec_surplus = int(os.environ.get("O3V_SPEC_SURPLUS", "1024"))
         self.spec_surplus = int(spec_surplus)
+        # Acceptance probe: the FIRST spec segment of a group is capped at
+        # spec_probe emitted tokens/row; if it measures fewer than
+        # spec_min_rate tokens per verify per row, speculation is disabled
+        # for the rest of the group and decode finishes on the plain path.
+        # Rationale (v5e, 7B int8, B=4): a (B, K1=8) verify forward costs
+        # ~1.2x a plain decode step, so drafts with acceptance ~0 (e.g.
+        # near-uniform sampling at random init, or prose with no repeated
+        # structure) make the spec loop ~2x SLOWER than plain — the r4
+        # surplus-exhaustion fallback used to bound that by accident; the
+        # probe bounds it by design. 1.35 = break-even (~1.2) + margin for
+        # compaction amortization.
+        self.spec_probe = int(os.environ.get("O3V_SPEC_PROBE", "48"))
+        self.spec_min_rate = float(os.environ.get("O3V_SPEC_MIN_RATE", "1.35"))
         # Cumulative spec telemetry: tokens emitted per verify forward =
-        # emitted / verify_steps (1.0 = no drafts accepted).
-        self.spec_stats = {"verify_steps": 0, "emitted": 0}
+        # emitted / verify_steps (1.0 = no drafts accepted);
+        # probe_disabled = groups where the acceptance probe reverted to
+        # the plain path.
+        self.spec_stats = {"verify_steps": 0, "emitted": 0, "probe_disabled": 0}
         # DP fleet mode: shard the slot-row dimension of every batch array
         # over this mesh axis, so each chip decodes its own rows — the
         # TPU-native replacement for the reference's process-per-GPU eval
@@ -996,6 +1011,7 @@ class InferenceEngine:
         hist,  # (B, Hc) int32 — COMPACT per-row prompt+emitted history
         hcount,  # (B,) int32 — tokens committed in hist (incl. pending)
         forced=None,  # (B, W) int32 — replay stream (benchmark mode only)
+        step_cap=None,  # () int32 — dynamic per-call emission cap <= n_steps
         *,
         temperature: float,
         top_p: float,
@@ -1054,6 +1070,14 @@ class InferenceEngine:
         K1 = draft_k + 1
         Hc = hist.shape[1]
         out_w = n_steps + draft_k
+        # Dynamic emission cap (defaults to the static n_steps): run_segment
+        # passes a short cap on the FIRST spec segment of a group — an
+        # acceptance probe — so the host can measure tokens/verify and
+        # disable speculation when drafts don't pay for their verify
+        # forwards, WITHOUT recompiling (n_steps stays static for shapes).
+        if step_cap is None:
+            step_cap = n_steps
+        step_cap = jnp.asarray(step_cap, jnp.int32)
         rows = jnp.arange(B)
         blk = jnp.arange(K1, dtype=jnp.int32)
         toks = jnp.full((B, out_w), pad, jnp.int32)
@@ -1073,7 +1097,7 @@ class InferenceEngine:
             # iteration cost (conditional arena aliasing + validity
             # reductions in cond) measured ~+9 ms/verify on the v5e.
             fits = col_cursor + K1 + jnp.maximum(live_rem - 1, 0) <= ring
-            return (~jnp.all(done)) & (jnp.max(emitted) < n_steps) & fits
+            return (~jnp.all(done)) & (jnp.max(emitted) < step_cap) & fits
 
         def body(st):
             (emitted, n_verify, token, ak, av, seen, attn_valid, kv_pos,
@@ -2048,6 +2072,7 @@ class InferenceEngine:
         hcount = None
         forced_c = None  # replay streams, hist-column-aligned (bench only)
         spec_just_compacted = False  # exhaust->compact->retry progress guard
+        spec_probe_pending = True  # first spec segment runs the acceptance probe
 
         def finalize(s):
             rid = slot_rid[s]
@@ -2072,6 +2097,7 @@ class InferenceEngine:
             nonlocal token, seen, attn_valid, done, rng, cursor, mrope_cur
             nonlocal remaining, arena, hist
             nonlocal kv_pos, hist_c, hcount, forced_c, spec_sample_active
+            nonlocal spec_just_compacted, spec_probe_pending
             active = [s for s in range(B) if slot_rid[s] is not None]
             if not active:
                 return
@@ -2084,6 +2110,13 @@ class InferenceEngine:
             spec_sample_now = (
                 spec_sample_active and not interleaved and qpos >= len(idxs)
             )
+            # First spec segment = acceptance probe (short dynamic cap, no
+            # recompile); the host then measures tokens/verify/row and
+            # reverts to plain decode if drafts don't pay for their verify
+            # forwards (see spec_probe in __init__).
+            seg_cap = n_steps
+            if spec_sample_now and spec_probe_pending:
+                seg_cap = max(1, min(self.spec_probe, n_steps))
             with self.timer.stage("decode"), trace_annotation("engine.decode"):
                 if spec_sample_now:
                     if hist_c is None:
@@ -2135,6 +2168,7 @@ class InferenceEngine:
                         hist_c,
                         hcount,
                         forced_c,
+                        jnp.asarray(seg_cap, jnp.int32),
                         temperature=sampling.temperature,
                         top_p=sampling.top_p,
                         repetition_penalty=sampling.repetition_penalty,
@@ -2192,10 +2226,10 @@ class InferenceEngine:
                 toks_h, lps_h, emitted_h, done_h = self._fetch(
                     (toks, lps, emitted_n, done)
                 )
+                nv_seg = 0
                 if spec_active or spec_sample_now:
-                    self.spec_stats["verify_steps"] += int(
-                        self._fetch(n_verify)
-                    )
+                    nv_seg = int(self._fetch(n_verify))
+                    self.spec_stats["verify_steps"] += nv_seg
                     self.spec_stats["emitted"] += int(emitted_h.sum())
             for s in active:
                 rid = slot_rid[s]
@@ -2204,11 +2238,23 @@ class InferenceEngine:
                 lp_acc[rid].extend(float(x) for x in lps_h[s, :n])
                 if done_h[s]:
                     finalize(s)
-            nonlocal spec_just_compacted
+            if spec_sample_now and spec_probe_pending:
+                # Acceptance-probe verdict: below spec_min_rate tokens per
+                # verify per live row, the (B, K1) verify forwards cost more
+                # than the drafts save — finish the group on the plain ring
+                # path (the documented exhaustion fallback, holes stay
+                # invalid). Probed once per group; 8+ verifies for a stable
+                # estimate (an instant EOS-only probe stays speculative).
+                spec_probe_pending = False
+                rate = int(emitted_h.sum()) / max(nv_seg, 1) / max(len(active), 1)
+                if nv_seg >= 8 and rate < self.spec_min_rate:
+                    spec_sample_active = False
+                    self.spec_stats["probe_disabled"] += 1
             if (
                 spec_sample_now
+                and spec_sample_active
                 and not all(done_h)
-                and int(emitted_h.max()) < n_steps
+                and int(emitted_h.max()) < seg_cap
             ):
                 # Column surplus exhausted with rows still live (the only
                 # other early exit is the n_steps segment boundary, excluded

@@ -12,9 +12,16 @@ flash kernel got in round 4 (`ops/flash_attention.py`):
   VMEM — the whole-buffer O(T)-per-layer cast transient that forced the
   chunked XLA path to exist never materializes, and fp8 KV is read at
   1 byte/element off HBM.
-- **GQA-grouped rows**: all `group * S` query rows of one KV head share
-  each streamed KV tile (group=7 q heads per kv head on the 7B), so KV
+- **One KV stream for all heads**: the (Hkv, D) head/lane dims are
+  collapsed into the lane axis, so each (block_k, Hkv*D) tile is fetched
+  from HBM ONCE and every KV head's slice is consumed inside the kernel
+  (per-head static lane slices at 128-aligned offsets). Combined with
+  GQA-grouped query rows (group=7 q heads per kv head on the 7B), KV
   traffic is the GQA minimum: 2 * T * Hkv * D * itemsize per layer.
+  The head-collapsed layout is also what Mosaic's block-shape rule
+  requires: a per-head (1, block_k, 1, D) block of the native
+  (B, T, Hkv, D) cache has an un-tileable (1, D) trailing shape, while
+  (block_k, Hkv*D) tiles are (8k-multiple, 128-multiple) aligned.
 - **Fixed-m inference softmax**: decode is inference-only (no vjp), so
   the kernel skips the online max/rescale entirely — `p = exp(min(s, 60))`
   accumulated in f32, normalized once at the end (see
@@ -45,44 +52,54 @@ LOGIT_CLAMP = 60.0
 
 
 def _decode_kernel(qpos_ref, valid_ref, q_ref, k_ref, v_ref, o_ref,
-                   acc_ref, l_ref, *, block_k: int, T: int,
-                   compute_dtype):
-    kb = pl.program_id(2)
-    nk = pl.num_programs(2)
-    R, D = q_ref.shape[2], q_ref.shape[3]
+                   acc_ref, l_ref, *, block_k: int, T: int, Hkv: int,
+                   D: int, compute_dtype):
+    kb = pl.program_id(1)
+    nk = pl.num_programs(1)
 
     @pl.when(kb == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0, 0]  # (R, D) compute dtype, PRE-SCALED by 1/sqrt(D)
-    k = k_ref[0, :, 0, :].astype(compute_dtype)  # (block_k, D) tile-local cast
-    v = v_ref[0, :, 0, :].astype(compute_dtype)
-
-    # mask: global kv index in-range + slot valid + causal vs per-row q pos
+    kv_k = k_ref[0]  # (block_k, Hkv*D) STORED dtype
+    kv_v = v_ref[0]
     idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-    col_ok = (idx < T) & (valid_ref[...] != 0)  # (1, block_k)
-    qpos = qpos_ref[0, :]  # (R,) int32; pad rows carry -1 -> fully masked
-    mask = col_ok & (idx <= qpos[:, None])  # (R, block_k)
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (R, block_k)
-    p = jnp.where(mask, jnp.exp(jnp.minimum(s, LOGIT_CLAMP)), 0.0)
-    l_ref[...] += jnp.sum(p, axis=1, keepdims=True)
-    # zero masked v lanes defensively: the tail tile's out-of-range columns
-    # are uninitialized memory; 0 * NaN would poison the dot.
-    v = jnp.where(col_ok.reshape(block_k, 1) != 0, v, 0)
-    acc_ref[...] += jax.lax.dot_general(
-        p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    col_ok = (idx < T) & (valid_ref[0, 0][None, :] != 0)  # (1, block_k)
+    qpos = qpos_ref[0, 0]  # (R_p,) int32; pad rows carry -1 -> fully masked
+    mask = col_ok & (idx <= qpos[:, None])  # (R_p, block_k)
+    # Column-vector validity for zeroing v's masked sublanes (0 * NaN would
+    # poison the p@v dot). Built from 32-bit values: Mosaic only supports
+    # non-no-op minor-dim insertion (the (block_k,) -> (block_k, 1)
+    # reshape) for 32-bit types, so the i1 mask can't be transposed.
+    idx_col = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_k, 1), 0
     )
+    vcol = (idx_col < T) & (valid_ref[0, 0].reshape(block_k, 1) != 0)
+
+    for hk in range(Hkv):  # unrolled: every head reuses the SAME kv tile
+        q = q_ref[0, hk]  # (R_p, D) compute dtype, PRE-SCALED by 1/sqrt(D)
+        k = kv_k[:, hk * D:(hk + 1) * D].astype(compute_dtype)
+        v = kv_v[:, hk * D:(hk + 1) * D].astype(compute_dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (R_p, block_k)
+        p = jnp.where(mask, jnp.exp(jnp.minimum(s, LOGIT_CLAMP)), 0.0)
+        l_ref[hk] += jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref[hk].shape
+        )
+        # zero masked v sublanes defensively: the tail tile's out-of-range
+        # columns are uninitialized memory (see vcol above).
+        v = jnp.where(vcol, v, 0)
+        acc_ref[hk] += jax.lax.dot_general(
+            p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(kb == nk - 1)
     def _finalize():
-        l = l_ref[...]
-        o_ref[0, 0] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)).astype(
+        l = l_ref[...]  # (Hkv, R_p, D) — every lane holds the row sum
+        o_ref[0] = (acc_ref[...] / jnp.where(l == 0.0, 1.0, l)).astype(
             o_ref.dtype
         )
 
@@ -120,27 +137,33 @@ def decode_attention_gqa(
     if R_p != R:
         qpos = jnp.pad(qpos, ((0, 0), (0, R_p - R)), constant_values=-1)
 
+    # head/lane collapse: contiguous (B, T, Hkv, D) -> (B, T, Hkv*D) is a
+    # free view, so the kernel streams ONE tile per (b, kb) for all heads.
+    kr = k.reshape(B, T, Hkv * D)
+    vr = v.reshape(B, T, Hkv * D)
+
     nk = -(-T // block_k)
-    grid = (B, Hkv, nk)
+    grid = (B, nk)
     out = pl.pallas_call(
         functools.partial(
-            _decode_kernel, block_k=block_k, T=T, compute_dtype=compute_dtype
+            _decode_kernel, block_k=block_k, T=T, Hkv=Hkv, D=D,
+            compute_dtype=compute_dtype,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, R_p), lambda b, hk, kb: (b, 0)),
-            pl.BlockSpec((1, block_k), lambda b, hk, kb: (b, kb)),
-            pl.BlockSpec((1, 1, R_p, D), lambda b, hk, kb: (b, hk, 0, 0)),
-            pl.BlockSpec((1, block_k, 1, D), lambda b, hk, kb: (b, kb, hk, 0)),
-            pl.BlockSpec((1, block_k, 1, D), lambda b, hk, kb: (b, kb, hk, 0)),
+            pl.BlockSpec((1, 1, R_p), lambda b, kb: (b, 0, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, kb: (b, 0, kb)),
+            pl.BlockSpec((1, Hkv, R_p, D), lambda b, kb: (b, 0, 0, 0)),
+            pl.BlockSpec((1, block_k, Hkv * D), lambda b, kb: (b, kb, 0)),
+            pl.BlockSpec((1, block_k, Hkv * D), lambda b, kb: (b, kb, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, R_p, D), lambda b, hk, kb: (b, hk, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hkv, R_p, D), lambda b, kb: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, R_p, D), compute_dtype),
         scratch_shapes=[
-            pltpu.VMEM((R_p, D), jnp.float32),
-            pltpu.VMEM((R_p, 1), jnp.float32),
+            pltpu.VMEM((Hkv, R_p, D), jnp.float32),
+            pltpu.VMEM((Hkv, R_p, D), jnp.float32),
         ],
         interpret=interpret,
-    )(qpos, kv_valid.astype(jnp.int32), qg, k, v)
+    )(qpos[:, None, :], kv_valid.astype(jnp.int32)[:, None, :], qg, kr, vr)
     out = out[:, :, :R, :].reshape(B, Hkv, group, S, D)
     return out.transpose(0, 3, 1, 2, 4).reshape(B, S, Hq, D)

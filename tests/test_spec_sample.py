@@ -276,6 +276,10 @@ class TestReplayMode:
         existed, this config covered only ~surplus/K1 tokens."""
         cfg, params = cfg_params
         _, ss = _engines(cfg, params, spec_draft=4, spec_surplus=48)
+        # This test pins the COMPACTION machinery, so the acceptance probe
+        # (which would correctly revert these repetition-free streams to
+        # plain decode — see test_probe_reverts_low_acceptance) is off.
+        ss.spec_min_rate = 0.0
         samp = SamplingParams(temperature=1.0, top_p=0.95, max_tokens=48,
                               seed=11)
         rng = np.random.default_rng(3)
@@ -305,3 +309,61 @@ class TestReplayMode:
         out = ss.generate([Request(input_ids=[5, 6, 7])], samp,
                           replay_tokens=tr)[0]
         assert out["token_ids"][1:] == tr[0, 1:16].tolist()
+
+
+class TestAcceptanceProbe:
+    """The first spec segment of a group is a short acceptance probe; low
+    tokens/verify/row reverts the group to plain decode (BENCH_r05 `worst`
+    regression fix: compaction re-entry made zero-acceptance rollouts ~2x
+    SLOWER than plain — the probe bounds the machinery's overhead to one
+    short segment)."""
+
+    def test_probe_reverts_low_acceptance(self, cfg_params):
+        cfg, params = cfg_params
+        _, ss = _engines(cfg, params, spec_surplus=96)
+        ss.spec_probe = 8  # short probe so the 24-token run splits clearly
+        rng = np.random.default_rng(7)
+        # repetition-free streams -> acceptance ~0 -> rate ~1.0 < 1.35
+        tr = np.stack([
+            rng.permutation(np.arange(10, 490))[:64] for _ in range(2)
+        ]).astype(np.int32)
+        samp = SamplingParams(temperature=1.0, top_p=0.95, max_tokens=24,
+                              seed=9)
+        outs = ss.generate(
+            [Request(input_ids=[5, 6, 7]), Request(input_ids=[8, 9])],
+            samp, replay_tokens=tr,
+        )
+        st = ss.spec_stats
+        assert st["probe_disabled"] == 1, st
+        # outputs still full length: the plain path finished the group
+        # after the probe. Replay forcing applies only to the SPEC loop,
+        # so only the probe prefix tracks the forced stream; the rest is
+        # real sampling on the plain path.
+        for r, o in enumerate(outs):
+            # real sampling on the tiny vocab can draw eos -> early finish
+            assert (len(o["token_ids"]) == 24
+                    or o["token_ids"][-1] == cfg.eos_token_id), o
+            assert o["token_ids"][1:ss.spec_probe] == \
+                tr[r, 1:ss.spec_probe].tolist()
+        # the spec loop stopped at the probe: emitted well below the total
+        assert st["emitted"] <= 2 * (ss.spec_probe + ss.spec_draft + 1), st
+
+    def test_probe_keeps_high_acceptance(self, cfg_params):
+        cfg, params = cfg_params
+        _, ss = _engines(cfg, params)
+        ss.spec_probe = 8
+        # period-3 cycling streams: drafts accept, probe must NOT revert
+        tr = np.stack([
+            np.tile([10 + r, 20 + r, 30 + r], 12) for r in range(2)
+        ]).astype(np.int32)
+        samp = SamplingParams(temperature=1.0, top_p=0.95, max_tokens=24,
+                              seed=9)
+        outs = ss.generate(
+            [Request(input_ids=[5, 6, 7]), Request(input_ids=[8, 9])],
+            samp, replay_tokens=tr,
+        )
+        st = ss.spec_stats
+        assert st["probe_disabled"] == 0, st
+        assert st["emitted"] == sum(len(o["token_ids"]) - 1 for o in outs), st
+        for r, o in enumerate(outs):
+            assert o["token_ids"][1:] == tr[r, 1:24].tolist()
