@@ -111,3 +111,38 @@ def test_causal_attention_routes_to_kernel(monkeypatch):
         A.LONG_DECODE_T = old_t
     np.testing.assert_allclose(np.asarray(ours), np.asarray(chunked),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fp8_bit_decode_recovers_exact_values():
+    """The kernel's manual e4m3 bit-decode (shift into f32 fields + 2^120
+    rebase / q-prescale) recovers the stored value EXACTLY for normals;
+    denormals (|x| < 2^-6) flush to ZERO — the documented contract
+    (module docstring): the rebase multiply reads an f32-denormal bit
+    pattern and both TPU and XLA-CPU (FTZ) flush it. Pinned by making
+    each query row attend exactly one valid column: the output IS that
+    column's decoded v."""
+    import jax
+
+    # interesting e4m3fn values: +-denormal min/max, normal min/max, zero
+    vals = np.array([2.0 ** -9, 7 * 2.0 ** -9, 2.0 ** -6, 448.0,
+                     -2.0 ** -9, -448.0, 0.0, 1.5], np.float32)
+    B, Hq, Hkv, D = 1, 2, 1, 128
+    T = vals.size
+    k = jnp.zeros((B, T, Hkv, D), jnp.float8_e4m3fn)
+    v = jnp.asarray(
+        np.tile(vals[None, :, None, None], (B, 1, Hkv, D))
+    ).astype(jnp.float8_e4m3fn)
+    # re-read what fp8 actually stored (quantization) as the expectation;
+    # sub-normal magnitudes flush to (signed) zero in the kernel
+    expect = np.asarray(v.astype(jnp.float32))[0, :, 0, 0]
+    expect = np.where(np.abs(expect) < 2.0 ** -6, 0.0, expect)
+    q = jnp.zeros((B, 1, Hq, D), jnp.float32)  # logits 0 -> weight on valid col
+    for j, want in enumerate(expect):
+        valid = np.zeros((B, T), np.int32)
+        valid[:, j] = 1
+        out = decode_attention_gqa(
+            q, k, v, jnp.full((B, 1), T - 1, jnp.int32),
+            jnp.asarray(valid), block_k=T, interpret=True,
+        )
+        got = float(np.asarray(out)[0, 0, 0, 0])
+        assert got == float(want), (j, got, float(want))
