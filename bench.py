@@ -317,12 +317,26 @@ def bench_parity_serving(cfg, params, engine, frames_u8, grid_thw, prompt,
     engine.release_memory()
 
     # (b) XLA exact path + logit telemetry (fresh engine: the attention
-    # impl and the stats hook are baked in at trace time)
+    # impl and the stats hook are baked in at trace time). The telemetry
+    # hook uses jax.debug.callback, which some backends (the axon remote
+    # tunnel) don't support — probe first and degrade to parity-only.
+    def _callbacks_supported() -> bool:
+        try:
+            import jax.numpy as jnp2
+
+            jax.jit(
+                lambda x: jax.debug.callback(lambda v: None, x) or x + 1
+            )(jnp2.zeros(())).block_until_ready()
+            return True
+        except Exception:  # noqa: BLE001 — UNIMPLEMENTED on axon
+            return False
+
+    telemetry = _callbacks_supported()
     old_impl = A.ATTN_IMPL
     old_env = {k: os.environ.get(k) for k in ("O3V_ATTN_IMPL", "O3V_LOGIT_STATS")}
     A.reset_logit_stats()
     os.environ["O3V_ATTN_IMPL"] = "xla"
-    os.environ["O3V_LOGIT_STATS"] = "1"
+    os.environ["O3V_LOGIT_STATS"] = "1" if telemetry else "0"
     A.ATTN_IMPL = "xla"
     try:
         bucket = 1 << (len(prompt) - 1).bit_length()
@@ -348,7 +362,7 @@ def bench_parity_serving(cfg, params, engine, frames_u8, grid_thw, prompt,
             break
         prefix_agree += 1
     max_logit = A.LOGIT_STATS["max"]
-    return {
+    out = {
         "token_agreement": round(prefix_agree / max(n, 1), 4),
         "agreeing_prefix_tokens": prefix_agree,
         "prod_tokens": len(prod),
@@ -362,6 +376,12 @@ def bench_parity_serving(cfg, params, engine, frames_u8, grid_thw, prompt,
         "config": ("prod = pallas fixed-m flash+window, packed ViT, int8 | "
                    "exact = O3V_ATTN_IMPL=xla, same int8 weights"),
     }
+    if not telemetry:
+        out["logit_telemetry"] = (
+            "skipped: backend has no host callbacks (axon tunnel); run "
+            "O3V_LOGIT_STATS=1 on directly-attached hardware"
+        )
+    return out
 
 
 def bench_train(cfg, params, frames_u8, grid_thw, prompt):
@@ -557,6 +577,12 @@ def bench_train(cfg, params, frames_u8, grid_thw, prompt):
                 )
 
         _measure("worst", 0)
+        # Replay measures the SPEC MACHINERY's throughput conditional on a
+        # given trace's repetition statistics, so the real-serving guards
+        # (plain warmup + acceptance probe, which would shave the trace's
+        # low-acceptance head off the measurement) are disabled for it.
+        trainer.engine.spec_min_rate = 0.0
+        trainer.engine.spec_warmup = 0
         G = gcfg_s.num_generations
         trainer.replay_tokens = np.stack(
             [_reasoning_trace_tokens(

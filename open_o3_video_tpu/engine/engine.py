@@ -218,6 +218,16 @@ class InferenceEngine:
         # compaction amortization.
         self.spec_probe = int(os.environ.get("O3V_SPEC_PROBE", "48"))
         self.spec_min_rate = float(os.environ.get("O3V_SPEC_MIN_RATE", "1.35"))
+        # Prompt-lookup acceptance is BACK-LOADED: a fresh generation has
+        # no self-repetition for its first few sentences (measured on the
+        # STGR-style replay trace: ~0 accepted drafts in the first ~48
+        # tokens, ~2.1/row later), so probing from token 0 wrongly reverts
+        # groups that would speculate well. The first spec_warmup tokens
+        # of a spec group therefore run the PLAIN path (zero overhead —
+        # plain is the safe default and the same compiled program as the
+        # full-length run via its dynamic step cap) and the probe measures
+        # the window AFTER the trace has had a chance to build structure.
+        self.spec_warmup = int(os.environ.get("O3V_SPEC_WARMUP", "48"))
         # Cumulative spec telemetry: tokens emitted per verify forward =
         # emitted / verify_steps (1.0 = no drafts accepted);
         # probe_disabled = groups where the acceptance probe reverted to
@@ -681,6 +691,7 @@ class InferenceEngine:
         cursor,  # () group-global decode step counter (ring write head)
         mrope_cur,  # (B,) m-rope position of `token`
         remaining,  # (B,) token budget left after `token`
+        step_cap=None,  # () int32 — dynamic per-call step cap <= n_steps
         *,
         temperature: float,
         top_p: float,
@@ -711,10 +722,17 @@ class InferenceEngine:
         lps = jnp.zeros((B, n_steps), jnp.float32)
         emitted = jnp.zeros((B,), jnp.int32)
         kv_pos_zero = jnp.zeros((B, T), jnp.int32)
+        # Dynamic step cap (defaults to the static n_steps): the sampled-
+        # spec warmup runs the FIRST spec_warmup tokens of a group through
+        # this plain program under a short cap — same compiled program as
+        # the full-length run (n_steps stays static for shapes).
+        if step_cap is None:
+            step_cap = n_steps
+        step_cap = jnp.asarray(step_cap, jnp.int32)
 
         def cond(st):
             k, done = st[0], st[6]
-            return jnp.logical_and(k < n_steps, ~jnp.all(done))
+            return jnp.logical_and(k < step_cap, ~jnp.all(done))
 
         def body(st):
             (k, token, ak, av, seen, attn_valid, done, rng, cursor,
@@ -2107,16 +2125,27 @@ class InferenceEngine:
             # prefill of a not-yet-bound row): those run plain, sharing the
             # monotonic column cursor; their columns keep kv_pos 0, which is
             # always-valid context for later verify blocks.
-            spec_sample_now = (
+            spec_candidate = (
                 spec_sample_active and not interleaved and qpos >= len(idxs)
             )
-            # First spec segment = acceptance probe (short dynamic cap, no
-            # recompile); the host then measures tokens/verify/row and
-            # reverts to plain decode if drafts don't pay for their verify
-            # forwards (see spec_probe in __init__).
+            # Warmup: run the first spec_warmup tokens of the group on the
+            # PLAIN path (prompt-lookup acceptance is back-loaded; see
+            # spec_warmup in __init__), then one probe segment (short
+            # dynamic cap, no recompile) whose tokens/verify/row verdict
+            # reverts the group to plain decode if drafts don't pay for
+            # their verify forwards (see spec_probe in __init__).
+            warmup_rem = 0
+            if spec_candidate and spec_probe_pending:
+                min_emitted = min(
+                    (len(emitted[slot_rid[s]]) for s in active), default=0
+                )
+                warmup_rem = max(0, self.spec_warmup - min_emitted)
+            spec_sample_now = spec_candidate and warmup_rem == 0
             seg_cap = n_steps
             if spec_sample_now and spec_probe_pending:
                 seg_cap = max(1, min(self.spec_probe, n_steps))
+            elif warmup_rem:
+                seg_cap = min(warmup_rem, n_steps)
             with self.timer.stage("decode"), trace_annotation("engine.decode"):
                 if spec_sample_now:
                     if hist_c is None:
@@ -2214,6 +2243,7 @@ class InferenceEngine:
                         cursor,
                         mrope_cur,
                         remaining,
+                        jnp.asarray(seg_cap, jnp.int32),
                         temperature=sampling.temperature,
                         top_p=sampling.top_p,
                         repetition_penalty=sampling.repetition_penalty,

@@ -60,14 +60,24 @@ def _attention_layer(
         # Single-slice update at a scalar offset — the only cache-update
         # form XLA keeps in place on TPU (a per-row scatter measured ~200x
         # slower; the engine's ring-buffer decode exists to keep ALL rows
-        # writing at one shared column).
-        k_cache = jax.lax.dynamic_update_slice(
-            cache["k"][layer_idx], k.astype(cache["k"].dtype), (0, cache_offset, 0, 0)
+        # writing at one shared column). The update writes the FULL
+        # (L, B, T, Hkv, D) stacked array (layer_idx is static): the old
+        # per-layer-slice update + jnp.stack at the end of text_forward
+        # rebuilt the whole cache every call — invisible at short context,
+        # but ~4.7 GB of copies per decode STEP at the 81920 fp8 arena
+        # (~11 ms/token, measured as the gap between the decode kernel's
+        # in-context cost and the engine's step time).
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype)[None],
+            (layer_idx, 0, cache_offset, 0, 0),
         )
-        v_cache = jax.lax.dynamic_update_slice(
-            cache["v"][layer_idx], v.astype(cache["v"].dtype), (0, cache_offset, 0, 0)
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype)[None],
+            (layer_idx, 0, cache_offset, 0, 0),
         )
-        new_cache = (k_cache, v_cache)
+        k_cache = ck[layer_idx]
+        v_cache = cv[layer_idx]
+        new_cache = (ck, cv)
         T = k_cache.shape[1]
         if kv_positions is None:
             # Default layout: buffer slot == sequence position; slots past
@@ -87,14 +97,18 @@ def _attention_layer(
         # The cache stays in its STORED dtype here; causal_attention casts
         # per path (block-locally in the long-context chunked decode, where
         # an eager O(T) cast per layer is the memory hazard).
+        # Stacked-cache form: XLA paths read the (free) layer slice; the
+        # Pallas long-context decode kernel indexes the layer in its block
+        # map so the multi-GB carried buffer is its operand directly.
         out = causal_attention(
             q,
-            k_cache,
-            v_cache,
+            ck,
+            cv,
             q_positions=seq_positions,
             kv_positions=kv_positions_full,
             kv_mask=full_kv_mask,
             impl=attn_impl,
+            stacked_layer=layer_idx,
         )
     else:
         new_cache = None
@@ -190,10 +204,10 @@ def text_forward(
     cos = cos.astype(inputs_embeds.dtype)
     sin = sin.astype(inputs_embeds.dtype)
 
-    def layer_fn(layer, x, layer_idx):
+    def layer_fn(layer, x, lcache, layer_idx):
         h = rms_norm(x, layer["input_norm"], cfg.rms_norm_eps)
         attn_out, layer_cache = _attention_layer(
-            layer, cfg, h, cos, sin, seq_positions, attn_valid, cache,
+            layer, cfg, h, cos, sin, seq_positions, attn_valid, lcache,
             layer_idx, cache_offset, attn_impl, kv_positions,
         )
         x = x + attn_out
@@ -202,12 +216,16 @@ def text_forward(
         return x, layer_cache
 
     if remat:
-        layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,))
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=(3,))
 
+    # The stacked cache arrays THREAD through the layer loop (each layer's
+    # single-column write updates the full (L, ...) array in place); the
+    # old collect-slices-and-stack pattern copied the entire cache per
+    # call — see the note in _attention_layer.
     x = inputs_embeds
-    new_k, new_v = [], []
+    cur_cache = cache
     for i, layer in enumerate(params["layers"]):
-        x, layer_cache = layer_fn(layer, x, i)
+        x, layer_cache = layer_fn(layer, x, cur_cache, i)
         if deepstack_embeds is not None and i < len(deepstack_embeds):
             # Qwen3-VL deepstack: add the i-th tapped vision features at
             # vision-token positions (HF Qwen3VLTextModel._deepstack_process).
@@ -217,14 +235,10 @@ def text_forward(
             add = jnp.where((flat_idx >= 0)[:, None], add.astype(x.dtype), 0)
             x = x + add.reshape(x.shape)
         if layer_cache is not None:
-            new_k.append(layer_cache[0])
-            new_v.append(layer_cache[1])
+            cur_cache = {"k": layer_cache[0], "v": layer_cache[1]}
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    new_cache = None
-    if cache is not None:
-        new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
-    return x, new_cache
+    return x, (cur_cache if cache is not None else None)
 
 
 def logits_from_hidden(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:

@@ -121,16 +121,28 @@ def causal_attention(
     kv_positions: Optional[jnp.ndarray] = None,  # (B, T) absolute positions of keys
     kv_mask: Optional[jnp.ndarray] = None,  # (B, T) validity of cache slots
     impl: Optional[str] = None,
+    stacked_layer: Optional[int] = None,
 ) -> jnp.ndarray:
     """Causal GQA attention; supports decode against a longer KV buffer.
 
     Causality: query at position p attends to keys with position <= p.
     When positions are omitted, q/k are assumed aligned ranges (prefill).
 
+    ``stacked_layer`` (static): k/v are the model's full stacked
+    (L, B, T, Hkv, D) cache; every XLA path consumes the (free, fused)
+    per-layer slice, while the Pallas long-context decode kernel receives
+    the STACKED buffer and indexes the layer in its block map — a custom
+    call's operands must be whole buffers, so the slice would otherwise
+    materialize an O(T) copy per layer per decode step.
+
     Note: fully-masked (padding) queries return self-attention under the XLA
     path and zeros under the Pallas path — both finite, neither ever read.
     """
     B, S, Hq, D = q.shape
+    if stacked_layer is not None:
+        k_stacked, v_stacked = k, v
+        k = k[stacked_layer]
+        v = v[stacked_layer]
     T, Hkv = k.shape[1], k.shape[2]
     impl = impl or ATTN_IMPL
     if q_positions is None:
@@ -167,6 +179,13 @@ def causal_attention(
                 if kv_mask is not None
                 else jnp.ones((B, T), jnp.int32)
             )
+            if stacked_layer is not None:
+                return decode_attention_gqa(
+                    q, k_stacked, v_stacked,
+                    q_positions.astype(jnp.int32), kv_valid,
+                    layer=stacked_layer,
+                    interpret=os.environ.get("O3V_PALLAS_INTERPRET", "0") == "1",
+                )
             return decode_attention_gqa(
                 q, k, v, q_positions.astype(jnp.int32), kv_valid,
                 interpret=os.environ.get("O3V_PALLAS_INTERPRET", "0") == "1",

@@ -47,6 +47,11 @@ def _engines(cfg, params, **kw):
         **base,
     )
     assert ss.spec_sample
+    # tests drive short generations and control acceptance via replay
+    # streams; the plain warmup (48 tokens, for real serving) would keep
+    # speculation from ever engaging — tests that cover the warmup set it
+    # back explicitly (TestAcceptanceProbe::test_warmup_defers_speculation)
+    ss.spec_warmup = 0
     return plain, ss
 
 
@@ -145,6 +150,7 @@ class TestMultiWave:
         plain = InferenceEngine(params, cfg, spec_sample=False, **base)
         ss = InferenceEngine(params, cfg, spec_sample=True, spec_draft=4,
                              spec_surplus=64, **base)
+        ss.spec_warmup = 0  # 24-token rows; default warmup would defer spec
         samp = SamplingParams(temperature=0.0, repetition_penalty=1.0,
                               max_tokens=24)
         prompts = [[7, 7, 7, 7], [5, 6, 7], [9, 9, 9], [4, 5, 6],
@@ -226,6 +232,8 @@ class TestGSPOStepInvariance:
                 detokenize=detok, reward_funcs=[tok_stat_reward],
                 seed=7 if spec else 0,  # distinct rng streams by design
             )
+            if spec:  # 10-token rollouts; default warmup would defer spec
+                trainer.engine.spec_warmup = 0
             ms = [trainer.step({"input_ids": [5, 6, 7, 8, 9, 10]},
                                global_step=k, max_steps=n_steps)
                   for k in range(n_steps)]
@@ -347,6 +355,35 @@ class TestAcceptanceProbe:
                 tr[r, 1:ss.spec_probe].tolist()
         # the spec loop stopped at the probe: emitted well below the total
         assert st["emitted"] <= 2 * (ss.spec_probe + ss.spec_draft + 1), st
+
+    def test_warmup_defers_speculation(self, cfg_params):
+        """With spec_warmup=W the first W tokens of a group run the PLAIN
+        path (prompt-lookup acceptance is back-loaded, so probing from
+        token 0 wrongly reverts groups); speculation + replay forcing take
+        over afterwards, continuing each row's stream from its own index."""
+        cfg, params = cfg_params
+        _, ss = _engines(cfg, params)
+        ss.spec_warmup = 8
+        ss.spec_min_rate = 0.0  # isolate warmup from the probe verdict
+        tr = np.stack([
+            np.tile([10 + r, 20 + r, 30 + r], 12) for r in range(2)
+        ]).astype(np.int32)
+        samp = SamplingParams(temperature=1.0, top_p=0.95, max_tokens=24,
+                              seed=13)
+        outs = ss.generate(
+            [Request(input_ids=[5, 6, 7]), Request(input_ids=[8, 9])],
+            samp, replay_tokens=tr,
+        )
+        st = ss.spec_stats
+        # spec loop only covered the post-warmup tokens
+        assert 0 < st["emitted"] <= 2 * (24 - 8 + ss.spec_draft + 1), st
+        for r, o in enumerate(outs):
+            # warmup tokens are real samples; the forced stream takes over
+            # at each row's own emission index after the warmup
+            assert len(o["token_ids"]) == 24 or o["token_ids"][-1] == \
+                cfg.eos_token_id, o
+            n = len(o["token_ids"])
+            assert o["token_ids"][8:n] == tr[r, 8:n].tolist()
 
     def test_probe_keeps_high_acceptance(self, cfg_params):
         cfg, params = cfg_params
