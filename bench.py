@@ -361,8 +361,61 @@ def bench_parity_serving(cfg, params, engine, frames_u8, grid_thw, prompt,
         if a != b:
             break
         prefix_agree += 1
+
+    # TEACHER-FORCED agreement: both configs score the SAME sequence
+    # (prompt + the production rollout) and per-position argmaxes are
+    # compared. The free-running number above amplifies one flipped
+    # argmax near-tie into permanent desync — at random init, where
+    # logit margins are razor-thin, it mostly measures tie-breaking, not
+    # kernel numerics (cf. bench_quant_agreement). Teacher-forced is the
+    # per-step number a real checkpoint's margins would push to ~1.0.
+    from open_o3_video_tpu.models.qwen25vl import forward, get_rope_index
+    from open_o3_video_tpu.models.qwen25vl.text import logits_from_hidden
+    from open_o3_video_tpu.ops.preprocess import frames_as_images_patches
+
+    patches, grid = frames_as_images_patches(frames2)
+    full_ids = np.asarray(list(prompt) + list(prod))[None]
+    pos, _ = get_rope_index(cfg, full_ids, image_grid_thw=grid)
+    Lp = len(prompt)
+
+    def _completion_argmax(impl: str):
+        old = A.ATTN_IMPL, os.environ.get("O3V_ATTN_IMPL")
+        A.ATTN_IMPL = impl
+        os.environ["O3V_ATTN_IMPL"] = impl
+        try:
+            @jax.jit
+            def fn(p, ids_d, pos_d, patches_d):
+                hidden, _ = forward(
+                    p, cfg, ids_d, pos_d, pixel_patches=patches_d,
+                    grid_thw=grid, vision_token_id=cfg.image_token_id,
+                    return_hidden=True,
+                )
+                return logits_from_hidden(
+                    p["text"], hidden[:, Lp - 1:-1]
+                ).argmax(-1)
+
+            import jax.numpy as jnp2
+
+            return [int(t) for t in np.asarray(
+                fn(params, jnp2.asarray(full_ids), jnp2.asarray(pos),
+                   jnp2.asarray(patches))
+            )[0]]
+        finally:
+            A.ATTN_IMPL, env = old
+            if env is None:
+                os.environ.pop("O3V_ATTN_IMPL", None)
+            else:
+                os.environ["O3V_ATTN_IMPL"] = env
+
+    tf_prod = _completion_argmax("auto")
+    gc.collect()
+    tf_xla = _completion_argmax("xla")
+    gc.collect()
+    tf_agree = float(np.mean([a == b for a, b in zip(tf_prod, tf_xla)]))
+
     max_logit = A.LOGIT_STATS["max"]
     out = {
+        "teacher_forced_agreement": round(tf_agree, 4),
         "token_agreement": round(prefix_agree / max(n, 1), 4),
         "agreeing_prefix_tokens": prefix_agree,
         "prod_tokens": len(prod),
@@ -1143,8 +1196,9 @@ def main():
     if parity_detail is not None and isinstance(parity_detail, dict):
         summary["detail"]["serving_parity"] = {
             k: parity_detail[k]
-            for k in ("token_agreement", "exact_match", "max_attn_logit",
-                      "clamp_headroom", "error")
+            for k in ("teacher_forced_agreement", "token_agreement",
+                      "exact_match", "max_attn_logit", "clamp_headroom",
+                      "error")
             if k in parity_detail
         }
     print(json.dumps(summary))
