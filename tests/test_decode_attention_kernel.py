@@ -146,3 +146,43 @@ def test_fp8_bit_decode_recovers_exact_values():
         )
         got = float(np.asarray(out)[0, 0, 0, 0])
         assert got == float(want), (j, got, float(want))
+
+
+def test_stacked_layer_matches_sliced(monkeypatch):
+    """causal_attention(stacked_layer=i) on the full (L, B, T, Hkv, D)
+    cache must equal the per-layer-slice call on every path — the stacked
+    form exists so the Pallas decode kernel's operand is the carried
+    buffer itself (see decode_attention_gqa docstring)."""
+    rng = np.random.default_rng(5)
+    L, B, S, Hq, Hkv, D, T = 3, 1, 1, 4, 2, 128, 320
+    q = jnp.asarray(rng.normal(size=(B, S, Hq, D)).astype(np.float32))
+    ks = jnp.asarray(rng.normal(size=(L, B, T, Hkv, D)).astype(np.float32))
+    vs = jnp.asarray(rng.normal(size=(L, B, T, Hkv, D)).astype(np.float32))
+    kv_mask = jnp.asarray(np.arange(T)[None, :] < 200)
+    qpos = jnp.full((B, S), T, jnp.int32)
+    kvpos = jnp.arange(T, dtype=jnp.int32)[None, :]
+    monkeypatch.setenv("O3V_PALLAS_INTERPRET", "1")
+    old_t = A.LONG_DECODE_T
+    try:
+        A.LONG_DECODE_T = 256  # force the long-decode dispatch
+        for layer in range(L):
+            stacked = A.causal_attention(
+                q, ks, vs, q_positions=qpos, kv_positions=kvpos,
+                kv_mask=kv_mask, impl="pallas", stacked_layer=layer,
+            )
+            sliced = A.causal_attention(
+                q, ks[layer], vs[layer], q_positions=qpos,
+                kv_positions=kvpos, kv_mask=kv_mask, impl="pallas",
+            )
+            np.testing.assert_allclose(
+                np.asarray(stacked), np.asarray(sliced), rtol=0, atol=0
+            )
+            xla = A.causal_attention(
+                q, ks, vs, q_positions=qpos, kv_positions=kvpos,
+                kv_mask=kv_mask, impl="xla", stacked_layer=layer,
+            )
+            np.testing.assert_allclose(
+                np.asarray(stacked), np.asarray(xla), rtol=2e-5, atol=2e-5
+            )
+    finally:
+        A.LONG_DECODE_T = old_t
