@@ -120,7 +120,14 @@ def main():
                      grid_thw=proc.grid_thw, vision_token_id=cfg.image_token_id)],
             sampling,
         )[0]
-        print(processor.decode(out["token_ids"], skip_special_tokens=True))
+        text = processor.decode(out["token_ids"], skip_special_tokens=True)
+        if args.tiny_demo:
+            # random weights emit unprintable ids; show the envelope so the
+            # smoke run has visible evidence of the full pipeline
+            print(f"[tiny-demo: {len(out['token_ids'])} tokens generated, "
+                  f"{out['num_prompt_tokens']}-token prompt] {text}")
+        else:
+            print(text)
 
 
 if __name__ == "__main__":

@@ -121,6 +121,9 @@ def test_spec_sample_rollout_shards(cfg_params):
                             rollout_shard_axis="data", spec_sample=True,
                             spec_draft=4, spec_surplus=32,
                             prompt_buckets=(64,), cache_dtype=jnp.float32)
+    # short test rows; the real-serving plain warmup would keep
+    # speculation from engaging (cf. tests/test_spec_sample.py)
+    eng_s.spec_warmup = 0
     outs_p = _gen(eng_p, PROMPTS[:4])
     outs_s = _gen(eng_s, PROMPTS[:4])
     assert eng_s.last_rollout_layout == "rows_sharded(data=2)"
